@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.time.TimeOps
+
+/** The reference's one real query — count of distinct users per 1-minute
+  * event-time tumbling window (reference UniqueUsersApp.java:91–134; batch
+  * oracle README.md:55–56) — generalized to any id column, any event-time
+  * column, any window width.
+  *
+  * Batch path: a single hash aggregate with exact distinct. Catalyst plans
+  * `count(distinct uid)` as the classic two-phase expand/partial/final
+  * aggregate, which is exactly the reference's own composition
+  * (dedup-transformer → count, UniqueUsersApp.java:118→129) minus the
+  * hand-built state store. At 100 TB the same plan holds: partial distinct
+  * per map task, shuffle on the (bucket) key, final merge — no single-node
+  * set materialization.
+  */
+object UniqueUsers {
+
+  /** Distinct `idCol` count per minute bucket of `eventTime`.
+    * Output: (minute: long epoch-seconds, unique_users: long).
+    */
+  def perMinute(events: DataFrame, eventTime: Column, idCol: Column): DataFrame =
+    events
+      .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
+      .groupBy(col("minute"))
+      .agg(count_distinct(col("uid")).as("unique_users"))
+
+  /** Same semantics expressed the way the reference's main topology does it
+    * — explicit dedup then count (UniqueUsersApp.java:118→129). Useful as a
+    * differential test double and as the streaming-compatible shape
+    * (streaming aggregation cannot use count_distinct).
+    */
+  def perMinuteTwoPhase(events: DataFrame, eventTime: Column, idCol: Column): DataFrame =
+    events
+      .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
+      .dropDuplicates("minute", "uid")
+      .groupBy(col("minute"))
+      .agg(count("*").as("unique_users"))
+
+  /** Approximate variant for 100 TB-scale exploration: HyperLogLog++ —
+    * mergeable, constant-size state per (key, window), no per-uid state row.
+    * The escape hatch SURVEY §7 reserves for when exact per-window distinct
+    * state (one row per (window, uid) until watermark) stops fitting.
+    */
+  def perMinuteApprox(events: DataFrame, eventTime: Column, idCol: Column,
+                      rsd: Double = 0.01): DataFrame =
+    events
+      .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
+      .groupBy(col("minute"))
+      .agg(approx_count_distinct(col("uid"), rsd).as("unique_users_approx"))
+}
