@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{UniqueUsers, Windowing}
+import graft.sources.Tables
+import graft.time.TimeOps
+
+/** Reference-core operators over the `events` table (SURVEY §2.1/§2.2) plus
+  * the windowing generalizations (§2.3).
+  */
+object EventQueries {
+
+  /** SURVEY §2.1 #4–#7,#12–#13: tumbling 1-minute window + exact distinct
+    * count — the whole main topology, batch form. */
+  private val uniqueUsersPerMinute: Q = (s, dir) =>
+    UniqueUsers.perMinute(Tables.events(s, dir), col("ts"), col("user_id"))
+
+  private val uniqueUsersPerMinuteSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** SURVEY §2.1 #7+#13 as the reference literally composes it:
+    * dedup-then-count (UniqueUsersApp.java:118→129). */
+  private val uniqueUsersTwoPhase: Q = (s, dir) =>
+    UniqueUsers.perMinuteTwoPhase(Tables.events(s, dir), col("ts"), col("user_id"))
+
+  /** SURVEY §2.1 #2: JSON field extraction from the `props` column
+    * (reference processRecord, UniqueUsersApp.java:206–216). */
+  private val jsonExtract: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull)
+
+  private val jsonExtractSql =
+    """SELECT event_id, CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT) AS k
+      |FROM events WHERE regexp_extract(props, '"k": *(-?[0-9]+)', 1) <> ''""".stripMargin
+
+  /** SURVEY §2.1 #2–#3: projection + predicate filter (mapValues/filterNot,
+    * UniqueUsersApp.java:113–114). */
+  private val filterProject: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"),
+        TimeOps.minuteBucketEpoch(col("ts")).as("minute"),
+        round(col("value"), 2).as("value"))
+
+  private val filterProjectSql =
+    """SELECT event_id, user_id,
+      |       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       round(value, 2) AS value
+      |FROM events WHERE event_type = 'purchase' AND value > 50.0""".stripMargin
+
+  /** SURVEY §2.2 variant 1: windowed count by key (not distinct) —
+    * `windowedBy(tw).count()` (UniqueUsersApp.java:152–158), keyed by
+    * event_type. */
+  private val windowedCountByType: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(TimeOps.minuteBucketEpoch(col("ts")).as("minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  private val windowedCountByTypeSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** SURVEY §2.1 #7: exact in-window dedup as its own operator — the
+    * deduped (minute, uid) pairs themselves (DeduplicateValueTransformer
+    * semantics, batch form). */
+  private val dedupEventsExact: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(TimeOps.minuteBucketEpoch(col("ts")).as("minute"), col("user_id"))
+      .distinct()
+
+  private val dedupEventsExactSql =
+    """SELECT DISTINCT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute, user_id
+      |FROM events""".stripMargin
+
+  /** SURVEY §2.1 #6 generalized: last-value-per-key
+    * (`aggregate((k,v,agg) -> v)`, UniqueUsersApp.java:117) — latest event
+    * per user by event time. Expressed as row_number over a per-key ordering
+    * (deterministic tiebreak on event_id; the oracle orders by
+    * microsecond-truncated ts because Spark's TimestampType is µs while
+    * DuckDB's parquet read keeps ns). */
+  private val lastEventPerUser: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        unix_timestamp(col("ts")).as("last_ts"))
+  }
+
+  private val lastEventPerUserSql =
+    """SELECT user_id, event_id AS last_event_id,
+      |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_ts
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id
+      |        ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+      |      FROM events) WHERE rn = 1""".stripMargin
+
+  /** Sliding windows (absent in the reference, SURVEY §2.3): 10-minute
+    * windows sliding by 5. The oracle expands each event into its two
+    * member windows — exactly what Spark's `Expand` does under `window()`.
+    */
+  private val slidingWindowCounts: Q = (s, dir) =>
+    Windowing.slidingCounts(Tables.events(s, dir), col("ts"), col("user_id"),
+      "10 minutes", "5 minutes")
+
+  private val slidingWindowCountsSql =
+    """WITH e AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, user_id FROM events),
+      |x AS (SELECT (es // 300) * 300 AS window_start, user_id FROM e
+      |      UNION ALL
+      |      SELECT (es // 300) * 300 - 300 AS window_start, user_id FROM e)
+      |SELECT window_start, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_ids
+      |FROM x GROUP BY 1""".stripMargin
+
+  /** Session windows (absent in the reference, SURVEY §2.3): 30-minute-gap
+    * sessions per user. Oracle = classic gaps-and-islands; session end =
+    * last event + gap, matching Spark's `session_window` semantics
+    * (merge iff gap strictly less than the threshold). */
+  private val sessionWindowStats: Q = (s, dir) =>
+    Windowing.sessionStats(Tables.events(s, dir), col("ts"), col("user_id"),
+      "30 minutes")
+      .withColumnRenamed("key", "user_id")
+
+  private val sessionWindowStatsSql =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id,
+      |       CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS session_start,
+      |       CAST(epoch(date_trunc('second', max(ts))) AS BIGINT) + 1800 AS session_end,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** Approximate distinct (HyperLogLog++) — the mergeable-sketch scale path
+    * (SURVEY §7 M2). No SQL oracle: approx results are engine-specific, so
+    * the driver records the weaker rows-only check; exactness is bounded in
+    * UniqueUsersSpec instead. */
+  private val approxUniqueUsers: Q = (s, dir) =>
+    UniqueUsers.perMinuteApprox(Tables.events(s, dir), col("ts"), col("user_id"))
+
+  val all: Map[String, Q] = Map(
+    "unique_users_per_minute" -> uniqueUsersPerMinute,
+    "unique_users_two_phase"  -> uniqueUsersTwoPhase,
+    "json_extract"            -> jsonExtract,
+    "filter_project"          -> filterProject,
+    "windowed_count_by_type"  -> windowedCountByType,
+    "dedup_events_exact"      -> dedupEventsExact,
+    "last_event_per_user"     -> lastEventPerUser,
+    "sliding_window_counts"   -> slidingWindowCounts,
+    "session_window_stats"    -> sessionWindowStats,
+    "approx_unique_users"     -> approxUniqueUsers,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "unique_users_per_minute" -> uniqueUsersPerMinuteSql,
+    "unique_users_two_phase"  -> uniqueUsersPerMinuteSql,
+    "json_extract"            -> jsonExtractSql,
+    "filter_project"          -> filterProjectSql,
+    "windowed_count_by_type"  -> windowedCountByTypeSql,
+    "dedup_events_exact"      -> dedupEventsExactSql,
+    "last_event_per_user"     -> lastEventPerUserSql,
+    "sliding_window_counts"   -> slidingWindowCountsSql,
+    "session_window_stats"    -> sessionWindowStatsSql,
+  )
+}

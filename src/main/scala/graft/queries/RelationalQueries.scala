@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The relational surface the reference lacks entirely (SURVEY §2.3 marks
+  * joins, sorts, set ops, window functions, rollup/cube "absent — free via
+  * Spark built-ins"). A user of the generalized engine gets them as
+  * first-class, oracle-checked operators over the TPC-H-ish tables.
+  *
+  * Determinism conventions: double aggregates rounded (2 dp for big sums,
+  * 4–6 dp for unit-scale values); every top-k ordering carries a unique-key
+  * tiebreak; Spark int-typed scalars cast to long to match DuckDB's BIGINT.
+  */
+object RelationalQueries {
+
+  // ── Aggregation: multi-measure hash agg (TPC-H Q1 shape) ───────────────
+  private val q1Agg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  private val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      |       round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+      |       round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+      |       CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY 1, 2""".stripMargin
+
+  // ── Join + agg + top-k (TPC-H Q3 shape); dims broadcast ────────────────
+  private val q3TopkRevenue: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val q3TopkRevenueSql =
+    """SELECT l_orderkey,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+      |       o_orderpriority,
+      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
+  private val broadcastDimJoin: Q = (s, dir) =>
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        round(sum(col("s_acctbal")), 2).as("total_acctbal"))
+
+  private val broadcastDimJoinSql =
+    """SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |       round(CAST(sum(s_acctbal) AS DOUBLE), 2) AS total_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY 1""".stripMargin
+
+  // ── Grouping sets: ROLLUP and CUBE ─────────────────────────────────────
+  private val rollupSales: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  private val rollupSalesSql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+      |       CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  private val cubeOrders: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+
+  private val cubeOrdersSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  // ── SQL window functions: ranking + lag + running frame ────────────────
+  private val windowRankOrders: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"),
+        col("prev_price"), col("running_spend"))
+  }
+
+  private val windowRankOrdersSql =
+    """SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn,
+      |       round(prev_price, 2) AS prev_price,
+      |       round(running_spend, 2) AS running_spend
+      |FROM (SELECT o_custkey, o_orderkey,
+      |             row_number() OVER w AS rn,
+      |             lag(o_totalprice, 1) OVER w AS prev_price,
+      |             sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey
+      |               ROWS UNBOUNDED PRECEDING) AS running_spend
+      |      FROM orders
+      |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |WHERE rn <= 3""".stripMargin
+
+  // ── Semi / anti joins (EXISTS / NOT EXISTS) ────────────────────────────
+  private val semiJoinCustomers: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val semiJoinCustomersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  private val antiJoinCustomers: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  private val antiJoinCustomersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  // ── Outer join with null-handling ──────────────────────────────────────
+  private val outerJoinOrders: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+
+  private val outerJoinOrdersSql =
+    """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |       round(CAST(coalesce(sum(o_totalprice), 0) AS DOUBLE), 2) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1""".stripMargin
+
+  // ── Set operations: INTERSECT / EXCEPT / UNION, tagged ─────────────────
+  private val setOpsUsers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+    users("purchase").intersect(users("error")).withColumn("op", lit("purchase_and_error"))
+      .unionAll(users("click").except(users("view")).withColumn("op", lit("click_not_view")))
+      .unionAll(users("signup").union(users("purchase")).distinct()
+        .withColumn("op", lit("signup_or_purchase")))
+  }
+
+  private val setOpsUsersSql =
+    """SELECT user_id, 'purchase_and_error' AS op FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT user_id, 'click_not_view' AS op FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT SELECT user_id FROM events WHERE event_type = 'view')
+      |UNION ALL
+      |SELECT user_id, 'signup_or_purchase' AS op FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'signup'
+      |  UNION SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin
+
+  // ── Global sort + limit (top-k) ────────────────────────────────────────
+  private val topkOrdersByPrice: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  private val topkOrdersByPriceSql =
+    """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 20""".stripMargin
+
+  // ── Scalar function surface: strings + math ────────────────────────────
+  private val scalarFuncs: Q = (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_brand"), 1, 5).as("brand_pfx"),
+      regexp_replace(col("p_type"), " ", "_").as("type_us"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"),
+      round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+      round(log(col("p_retailprice")), 6).as("price_ln"),
+      (col("p_size") % 7).cast("long").as("size_mod"))
+
+  private val scalarFuncsSql =
+    """SELECT p_partkey,
+      |       upper(p_name) AS name_upper,
+      |       CAST(length(p_name) AS BIGINT) AS name_len,
+      |       substring(p_brand, 1, 5) AS brand_pfx,
+      |       replace(p_type, ' ', '_') AS type_us,
+      |       p_brand || ':' || p_type AS brand_type,
+      |       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+      |       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+      |       round(sqrt(p_retailprice), 6) AS price_sqrt,
+      |       round(ln(p_retailprice), 6) AS price_ln,
+      |       CAST(p_size % 7 AS BIGINT) AS size_mod
+      |FROM part""".stripMargin
+
+  // ── Date/time function surface ─────────────────────────────────────────
+  private val dateFuncs: Q = (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("days_to_2002"))
+
+  private val dateFuncsSql =
+    """SELECT o_orderkey,
+      |       CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |       CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |       CAST(day(o_orderdate) AS BIGINT) AS dy,
+      |       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
+      |FROM orders""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "q1_agg"              -> q1Agg,
+    "q3_topk_revenue"     -> q3TopkRevenue,
+    "broadcast_dim_join"  -> broadcastDimJoin,
+    "rollup_sales"        -> rollupSales,
+    "cube_orders"         -> cubeOrders,
+    "window_rank_orders"  -> windowRankOrders,
+    "semi_join_customers" -> semiJoinCustomers,
+    "anti_join_customers" -> antiJoinCustomers,
+    "outer_join_orders"   -> outerJoinOrders,
+    "set_ops_users"       -> setOpsUsers,
+    "topk_orders_by_price" -> topkOrdersByPrice,
+    "scalar_funcs"        -> scalarFuncs,
+    "date_funcs"          -> dateFuncs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg"              -> q1AggSql,
+    "q3_topk_revenue"     -> q3TopkRevenueSql,
+    "broadcast_dim_join"  -> broadcastDimJoinSql,
+    "rollup_sales"        -> rollupSalesSql,
+    "cube_orders"         -> cubeOrdersSql,
+    "window_rank_orders"  -> windowRankOrdersSql,
+    "semi_join_customers" -> semiJoinCustomersSql,
+    "anti_join_customers" -> antiJoinCustomersSql,
+    "outer_join_orders"   -> outerJoinOrdersSql,
+    "set_ops_users"       -> setOpsUsersSql,
+    "topk_orders_by_price" -> topkOrdersByPriceSql,
+    "scalar_funcs"        -> scalarFuncsSql,
+    "date_funcs"          -> dateFuncsSql,
+  )
+}

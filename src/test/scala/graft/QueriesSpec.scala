@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sanity + semantic invariants across the full query registry at sf0.001.
+  * Exact value parity with DuckDB is the driver's gate (tools/
+  * check_oracle.py mirrors it); these tests pin the invariants that survive
+  * refactors.
+  */
+class QueriesSpec extends SparkSpec {
+
+  test("every registered query runs and yields a non-empty schema") {
+    Queries.all.foreach { case (name, fn) =>
+      val df = fn(spark, sf001)
+      assert(df.schema.nonEmpty, s"$name: empty schema")
+      assert(df.count() >= 0, s"$name: failed to execute")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = Queries.oracles.keySet -- Queries.all.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("semi + anti join partition the customer set") {
+    val semi = Queries.all("semi_join_customers")(spark, sf001).count()
+    val anti = Queries.all("anti_join_customers")(spark, sf001).count()
+    val all = graft.sources.Tables.customer(spark, sf001).count()
+    assert(semi + anti == all)
+  }
+
+  test("rollup has per-group, per-flag-subtotal and grand-total rows") {
+    val df = Queries.all("rollup_sales")(spark, sf001).cache()
+    val grand = df.filter(col("l_returnflag").isNull && col("l_linestatus").isNull)
+    assert(grand.count() == 1)
+    val detail = df.filter(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull)
+    assert(detail.count() >= 4)
+    df.unpersist()
+  }
+
+  test("topk is ordered descending with deterministic tiebreak") {
+    val rows = Queries.all("topk_orders_by_price")(spark, sf001)
+      .collect().map(r => (r.getDouble(r.fieldIndex("o_totalprice")),
+        r.getLong(r.fieldIndex("o_orderkey"))))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array((p1, k1), (p2, k2)) =>
+      assert(p1 > p2 || (p1 == p2 && k1 < k2))
+    }
+  }
+
+  test("sliding windows double-count each event across two windows") {
+    val ev = graft.sources.Tables.events(spark, sf001).count()
+    val windowed = Queries.all("sliding_window_counts")(spark, sf001)
+      .agg(sum(col("n_events"))).head().getLong(0)
+    assert(windowed == 2 * ev)
+  }
+
+  test("session windows: every session spans >= gap and counts all events") {
+    val df = Queries.all("session_window_stats")(spark, sf001).cache()
+    val total = df.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sf001).count())
+    val bad = df.filter(col("session_end") - col("session_start") < 1800).count()
+    assert(bad == 0)
+    df.unpersist()
+  }
+}
