@@ -17,8 +17,9 @@ import graft.queries._
   */
 object Queries {
   val all: Map[String, Q] =
-    EventQueries.all ++ RelationalQueries.all
+    EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
 
   val oracles: Map[String, String] =
-    EventQueries.oracles ++ RelationalQueries.oracles
+    EventQueries.oracles ++ RelationalQueries.oracles ++
+      TextQueries.oracles ++ SimilarityQueries.oracles
 }

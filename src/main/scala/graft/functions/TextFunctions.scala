@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline surface
+  * (north star, BASELINE.json): tokenization, shingling, fingerprinting,
+  * quality metrics, language-ID heuristics.
+  *
+  * Everything here is pure `org.apache.spark.sql.functions` composition —
+  * codegen'd Catalyst expressions, no UDFs — so whole-stage codegen spans
+  * hold across the hot paths (the 100 TB design constraint).
+  *
+  * Hashing convention: md5 lowercase-hex of UTF-8 — chosen because it is
+  * bit-identical in every SQL engine (the oracle runs the same formulas in
+  * DuckDB), making the "random" permutations of MinHash/SimHash
+  * deterministic cross-engine.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empties dropped (multi-space safe). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Distinct token set. */
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Token count (BPE-less "token counting": whitespace words). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles ("w1_w2_w3"), the unit feature for MinHash and
+    * n-gram Jaccard. Documents shorter than n yield an empty array. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws("_", slice(ws, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
+    * trimmed text — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), " +", " "))
+
+  /** Order-insensitive fingerprint: md5 over the sorted distinct token set
+    * — catches word-permutation duplicates (set-equality ⇔ Jaccard = 1). */
+  def wordSetFingerprint(text: Column): Column =
+    md5(concat_ws("|", array_sort(distinctTokens(text))))
+
+  /** Ratio of tokens drawn from `markers` (e.g. stopwords), 6 dp. */
+  def markerRatio(text: Column, markers: Seq[String]): Column = {
+    val ts = tokens(text)
+    round(size(filter(ts, w => w.isin(markers.map(lit): _*)))
+      .cast("double") / greatest(size(ts), lit(1)), 6)
+  }
+
+  /** Language marker sets for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** Count of tokens matching a marker set. */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers.map(lit): _*))).cast("long")
+
+  /** Heuristic language guess: arg-max of marker hits with fixed precedence
+    * (en, de, es, fr), 'und' (undetermined) when no marker fires. A
+    * deterministic classifier — the oracle checks parity, accuracy is the
+    * caller's model problem. */
+  def langGuess(text: Column): Column = {
+    val hits = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    val best = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((l, h), acc) =>
+      when(best > 0 && h === best, lit(l)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document-deduplication operators for the training-data pipeline surface:
+  * exact (hash groupBy), word-set (order-insensitive exact), MinHash+LSH
+  * (banded near-dup), SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - exact/word-set dedup: one hash-shuffle on a 128-bit fingerprint —
+  *    the canonical map-side-combinable groupBy.
+  *  - MinHash signatures: one pass over exploded shingles, all k min()
+  *    aggregates computed in a single hash aggregate (no k passes).
+  *  - LSH banding: candidate generation is a self-equi-join on
+  *    (band, band_hash) — a shuffle join on a short key whose fan-out is
+  *    controlled by band width; never an all-pairs product.
+  *  - verification: exact Jaccard only over candidate pairs (broadcast the
+  *    candidate list when small; shuffle-join on doc_id otherwise).
+  *
+  * Hash functions are md5-hex-based so the "random permutations" are
+  * deterministic and engine-portable (same values in the DuckDB oracle).
+  */
+object DedupOps {
+
+  /** Exact duplicate groups by canonical-text fingerprint: one row per
+    * distinct fingerprint with its canonical (min) id and multiplicity. */
+  def exactGroups(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(TextFunctions.fingerprint(textCol).as("fp"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Word-set duplicate groups (order-insensitive exact dedup). */
+  def wordSetGroups(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.groupBy(TextFunctions.wordSetFingerprint(textCol).as("fp"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct (id, shingle) pairs — the feature relation every near-dup
+    * operator downstream consumes. */
+  def shingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+        explode(TextFunctions.wordShingles(textCol, n)).as("g"))
+      .distinct()
+
+  /** The i-th MinHash "permutation" of a shingle: lexicographic min over
+    * the set of md5(i + ":" + shingle). */
+  private def mhExpr(i: Int): Column =
+    min(md5(concat(lit(i.toString), lit(":"), col("g")))).as(s"mh$i")
+
+  /** MinHash signatures: `numHashes` columns mh0..mhN computed in ONE hash
+    * aggregate over the shingle relation. */
+  def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
+    shingles.groupBy(col("doc_id"))
+      .agg(mhExpr(0), (1 until numHashes).map(mhExpr): _*)
+
+  /** LSH banding: (doc_id, band, band_hash) — band b hashes rows
+    * [b*rowsPerBand, (b+1)*rowsPerBand). */
+  def lshBands(signatures: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", rows: _*)).as("band_hash"))
+    }
+    signatures.select(col("doc_id"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
+  }
+
+  /** Candidate pairs: docs sharing at least one band bucket (d1 < d2). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over given pairs, via one equi-join on the shingle and a
+    * count aggregate — never materializes per-doc sets in memory. */
+  def jaccardOverPairs(pairs: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shingles.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(shingles.as("s2"),
+        col("d2") === col("s2.doc_id") && col("s1.g") === col("s2.g"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("z1.n") + col("z2.n") - col("inter")), 6).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
+    * → exact-verify ≥ threshold. */
+  def minHashLshPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                      shingleN: Int, numHashes: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val sh = shingleSet(docs, idCol, textCol, shingleN)
+    val sig = minHashSignatures(sh, numHashes)
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the
+    * b-th hex digit of md5(token); bit set iff the vote sum is positive.
+    * 16 bits keeps the oracle SQL finite while exercising the real
+    * structure; widen by swapping the digit source for more md5 hexes. */
+  def simHash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val exploded = docs.select(idCol.as("doc_id"),
+        explode(TextFunctions.distinctTokens(textCol)).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (0 until 16).map { b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
+    }
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * north-star ANN surface: brute-force cosine top-k as the exactness
+  * baseline, IVF (inverted-file) cell probing as the scale path.
+  *
+  * All arithmetic is `zip_with`/`aggregate` over double-cast arrays —
+  * codegen'd Catalyst expressions evaluated in array-index order, which
+  * keeps floating-point summation deterministic and engine-portable.
+  *
+  * Scale design (100 TB): brute force is a broadcast of the (small) query
+  * set against a partitioned corpus scan — linear, no shuffle of the
+  * corpus itself. IVF turns that into (a) one broadcast join against K
+  * centroids to assign cells, then (b) a cell-bucketed equi-join, pruning
+  * the scan to matching cells only; the cell column is the natural
+  * partition/bucket key for a materialized index table.
+  */
+object VectorOps {
+
+  /** Dot product of two equal-length vector columns (double precision). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector (brute force).
+    * `queries` and `corpus`: (id, vec). Output: (qid, cid, sim, rank) with
+    * rank 1..k, self-matches excluded, 6-dp rounded sim, id tiebreak. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"))
+    val sims = c.join(q, col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
+    * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("vec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cent_id").as("cell"))
+  }
+
+  /** Approximate top-k: probe only the query's own IVF cell. Trades recall
+    * for a corpus-scan prune factor of ~K (the IVF contract). */
+  def ivfKnn(corpus: DataFrame, centroids: DataFrame,
+             queryFilter: Column, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids)
+    val q = broadcast(assigned.filter(queryFilter)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("cell")))
+    val sims = assigned.select(col("id").as("cid"), col("vec").as("cvec"), col("cell"))
+      .join(q, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

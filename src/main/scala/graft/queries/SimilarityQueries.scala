@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.sources.Tables
+
+/** Similarity-search surface over the `embeddings` table (north-star ANN
+  * ops): brute-force cosine top-k (exactness baseline), IVF cell assignment
+  * and IVF-probed approximate top-k (the scale path).
+  *
+  * Determinism: all arithmetic in double; similarities rounded to 6 dp
+  * before ranking; rank ties broken by neighbor id — identical rules in the
+  * DuckDB oracle, so float summation-order differences (≈1e-12) cannot
+  * flip results.
+  */
+object SimilarityQueries {
+
+  private val QueryMod  = 50  // query set = vec_id % 50 == 0
+  private val KBrute    = 5
+  private val KIvf      = 3
+  private val NCentroids = 8  // centroids = vec_id < 8 (fixed, deterministic)
+
+  private def corpus(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  // ── brute-force exact KNN ──────────────────────────────────────────────
+  private val knnBruteforce: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    VectorOps.bruteForceKnn(c.filter(col("id") % QueryMod === 0), c, KBrute)
+  }
+
+  // Shared oracle CTEs: per-dimension exploded vectors + norms.
+  private val vecCtes =
+    """WITH ce AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                   generate_subscripts(embedding, 1) AS i
+      |            FROM embeddings),
+      |norms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1)""".stripMargin
+
+  private val knnBruteforceSql =
+    s"""$vecCtes,
+       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
+       |dots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
+       |         FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |sims AS (SELECT qid, cid,
+       |                round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |         FROM dots JOIN norms nq ON nq.vid = qid
+       |                   JOIN norms nc ON nc.vid = cid)
+       |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY sim DESC, cid) AS rnk
+       |      FROM sims)
+       |WHERE rnk <= $KBrute""".stripMargin
+
+  // ── IVF cell assignment ────────────────────────────────────────────────
+  private val ivfAssignQ: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    VectorOps.ivfAssign(c,
+        c.filter(col("id") < NCentroids)
+          .select(col("id").as("cent_id"), col("vec").as("cvec")))
+      .select(col("id"), col("cell"))
+  }
+
+  // Oracle CTEs for cell assignment, shared by ivf_assign and knn_ivf.
+  private val ivfCtes =
+    s"""$vecCtes,
+       |cents AS (SELECT cid AS kid, v, i FROM ce WHERE cid < $NCentroids),
+       |adots AS (SELECT ce.cid AS id, kid, sum(ce.v * cents.v) AS dot
+       |          FROM ce JOIN cents ON ce.i = cents.i GROUP BY 1, 2),
+       |asims AS (SELECT id, kid,
+       |                 round(dot / (nv.nrm * nk.nrm), 6) AS csim
+       |          FROM adots JOIN norms nv ON nv.vid = id
+       |                     JOIN norms nk ON nk.vid = kid),
+       |cells AS (SELECT id, kid AS cell
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                          ORDER BY csim DESC, kid) AS rn FROM asims)
+       |          WHERE rn = 1)""".stripMargin
+
+  private val ivfAssignSql = s"$ivfCtes\nSELECT id, CAST(cell AS BIGINT) AS cell FROM cells"
+
+  // ── IVF-probed approximate KNN ─────────────────────────────────────────
+  private val knnIvf: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    VectorOps.ivfKnn(c,
+      c.filter(col("id") < NCentroids)
+        .select(col("id").as("cent_id"), col("vec").as("cvec")),
+      col("id") % QueryMod === 0, KIvf)
+  }
+
+  private val knnIvfSql =
+    s"""$ivfCtes,
+       |qs AS (SELECT id AS qid, cell FROM cells WHERE id % $QueryMod = 0),
+       |pairs AS (SELECT qid, c2.id AS cid
+       |          FROM qs JOIN cells c2 ON c2.cell = qs.cell AND c2.id <> qs.qid),
+       |dots AS (SELECT qid, pairs.cid AS cid, sum(a.v * b.v) AS dot
+       |         FROM pairs JOIN ce a ON a.cid = qid
+       |                    JOIN ce b ON b.cid = pairs.cid AND b.i = a.i
+       |         GROUP BY 1, 2),
+       |sims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |         FROM dots JOIN norms nq ON nq.vid = qid
+       |                   JOIN norms nc ON nc.vid = cid)
+       |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY sim DESC, cid) AS rnk
+       |      FROM sims)
+       |WHERE rnk <= $KIvf""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "knn_bruteforce" -> knnBruteforce,
+    "ivf_assign"     -> ivfAssignQ,
+    "knn_ivf"        -> knnIvf,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "knn_bruteforce" -> knnBruteforceSql,
+    "ivf_assign"     -> ivfAssignSql,
+    "knn_ivf"        -> knnIvfSql,
+  )
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+import graft.sources.Tables
+
+/** Text-analysis + document-dedup surface over the `documents` table
+  * (north-star training-data pipeline ops). Oracle SQL for the hash-based
+  * operators (MinHash/SimHash) is *generated* from the same parameters as
+  * the Spark pipeline, so both engines evaluate the identical formulas.
+  */
+object TextQueries {
+
+  // shared MinHash/LSH parameters (Spark pipeline + oracle generator)
+  private val ShingleN   = 3
+  private val NumHashes  = 16
+  private val Bands      = 8
+  private val RowsPerBand = NumHashes / Bands
+  private val Threshold  = 0.8
+
+  // ── token statistics ───────────────────────────────────────────────────
+  private val tokenStats: Q = (s, dir) => {
+    val ts = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      size(array_distinct(ts)).cast("long").as("n_unique"),
+      round(aggregate(transform(ts, w => length(w).cast("double")),
+        lit(0.0), (a, v) => a + v) / size(ts), 6).as("avg_token_len"))
+  }
+
+  private val tokenStatsSql =
+    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(count(DISTINCT w) AS BIGINT) AS n_unique,
+      |       round(CAST(sum(length(w)) AS DOUBLE) / count(*), 6) AS avg_token_len
+      |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |WHERE w <> '' GROUP BY doc_id""".stripMargin
+
+  // ── quality scoring ────────────────────────────────────────────────────
+  private val textQuality: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.markerRatio(col("text"),
+        TextFunctions.langMarkers.head._2).as("stopword_ratio"),
+      round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+        .cast("double") / length(col("text")), 6).as("punct_ratio"))
+
+  private val textQualitySql =
+    """WITH t AS (SELECT doc_id, text FROM documents),
+      |w AS (SELECT doc_id, count(*) AS n_tokens,
+      |             sum(CASE WHEN w IN ('the','a','of','and','is') THEN 1 ELSE 0 END) AS hits
+      |      FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM t)
+      |      WHERE w <> '' GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       round(CAST(hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
+      |       round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |             / length(text), 6) AS punct_ratio
+      |FROM t JOIN w ON t.doc_id = w.doc_id""".stripMargin
+
+  // ── language-ID heuristic ──────────────────────────────────────────────
+  private val langId: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    val hitCols = TextFunctions.langMarkers.map { case (l, ms) =>
+      TextFunctions.markerHits(col("text"), ms).as(s"${l}_hits")
+    }
+    d.select((col("doc_id") +: col("lang").as("lang_labeled") +:
+        TextFunctions.langGuess(col("text")).as("lang_guess") +: hitCols): _*)
+  }
+
+  private val langIdSql = {
+    val markerIn = TextFunctions.langMarkers.map { case (l, ms) =>
+      l -> ms.map(m => s"'$m'").mkString("(", ",", ")")
+    }
+    val hitAggs = markerIn.map { case (l, in) =>
+      s"sum(CASE WHEN w IN $in THEN 1 ELSE 0 END) AS ${l}_hits"
+    }.mkString(",\n             ")
+    val langs = TextFunctions.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
+    s"""WITH h AS (
+       |  SELECT doc_id, $hitAggs
+       |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang AS lang_labeled,
+       |       CASE WHEN $best = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_guess,
+       |       ${langs.map(l => s"CAST(${l}_hits AS BIGINT) AS ${l}_hits").mkString(", ")}
+       |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin
+  }
+
+  // ── fingerprinting ─────────────────────────────────────────────────────
+  private val docFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.wordSetFingerprint(col("text")).as("fp_set"))
+
+  private val docFingerprintSql =
+    """WITH ws AS (
+      |  SELECT doc_id, md5(string_agg(DISTINCT w, '|' ORDER BY w)) AS fp_set
+      |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+      |       ws.fp_set
+      |FROM documents d JOIN ws ON d.doc_id = ws.doc_id""".stripMargin
+
+  // ── exact + word-set dedup ─────────────────────────────────────────────
+  private val dedupDocsExact: Q = (s, dir) =>
+    DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .filter(col("n_docs") > 1)
+
+  private val dedupDocsExactSql =
+    """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+      |       CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  private val dedupDocsWordset: Q = (s, dir) =>
+    DedupOps.wordSetGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+      .filter(col("n_docs") > 1)
+
+  private val dedupDocsWordsetSql =
+    """WITH f AS (
+      |  SELECT doc_id, md5(string_agg(DISTINCT w, '|' ORDER BY w)) AS fp
+      |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY doc_id)
+      |SELECT fp, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM f GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  // ── MinHash signatures + LSH near-dup pairs ────────────────────────────
+  // Shared oracle CTE prefix: tokens → 3-gram shingles → distinct features
+  // → 16 min-hash columns. The lead()-window shingling mirrors Spark's
+  // transform(sequence(...)) exactly (empties filtered first, tail NULLs
+  // dropped).
+  private def shingleCtes: String =
+    s"""WITH toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, w, i FROM
+       |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+       |        WHERE w <> ''),
+       |sh AS (SELECT doc_id,
+       |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |dt AS (SELECT DISTINCT doc_id, g FROM sh WHERE g IS NOT NULL),
+       |sig AS (SELECT doc_id,
+       |        ${(0 until NumHashes).map(i => s"min(md5('$i:' || g)) AS mh$i").mkString(",\n        ")}
+       |        FROM dt GROUP BY doc_id)""".stripMargin
+
+  private val minhashSignatures: Q = (s, dir) =>
+    DedupOps.minHashSignatures(
+      DedupOps.shingleSet(Tables.documents(s, dir), col("doc_id"), col("text"), ShingleN),
+      NumHashes)
+
+  private val minhashSignaturesSql = s"$shingleCtes\nSELECT * FROM sig"
+
+  private val minhashLshPairs: Q = (s, dir) =>
+    DedupOps.minHashLshPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
+      ShingleN, NumHashes, Bands, Threshold)
+
+  private val minhashLshPairsSql = {
+    val bandSelects = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand)
+        .map(r => s"mh${b * RowsPerBand + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($rows) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCtes,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.band_hash = b.band_hash
+       |          AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+       |inter AS (SELECT d1, d2, count(*) AS inter
+       |          FROM cand
+       |          JOIN dt s1 ON s1.doc_id = d1
+       |          JOIN dt s2 ON s2.doc_id = d2 AND s2.g = s1.g
+       |          GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |       round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sz z1 ON z1.doc_id = d1
+       |JOIN sz z2 ON z2.doc_id = d2
+       |WHERE CAST(inter AS DOUBLE) / (z1.n + z2.n - inter) >= $Threshold""".stripMargin
+  }
+
+  // ── SimHash ────────────────────────────────────────────────────────────
+  private val simhashDocs: Q = (s, dir) =>
+    DedupOps.simHash16(Tables.documents(s, dir), col("doc_id"), col("text"))
+
+  private val simhashDocsSql = {
+    val sums = (0 until 16).map(b =>
+      s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n       ")
+    val bits = (0 until 16).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT DISTINCT doc_id, w
+       |           FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+       |           WHERE w <> ''),
+       |h AS (SELECT doc_id, md5(w) AS h FROM t),
+       |s AS (SELECT doc_id,
+       |      $sums
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "token_stats"         -> tokenStats,
+    "text_quality"        -> textQuality,
+    "lang_id"             -> langId,
+    "doc_fingerprint"     -> docFingerprint,
+    "dedup_docs_exact"    -> dedupDocsExact,
+    "dedup_docs_wordset"  -> dedupDocsWordset,
+    "minhash_signatures"  -> minhashSignatures,
+    "minhash_lsh_pairs"   -> minhashLshPairs,
+    "simhash_docs"        -> simhashDocs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "token_stats"         -> tokenStatsSql,
+    "text_quality"        -> textQualitySql,
+    "lang_id"             -> langIdSql,
+    "doc_fingerprint"     -> docFingerprintSql,
+    "dedup_docs_exact"    -> dedupDocsExactSql,
+    "dedup_docs_wordset"  -> dedupDocsWordsetSql,
+    "minhash_signatures"  -> minhashSignaturesSql,
+    "minhash_lsh_pairs"   -> minhashLshPairsSql,
+    "simhash_docs"        -> simhashDocsSql,
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.DedupOps
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),          // near dup of 0
+    (3L, "dog lazy the over jumps fox brown quick the"),          // permutation of 0
+    (4L, "completely different content about spark engines here"),
+    (5L, "tiny doc"))                                             // shorter than shingle n
+    .toDF("doc_id", "text")
+
+  test("wordShingles: n-grams in order; short docs yield empty") {
+    val sh = docs.filter($"doc_id" === 5L)
+      .select(TextFunctions.wordShingles($"text", 3).as("g")).head().getSeq[String](0)
+    assert(sh.isEmpty)
+    val sh0 = docs.filter($"doc_id" === 0L)
+      .select(TextFunctions.wordShingles($"text", 3).as("g")).head().getSeq[String](0)
+    assert(sh0.head == "the_quick_brown" && sh0.length == 7)
+  }
+
+  test("exactGroups finds exact duplicates only") {
+    val g = DedupOps.exactGroups(docs, $"doc_id", $"text")
+      .filter($"n_docs" > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("canonical_id") == 0L
+      && g(0).getAs[Long]("n_docs") == 2L)
+  }
+
+  test("wordSetGroups also catches permutations") {
+    val g = DedupOps.wordSetGroups(docs, $"doc_id", $"text")
+      .filter($"n_docs" > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_docs") == 3L) // 0, 1, 3
+  }
+
+  test("minHashLshPairs finds exact + near dups above threshold, nothing else") {
+    val pairs = DedupOps.minHashLshPairs(docs, $"doc_id", $"text",
+        shingleN = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))           // exact dup always a candidate
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup (jaccard 6/8)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // permutation ≠ sequence near-dup
+  }
+
+  test("minhash signature of exact dups is identical") {
+    val sig = DedupOps.minHashSignatures(
+      DedupOps.shingleSet(docs, $"doc_id", $"text", 3), 16)
+    val rows = sig.filter($"doc_id".isin(0L, 1L)).collect()
+    assert(rows.length == 2)
+    val a = rows(0).toSeq.tail; val b = rows(1).toSeq.tail
+    assert(a == b)
+  }
+
+  test("simhash: identical docs hash equal; 16-bit range") {
+    val sh = DedupOps.simHash16(docs, $"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(3L)) // token-set based → permutation-equal
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("lsh finds the planted near-dup pairs in testdata documents") {
+    val n = Queries.all("minhash_lsh_pairs")(spark, sf001).count()
+    assert(n >= 25, s"expected the ~28 planted near-dup pairs, got $n")
+  }
+}

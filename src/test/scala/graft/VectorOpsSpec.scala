@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 0.0f)),   // colinear with 0
+    (3L, Array(1.0f, 1.0f, 0.0f)))
+    .toDF("id", "vec")
+
+  test("cosine: colinear = 1, orthogonal = 0, 45° = √2/2") {
+    val sims = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.id".as("i"), $"b.id".as("j"),
+        round(VectorOps.cosine($"a.vec", $"b.vec"), 6).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sims((0L, 2L)) == 1.0)
+    assert(sims((0L, 1L)) == 0.0)
+    assert(math.abs(sims((0L, 3L)) - 0.707107) < 1e-6)
+  }
+
+  test("bruteForceKnn ranks by similarity, excludes self") {
+    val knn = VectorOps.bruteForceKnn(vecs.filter($"id" === 0L), vecs, 3)
+      .orderBy($"rank").collect()
+    assert(knn.map(_.getAs[Long]("cid")).toSeq == Seq(2L, 3L, 1L))
+    assert(!knn.exists(_.getAs[Long]("cid") == 0L))
+  }
+
+  test("ivfAssign puts colinear vectors in the same cell") {
+    val cents = vecs.filter($"id" < 2L).select($"id".as("cent_id"), $"vec".as("cvec"))
+    val cells = VectorOps.ivfAssign(vecs, cents).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell")).toMap
+    assert(cells(0L) == 0L && cells(2L) == 0L && cells(1L) == 1L)
+  }
+
+  test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
+    val brute = Queries.all("knn_bruteforce")(spark, sf001)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("sim")).toMap
+    val ivf = Queries.all("knn_ivf")(spark, sf001).collect()
+    assert(ivf.nonEmpty)
+    // approximate top-1 sim can never exceed the exact top-1 sim
+    ivf.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      val q = r.getAs[Long]("qid")
+      assert(r.getAs[Double]("sim") <= brute(q) + 1e-9,
+        s"IVF sim beat exact brute force for query $q")
+    }
+    // ranks are 1..n dense per query
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.toSeq == (1L to ranks.length).toSeq)
+    }
+  }
+}
