@@ -17,9 +17,10 @@ import graft.queries._
   */
 object Queries {
   val all: Map[String, Q] =
-    EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ SimilarityQueries.all
+    EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ StreamingQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++ StreamingQueries.oracles
 }

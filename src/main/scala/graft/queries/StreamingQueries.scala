@@ -1,0 +1,68 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.streaming.UniqueUsersStream
+
+/** Streaming entries in the correctness gate: a REAL Structured Streaming
+  * query (file source → watermarked plan → memory sink) executed to
+  * completion inside the query function, returning the materialized result
+  * so the driver's DuckDB compare checks batch/stream parity — the test
+  * axis SURVEY §3 (entry point 3) makes first-class.
+  *
+  * Complete output mode is used so every window (including the last,
+  * never-closed one) is emitted and the result equals the batch
+  * `count_distinct` oracle exactly. Append-mode (watermark-closing)
+  * semantics are covered in StreamingSpec where the input is controllable.
+  */
+object StreamingQueries {
+
+  private val runSeq = new AtomicInteger(0)
+
+  // events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw
+  // int64 nanos (nanosAsLong) and floor-converts in-plan, mirroring
+  // Tables.events.
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val streamingUniqueUsers: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: FileStreamSource requires a directory or glob, not a
+    // bare file path ("Option 'basePath' must be a directory")
+    val frames = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet*")
+      .select(timestamp_micros(expr("ts DIV 1000")).as("eventTime"),
+        col("user_id").cast("string").as("uid"))
+    val counts = UniqueUsersStream.uniquePerWindow(frames,
+      window = "1 minute", watermark = None)
+    val sink = s"streaming_unique_users_${runSeq.incrementAndGet()}"
+    val q = counts.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(sink).select(
+      unix_timestamp(col("window_start")).as("minute"),
+      col("unique_users"))
+  }
+
+  // Same oracle as the batch flagship — THE parity statement.
+  private val streamingUniqueUsersSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+      |FROM events GROUP BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "streaming_unique_users" -> streamingUniqueUsers)
+
+  val oracles: Map[String, String] = Map(
+    "streaming_unique_users" -> streamingUniqueUsersSql)
+}
