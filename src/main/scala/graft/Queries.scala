@@ -18,9 +18,10 @@ import graft.queries._
 object Queries {
   val all: Map[String, Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles ++ StreamingQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++
+      StreamingQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for the training-data pipeline: media
+  * (image/audio/video) travels as an opaque `binary` payload column with
+  * typed metadata; decode / feature-extraction runs partition-wise over
+  * typed Datasets (iterator-to-iterator, constant memory — the Scala
+  * analogue of batched `mapInPandas`).
+  *
+  * The actual codec is STUBBED (`Decoder.fake`): this container has no
+  * image/audio libraries, so decode is a deterministic fake keyed on the
+  * payload bytes. Everything around it — the schema contract, the
+  * partition-wise batch shape, the pluggable decoder signature, the
+  * expression-level metadata features — is real and tested; swapping
+  * `Decoder.fake` for a JNI/JavaCV decoder changes no plumbing.
+  *
+  * Scale: payloads never pass through a shuffle here — featurize first
+  * (mapPartitions on the scan), shuffle only the small feature rows.
+  * Partition sizing for ~MB payloads: lower
+  * `spark.sql.files.maxPartitionBytes` so a partition's payload batch fits
+  * executor memory.
+  */
+object Multimodal {
+
+  /** The wire schema: one media object per row. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String,            // "image" | "audio" | "video" | ...
+      payload: Array[Byte],          // opaque encoded bytes
+      meta: Map[String, String])     // source-side metadata (codec, dims…)
+
+  /** Decoded-media features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      checksum: Long,                // sum of unsigned bytes — stands in
+                                     // for content-derived features
+      width: Int, height: Int,       // fake "decoded" dimensions
+      frames: Int)
+
+  /** A decoder turns one payload into features. Pluggable; the fake is
+    * deterministic on the bytes so tests/oracles are stable. */
+  type Decoder = (Long, String, Array[Byte]) => MediaFeatures
+
+  object Decoder {
+    /** Deterministic stand-in for the real codec (??? in production terms:
+      * decode → resize → frame-sample). Derives pseudo-dimensions from the
+      * byte content. */
+    val fake: Decoder = (id, tpe, bytes) => {
+      val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(id, tpe,
+        n_bytes = bytes.length.toLong,
+        checksum = checksum,
+        width = 16 + (checksum % 64).toInt,
+        height = 16 + ((checksum / 64) % 64).toInt,
+        frames = if (tpe == "video") 1 + (bytes.length % 30) else 1)
+    }
+  }
+
+  /** Partition-wise decode/featurize: iterator-in, iterator-out — no
+    * per-partition materialization, preserves input partitioning. */
+  def featurize(media: Dataset[MediaRecord], decoder: Decoder = Decoder.fake)
+               (implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
+    media.mapPartitions(_.map(r => decoder(r.media_id, r.media_type, r.payload)))
+
+  /** Expression-level metadata features — the cheap path that needs no
+    * decode and stays inside whole-stage codegen: size, hash, magic-byte
+    * prefix. Use before shuffling or routing payloads. */
+  def payloadMeta(df: DataFrame, idCol: Column, payloadCol: Column): DataFrame =
+    df.select(
+      idCol.as("media_id"),
+      length(payloadCol).cast("long").as("n_bytes"),
+      md5(payloadCol).as("content_hash"),
+      lower(hex(substring(payloadCol, 1, 8))).as("magic"))
+}

@@ -101,7 +101,12 @@ object DedupOps {
                       shingleN: Int, numHashes: Int, bands: Int,
                       threshold: Double): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    // the shingle relation feeds BOTH branches (signatures → candidates,
+    // and exact verification); persist it or the scan+explode+distinct
+    // runs twice — at 100 TB this is the difference between one and two
+    // passes over the corpus
     val sh = shingleSet(docs, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minHashSignatures(sh, numHashes)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)

@@ -150,6 +150,27 @@ object EventQueries {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** SURVEY §2.2 variant 2: windowed set-aggregate + set-size projection —
+    * the reference's `HashSet` accumulate (UniqueUsersApp.java:173–191) and
+    * `.size()` map (:193) as `collect_set` + `size`. The set is emitted
+    * sorted/joined so the oracle can compare it; Spark encoders replace
+    * the reference's delimiter-bug-prone HashSetStringSerde
+    * (HashSetStringSerde.java:20–41). */
+  private val userSetPerMinute: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(TimeOps.minuteBucketEpoch(col("ts")).as("minute"),
+        col("user_id").cast("string").as("uid"))
+      .groupBy(col("minute"))
+      .agg(concat_ws(",", array_sort(collect_set(col("uid")))).as("uids"),
+        size(collect_set(col("uid"))).cast("long").as("n_unique"))
+
+  private val userSetPerMinuteSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       string_agg(DISTINCT CAST(user_id AS VARCHAR), ','
+      |                  ORDER BY CAST(user_id AS VARCHAR)) AS uids,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Approximate distinct (HyperLogLog++) — the mergeable-sketch scale path
     * (SURVEY §7 M2). No SQL oracle: approx results are engine-specific, so
     * the driver records the weaker rows-only check; exactness is bounded in
@@ -167,6 +188,7 @@ object EventQueries {
     "last_event_per_user"     -> lastEventPerUser,
     "sliding_window_counts"   -> slidingWindowCounts,
     "session_window_stats"    -> sessionWindowStats,
+    "user_set_per_minute"     -> userSetPerMinute,
     "approx_unique_users"     -> approxUniqueUsers,
   )
 
@@ -180,5 +202,6 @@ object EventQueries {
     "last_event_per_user"     -> lastEventPerUserSql,
     "sliding_window_counts"   -> slidingWindowCountsSql,
     "session_window_stats"    -> sessionWindowStatsSql,
+    "user_set_per_minute"     -> userSetPerMinuteSql,
   )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaFeatures, MediaRecord}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    MediaRecord(1L, "image", Array[Byte](1, 2, 3, 4), Map("codec" -> "fake")),
+    MediaRecord(2L, "video", Array.fill[Byte](100)(7), Map("codec" -> "fake")),
+    MediaRecord(3L, "audio", Array.emptyByteArray, Map.empty)).toDS()
+
+  test("featurize is partition-wise, deterministic, and schema-typed") {
+    val f1 = Multimodal.featurize(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.featurize(media.repartition(3)).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq) // partitioning must not change results
+    val img = f1.head
+    assert(img.n_bytes == 4 && img.checksum == 10)
+    assert(f1(1).frames > 1)                  // video fake-samples frames
+    assert(f1(2).n_bytes == 0 && f1(2).frames == 1)
+  }
+
+  test("pluggable decoder is honored") {
+    val constant: Multimodal.Decoder =
+      (id, t, _) => MediaFeatures(id, t, -1L, -1L, 0, 0, 0)
+    val out = Multimodal.featurize(media, constant).collect()
+    assert(out.forall(f => f.n_bytes == -1L && f.checksum == -1L))
+  }
+
+  test("payloadMeta matches featurize on byte length") {
+    val meta = Multimodal.payloadMeta(media.toDF(),
+        org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feat = Multimodal.featurize(media).collect()
+      .map(f => f.media_id -> f.n_bytes).toMap
+    assert(meta == feat)
+  }
+}
