@@ -18,10 +18,11 @@ import graft.queries._
 object Queries {
   val all: Map[String, Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all
+      SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
+      AdvancedQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
-      StreamingQueries.oracles ++ MultimodalQueries.oracles
+      StreamingQueries.oracles ++ MultimodalQueries.oracles ++ AdvancedQueries.oracles
 }

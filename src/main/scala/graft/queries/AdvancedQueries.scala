@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.BitOps
+import graft.operators.{DedupOps, SkewOps}
+import graft.sources.Tables
+import graft.time.TimeOps
+
+/** Second-wave operator surface: statistical aggregates, pivot, grouping
+  * sets, scalar subquery, range-predicate join, skew-salted aggregation,
+  * and the custom-Expression SimHash pairing.
+  */
+object AdvancedQueries {
+
+  // ── statistical aggregates (stddev/var/corr/covar/exact percentile) ────
+  private val statsAgg: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 6).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+
+  private val statsAggSql =
+    """SELECT l_returnflag,
+      |       round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |       round(var_samp(l_quantity), 6) AS var_qty,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+      |       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ── pivot (wide counts by event_type per user) ─────────────────────────
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private val pivotEvents: Q = (s, dir) => {
+    val p = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(p)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  private val pivotEventsSql = {
+    val arms = eventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n       ")
+    s"SELECT user_id,\n       $arms\nFROM events GROUP BY 1"
+  }
+
+  // ── grouping sets beyond rollup/cube ───────────────────────────────────
+  private val groupingSetsEvents: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_type"), TimeOps.minuteBucketEpoch(col("ts")).as("minute"),
+        col("value"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("minute"))),
+        col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+
+  private val groupingSetsEventsSql =
+    """SELECT event_type,
+      |       CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+      |FROM events
+      |GROUP BY GROUPING SETS ((event_type), (minute))""".stripMargin
+
+  // ── scalar subquery: customers above the mean balance ──────────────────
+  private val scalarSubquery: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val avgBal = c.agg(avg(col("c_acctbal")).as("ab"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"))
+  }
+
+  private val scalarSubquerySql =
+    """SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin
+
+  // ── equi + range-predicate join: ship lag within 30 days ───────────────
+  private val shipLagJoin: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date"))), 6).as("avg_lag_days"))
+
+  private val shipLagJoinSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |       round(avg(date_diff('day', CAST(o_orderdate AS DATE),
+      |                           CAST(l_shipdate AS DATE))), 6) AS avg_lag_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate
+      |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY 1""".stripMargin
+
+  // ── skew-salted two-phase aggregation (result ≡ plain aggregate) ───────
+  private val saltedAggByType: Q = (s, dir) =>
+    SkewOps.saltedCountSum(Tables.events(s, dir),
+        col("event_type"), col("value"), col("event_id"), salts = 16)
+      .select(col("key").as("event_type"), col("n_rows"),
+        round(col("sum_value"), 4).as("sum_value"))
+
+  private val saltedAggByTypeSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ── SimHash near-pairs via the native hamming64 Expression ─────────────
+  private val simhashNearPairs: Q = (s, dir) => {
+    val sh = DedupOps.simHash16(Tables.documents(s, dir), col("doc_id"), col("text"))
+    val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        BitOps.hamming64(col("h1"), col("h2")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+  }
+
+  private val simhashNearPairsSql = {
+    // reuse the simhash oracle as a CTE, then pair on hamming distance
+    val simhash = TextQueries.oracles("simhash_docs")
+    s"""WITH sims AS ($simhash)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
+  }
+
+  val all: Map[String, Q] = Map(
+    "stats_agg"            -> statsAgg,
+    "pivot_events"         -> pivotEvents,
+    "grouping_sets_events" -> groupingSetsEvents,
+    "scalar_subquery"      -> scalarSubquery,
+    "ship_lag_join"        -> shipLagJoin,
+    "salted_agg_by_type"   -> saltedAggByType,
+    "simhash_near_pairs"   -> simhashNearPairs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stats_agg"            -> statsAggSql,
+    "pivot_events"         -> pivotEventsSql,
+    "grouping_sets_events" -> groupingSetsEventsSql,
+    "scalar_subquery"      -> scalarSubquerySql,
+    "ship_lag_join"        -> shipLagJoinSql,
+    "salted_agg_by_type"   -> saltedAggByTypeSql,
+    "simhash_near_pairs"   -> simhashNearPairsSql,
+  )
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the conversion utilities
+  * `private[sql]`; libraries adding native Catalyst expressions use a
+  * shim in the `org.apache.spark.sql` package tree to reach them — the
+  * conventional extension-library pattern (same access scope a Spark
+  * built-in function has).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.model.LogFrame
+import graft.operators.UniqueUsers
+
+/** Property-based invariants (SURVEY §5.4): results must be invariant
+  * under input permutation and duplication, dedup must be idempotent, and
+  * fingerprints must respect their equivalence classes. Case count kept
+  * small — each case runs Spark jobs.
+  */
+object EngineProperties extends Properties("engine") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val genFrames: Gen[List[LogFrame]] =
+    Gen.listOfN(120, for {
+      ts <- Gen.choose(1468244340L, 1468244340L + 600L)
+      uid <- Gen.choose(1, 40).map(n => s"u$n")
+    } yield LogFrame(ts, uid))
+
+  private def counts(frames: Seq[LogFrame]): Map[Long, Long] =
+    UniqueUsers.perMinute(
+      frames.toDF().select(timestamp_seconds($"ts").as("t"), $"uid"),
+      $"t", $"uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  property("windowed distinct count is permutation-invariant") =
+    Prop.forAll(genFrames) { frames =>
+      frames.isEmpty || counts(frames) == counts(scala.util.Random.shuffle(frames))
+    }
+
+  property("windowed distinct count is duplication-idempotent") =
+    Prop.forAll(genFrames) { frames =>
+      frames.isEmpty || counts(frames) == counts(frames ++ frames)
+    }
+
+  property("two-phase dedup+count ≡ count_distinct") =
+    Prop.forAll(genFrames) { frames =>
+      frames.isEmpty || {
+        val df = frames.toDF().select(timestamp_seconds($"ts").as("t"), $"uid")
+        val two = UniqueUsers.perMinuteTwoPhase(df, $"t", $"uid")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        two == counts(frames)
+      }
+    }
+
+  private val genWords: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("spark", "scala", "data", "join", "agg", "the", "a"))
+
+  property("wordSetFingerprint is token-permutation-invariant") =
+    Prop.forAll(genWords) { words =>
+      val texts = Seq(words.mkString(" "),
+        scala.util.Random.shuffle(words).mkString(" "))
+      val fps = texts.toDF("text")
+        .select(TextFunctions.wordSetFingerprint($"text")).as[String].collect()
+      fps(0) == fps(1)
+    }
+
+  property("canonical fingerprint ignores case and extra spaces") =
+    Prop.forAll(genWords) { words =>
+      val base = words.mkString(" ")
+      val messy = "  " + words.map(w =>
+        if (w.hashCode % 2 == 0) w.toUpperCase else w).mkString("  ") + " "
+      val fps = Seq(base, messy).toDF("text")
+        .select(TextFunctions.fingerprint($"text")).as[String].collect()
+      fps(0) == fps(1)
+    }
+}
