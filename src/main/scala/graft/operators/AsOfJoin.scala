@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for every left row, attach the latest right row with the
+  * same key whose time is <= the left row's time — the temporal-join
+  * operator Spark lacks natively (preference (a) of the build brief:
+  * compose built-ins before reaching for a custom SparkPlan).
+  *
+  * Composition: union both sides tagged, one window pass per key ordered
+  * by (time, side, right-tiebreak) carrying `last(rightStruct,
+  * ignoreNulls)` over the unbounded-preceding frame, keep left rows.
+  * Right rows sort before left rows at equal times, so an
+  * exactly-simultaneous right row IS visible to the left row (standard
+  * as-of `<=` semantics); equal right times are resolved by the caller's
+  * tiebreak column (latest wins).
+  *
+  * Scale: ONE shuffle on the key + one in-partition sort — same cost as a
+  * sort-merge join, no range explosion, no per-key collect. Skewed keys:
+  * salt the key or range-partition time before the window if one key
+  * dominates.
+  */
+object AsOfJoin {
+
+  /** Output: all left columns + `asof_<name>` per carried right value
+    * (null when no right row precedes the left row). */
+  def asOf(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftTime: Column, rightTime: Column,
+           rightVals: Seq[(String, Column)],
+           rightTiebreak: Column): DataFrame = {
+    val payload = struct(rightVals.map { case (n, c) => c.as(n) }: _*)
+    val payloadType = right.select(payload.as("p")).schema.head.dataType
+
+    val lhs = left.select(
+      leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      lit(Long.MaxValue).as("_tb"),
+      lit(null).cast(payloadType).as("_r"),
+      struct(left.columns.map(left(_)): _*).as("_l"))
+    val rhs = right.select(
+      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      rightTiebreak.cast("long").as("_tb"),
+      payload.as("_r"),
+      lit(null).cast(lhs.select(col("_l")).schema.head.dataType).as("_l"))
+
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lhs.unionByName(rhs)
+      .withColumn("_carried", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
+        rightVals.map { case (n, _) => col(s"_carried.$n").as(s"asof_$n") }: _*)
+  }
+}

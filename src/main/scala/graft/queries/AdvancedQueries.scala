@@ -138,7 +138,86 @@ object AdvancedQueries {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
   }
 
+  // ── as-of join: purchase → most recent prior click, per user ───────────
+  private val asofClickAttribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks,
+        col("user_id"), col("user_id"), col("ts"), col("ts"),
+        Seq("click_id" -> col("event_id")), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("asof_click_id"))
+  }
+
+  private val asofClickAttributionSql =
+    """WITH u AS (
+      |  SELECT user_id AS k, date_trunc('microseconds', ts) AS t, 1 AS side,
+      |         CAST(NULL AS BIGINT) AS tb, CAST(NULL AS BIGINT) AS click_id, event_id
+      |  FROM events WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, date_trunc('microseconds', ts), 0,
+      |         event_id, event_id, NULL
+      |  FROM events WHERE event_type = 'click'),
+      |c AS (SELECT *, last_value(click_id IGNORE NULLS) OVER (
+      |        PARTITION BY k ORDER BY t, side, coalesce(tb, 9223372036854775807)
+      |        ROWS UNBOUNDED PRECEDING) AS asof_click_id
+      |      FROM u)
+      |SELECT event_id, k AS user_id, asof_click_id FROM c WHERE side = 1""".stripMargin
+
+  // ── explicit sort-merge join (big⋈big strategy control) ────────────────
+  private val joinSortMerge: Q = (s, dir) =>
+    Tables.lineitem(s, dir).hint("merge")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+
+  private val joinSortMergeSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_lines,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  // ── BPE-ish regex token counting (text north-star) ─────────────────────
+  private val RegexTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private val tokenStatsRegex: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(RegexTokenPattern), lit(0)))
+        .cast("long").as("n_regex_tokens"))
+
+  private val tokenStatsRegexSql =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$RegexTokenPattern')) AS BIGINT) AS n_regex_tokens
+       |FROM documents""".stripMargin
+
+  // ── rolling-hash document fingerprint (min over char 8-gram hashes) ────
+  private val charFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      when(length(col("text")) >= 8,
+        expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8))))"))
+        .otherwise(md5(col("text"))).as("fp8"),
+      greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_shingles"))
+
+  private val charFingerprintSql =
+    """SELECT d.doc_id,
+      |       CASE WHEN length(d.text) >= 8
+      |            THEN (SELECT min(md5(substr(d.text, t.i, 8)))
+      |                  FROM generate_series(1, 4000) AS t(i)
+      |                  WHERE t.i <= length(d.text) - 7)
+      |            ELSE md5(d.text) END AS fp8,
+      |       CAST(greatest(length(d.text) - 7, 0) AS BIGINT) AS n_shingles
+      |FROM documents d""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "asof_click_attribution" -> asofClickAttribution,
+    "join_sort_merge"      -> joinSortMerge,
+    "token_stats_regex"    -> tokenStatsRegex,
+    "char_fingerprint"     -> charFingerprint,
     "stats_agg"            -> statsAgg,
     "pivot_events"         -> pivotEvents,
     "grouping_sets_events" -> groupingSetsEvents,
@@ -149,6 +228,10 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "asof_click_attribution" -> asofClickAttributionSql,
+    "join_sort_merge"      -> joinSortMergeSql,
+    "token_stats_regex"    -> tokenStatsRegexSql,
+    "char_fingerprint"     -> charFingerprintSql,
     "stats_agg"            -> statsAggSql,
     "pivot_events"         -> pivotEventsSql,
     "grouping_sets_events" -> groupingSetsEventsSql,

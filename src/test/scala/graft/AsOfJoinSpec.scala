@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.functions.TypedAggs
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("asOf picks the latest right row at-or-before each left time, per key") {
+    val left = Seq(
+      (1L, ts(100), "l1"), (1L, ts(200), "l2"), (1L, ts(50), "l0"),
+      (2L, ts(150), "l3")).toDF("k", "t", "lbl")
+    val right = Seq(
+      (1L, ts(90), 901L), (1L, ts(100), 910L), (1L, ts(100), 911L),
+      (1L, ts(199), 920L), (2L, ts(151), 930L)).toDF("k", "t", "rid")
+
+    val out = AsOfJoin.asOf(left, right,
+        col("k"), col("k"), col("t"), col("t"),
+        Seq("rid" -> col("rid")), col("rid"))
+      .collect().map(r => r.getAs[String]("lbl") ->
+        Option(r.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long])).toMap
+
+    assert(out("l0").isEmpty)              // nothing at-or-before t=50
+    assert(out("l1").contains(911L))       // equal-time rows visible; max tiebreak wins
+    assert(out("l2").contains(920L))       // latest before 200
+    assert(out("l3").isEmpty)              // right row is AFTER the left row
+  }
+
+  test("asOf keys never mix") {
+    val left = Seq((1L, ts(100), "a"), (2L, ts(100), "b")).toDF("k", "t", "lbl")
+    val right = Seq((1L, ts(50), 7L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asOf(left, right, col("k"), col("k"), col("t"), col("t"),
+        Seq("rid" -> col("rid")), col("rid"))
+      .collect().map(r => r.getAs[String]("lbl") ->
+        Option(r.getAs[Any]("asof_rid"))).toMap
+    assert(out("a").contains(7L) && out("b").isEmpty)
+  }
+
+  test("typed DistinctCountAgg matches count_distinct and handles empty/merge") {
+    val ds = Seq("a", "b", "a", "c", "b").toDS()
+    val n = ds.select(TypedAggs.distinctCount.toColumn).head()
+    assert(n == 3L)
+    val empty = spark.emptyDataset[String].select(TypedAggs.distinctCount.toColumn).head()
+    assert(empty == 0L) // no {""} ghost element (the reference serde's bug)
+    // distributed merge path: many partitions
+    val big = (1 to 1000).map(i => s"v${i % 37}").toDS().repartition(13)
+    assert(big.select(TypedAggs.distinctCount.toColumn).head() == 37L)
+  }
+}
