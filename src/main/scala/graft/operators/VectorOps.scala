@@ -46,6 +46,25 @@ object VectorOps {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic random hyperplanes for sign-LSH: integer weights in
+    * [-1000, 1000] from a fixed seed. The SAME matrix is inlined into the
+    * Spark plan and the SQL oracle, so bucketing is engine-portable by
+    * construction. */
+  def randomPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)((rnd.nextInt(2001) - 1000).toDouble))
+  }
+
+  /** Sign-LSH bucket id: bit p set iff dot(vec, plane_p) > 0 (dot rounded
+    * to 6 dp so float summation order can't flip a near-zero sign across
+    * engines). Cosine-similar vectors collide with high probability —
+    * the candidate generator for ANN at scale: bucket once (linear pass),
+    * then search within buckets only. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(round(dot(vec, typedlit(p.toSeq)), 6) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
     * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

@@ -104,15 +104,35 @@ object SimilarityQueries {
        |      FROM sims)
        |WHERE rnk <= $KIvf""".stripMargin
 
+  // ── sign-LSH bucketing (random hyperplanes, shared literal matrix) ─────
+  private val NPlanes = 16
+  private lazy val planes = VectorOps.randomPlanes(NPlanes, 64)
+
+  private val annLshBuckets: Q = (s, dir) =>
+    corpus(s, dir).select(col("id"),
+      VectorOps.lshBucket(col("vec"), planes).as("bucket"))
+
+  private lazy val annLshBucketsSql = {
+    val terms = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(w => if (w == w.floor) f"${w}%.1f" else w.toString).mkString("[", ",", "]")
+      s"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), $lst), 6) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n       + ")
+    s"""SELECT vec_id AS id,
+       |       CAST($terms AS BIGINT) AS bucket
+       |FROM embeddings""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
-    "knn_bruteforce" -> knnBruteforce,
-    "ivf_assign"     -> ivfAssignQ,
-    "knn_ivf"        -> knnIvf,
+    "knn_bruteforce"  -> knnBruteforce,
+    "ivf_assign"      -> ivfAssignQ,
+    "knn_ivf"         -> knnIvf,
+    "ann_lsh_buckets" -> annLshBuckets,
   )
 
   val oracles: Map[String, String] = Map(
-    "knn_bruteforce" -> knnBruteforceSql,
-    "ivf_assign"     -> ivfAssignSql,
-    "knn_ivf"        -> knnIvfSql,
+    "knn_bruteforce"  -> knnBruteforceSql,
+    "ivf_assign"      -> ivfAssignSql,
+    "knn_ivf"         -> knnIvfSql,
+    "ann_lsh_buckets" -> annLshBucketsSql,
   )
 }

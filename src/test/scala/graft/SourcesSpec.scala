@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJoins
+
+/** File-format roundtrips (sources/sinks category: json/csv/parquet) and
+  * the stream-stream lookback join.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def events = graft.sources.Tables.events(spark, sf001)
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(col("event_id"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("json write/read roundtrip preserves rows") {
+    val dir = "target/test-sources/events-json"
+    events.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(events.schema).json(dir)
+    assert(checksum(back) == checksum(events))
+  }
+
+  test("csv write/read roundtrip preserves rows (quoted JSON column included)") {
+    val dir = "target/test-sources/events-csv"
+    events.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.schema(events.schema).option("header", "true").csv(dir)
+    assert(checksum(back) == checksum(events))
+    // the props column holds JSON with commas/quotes — must survive quoting
+    assert(back.filter(get_json_object(col("props"), "$.k").isNull).count() == 0)
+  }
+
+  test("parquet streaming sink via foreachBatch") {
+    val dir = "target/test-sources/stream-parquet"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir)) // append-mode sink must start empty on rerun
+    val mem = MemoryStream[graft.model.LogFrame]
+    mem.addData((0 until 50).map(i => graft.model.LogFrame(1468244340L + i, s"u$i")): _*)
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(dir); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(dir).count() == 50)
+  }
+
+  test("stream-stream lookback join matches only in-window pairs") {
+    def s(sec: Long) = timestamp_seconds(lit(sec))
+    val clicks = MemoryStream[(Long, Long, Long)]   // (key, sec, id)
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def shape(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().select(col("_1").as("key"),
+        timestamp_seconds(col("_2")).as("t"), col("_3").as("id"))
+
+    val joined = StreamJoins.withinLookback(
+      shape(clicks), shape(purchases), watermark = "1 minute", lookback = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_probe")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, 1000L, 1L), (1L, 1500L, 2L), (2L, 1000L, 3L),
+        (1L, 2000L, 4L))                             // click AFTER purchase
+      purchases.addData((1L, 1600L, 100L))
+      q.processAllAvailable()
+      // advance both watermarks
+      clicks.addData((9L, 99000L, 9L)); purchases.addData((9L, 99000L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssj_probe")
+      .filter(col("key") =!= 9L)   // the watermark sentinels join each other
+      .select(col("left_id"), col("right_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // clicks 1 and 2 (key 1, within 10 min before purchase@1600) match;
+    // click 3 is another key; click 4 is after the purchase
+    assert(rows == Set((1L, 100L), (2L, 100L)))
+  }
+}

@@ -37,6 +37,20 @@ class VectorOpsSpec extends SparkSpec {
     assert(cells(0L) == 0L && cells(2L) == 0L && cells(1L) == 1L)
   }
 
+  test("sign-LSH buckets: colinear vectors collide, opposite vectors differ") {
+    val planes = VectorOps.randomPlanes(16, 3)
+    val vs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(2.0f, 4.0f, 6.0f)),      // colinear with 0
+      (2L, Array(-1.0f, -2.0f, -3.0f)))   // opposite of 0
+      .toDF("id", "vec")
+    val b = vs.select($"id", VectorOps.lshBucket($"vec", planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // all 16 sign bits flip for the negated vector
+    assert((b(0L) ^ b(2L)) == 0xffffL)
+  }
+
   test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
     val brute = Queries.all("knn_bruteforce")(spark, sf001)
       .filter($"rank" === 1).collect()
