@@ -19,10 +19,11 @@ object Queries {
   val all: Map[String, Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
-      AdvancedQueries.all
+      AdvancedQueries.all ++ SqlQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
-      StreamingQueries.oracles ++ MultimodalQueries.oracles ++ AdvancedQueries.oracles
+      StreamingQueries.oracles ++ MultimodalQueries.oracles ++
+      AdvancedQueries.oracles ++ SqlQueries.oracles
 }

@@ -97,16 +97,20 @@ object DedupOps {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate
     * → exact-verify ≥ threshold. */
+  /** `persistShingles`: the shingle relation feeds BOTH branches
+    * (signatures → candidates, and exact verification). At 100 TB persist
+    * (or checkpoint) it — one corpus pass instead of two. At small scale
+    * leave it off: the InMemoryRelation pins partitioning and blocks AQE
+    * coalescing, which costs more than the second tiny scan (measured 3.5×
+    * slower on the 500-doc bench). */
   def minHashLshPairs(docs: DataFrame, idCol: Column, textCol: Column,
                       shingleN: Int, numHashes: Int, bands: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, persistShingles: Boolean = false): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
-    // the shingle relation feeds BOTH branches (signatures → candidates,
-    // and exact verification); persist it or the scan+explode+distinct
-    // runs twice — at 100 TB this is the difference between one and two
-    // passes over the corpus
-    val sh = shingleSet(docs, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh0 = shingleSet(docs, idCol, textCol, shingleN)
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val sig = minHashSignatures(sh, numHashes)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.sources.Tables
+
+/** Raw-SQL interface: the engine's tables registered as views and queried
+  * through `spark.sql` — demonstrating that the full Spark SQL dialect is
+  * part of the engine surface (the reference has no SQL layer at all,
+  * SURVEY "What the reference IS").
+  */
+object SqlQueries {
+
+  private def registerViews(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("lineitem", "orders", "customer", "supplier", "part",
+      "nation", "region", "documents").foreach { t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** TPC-H Q1 shape submitted as SQL text (same semantics as `q1_agg`,
+    * same oracle). */
+  private val sqlQ1: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY 1, 2""")
+  }
+
+  /** Correlated subquery through SQL — a shape the DataFrame DSL can't
+    * write directly (Catalyst decorrelates it into a join). */
+  private val sqlCorrelated: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT o_custkey, count(*) AS n_big_orders
+      FROM orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+                            WHERE i.o_custkey = o.o_custkey)
+      GROUP BY 1""")
+  }
+
+  private val sqlCorrelatedSql =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big_orders
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+      |                      WHERE i.o_custkey = o.o_custkey)
+      |GROUP BY 1""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "sql_q1"         -> sqlQ1,
+    "sql_correlated" -> sqlCorrelated,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same oracle as the DSL form — dialect in, identical result out
+    "sql_q1"         -> RelationalQueries.oracles("q1_agg"),
+    "sql_correlated" -> sqlCorrelatedSql,
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.LogFrame
+
+/** Operational semantics: checkpoint/restart recovery (exactly-once over
+  * a restart — the durability the reference delegates to Kafka changelogs,
+  * SURVEY §4 "Fault tolerance"), observed reject metrics, streaming
+  * session windows, and dropDuplicatesWithinWatermark.
+  */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  test("streaming restart from checkpoint does not reprocess consumed input") {
+    val base = "target/test-recovery"
+    rm(new java.io.File(base))
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    def addInput(ids: Range): Unit =
+      ids.map(i => LogFrame(1468244340L + i, s"u$i")).toDF()
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("ts LONG, uid STRING").parquet(in)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(out); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    addInput(0 until 50)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 50)
+
+    addInput(50 until 80)
+    runOnce() // restart from the same checkpoint
+    val rows = spark.read.parquet(out).as[LogFrame].collect()
+    assert(rows.length == 80, s"restart reprocessed or lost input: ${rows.length}")
+    assert(rows.map(_.uid).distinct.length == 80) // each input exactly once
+  }
+
+  test("observed metrics report rejects per batch (drop-and-count policy)") {
+    val raw = Seq(
+      """{"ts":1468244340,"uid":"a"}""", """{"ts":1468244341,"uid":""}""",
+      """garbage""", """{"ts":1468244342,"uid":"b"}""").toDF("value")
+    val frames = graft.streaming.LogFrames.observed(
+      graft.streaming.LogFrames.parse(raw, $"value"))
+    frames.collect()
+    val metrics = frames.queryExecution.observedMetrics("log_frames")
+    assert(metrics.getAs[Long]("rows") == 4L)
+    assert(metrics.getAs[Long]("rejects") == 2L)
+  }
+
+  test("streaming session windows merge within gap and close by watermark") {
+    val mem = MemoryStream[LogFrame]
+    val sessions = mem.toDF()
+      .select(timestamp_seconds($"ts").as("eventTime"), $"uid")
+      .withWatermark("eventTime", "10 seconds")
+      .groupBy(session_window($"eventTime", "30 seconds").as("w"), $"uid")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp($"w.start").as("start"),
+        unix_timestamp($"w.end").as("end"), $"uid", $"n")
+    val q = sessions.writeStream.format("memory").queryName("sess_probe")
+      .outputMode("append").start()
+    try {
+      // u1: events at 0, 20, 40 (gaps < 30 s → one session [0, 70));
+      // u2: events at 0 and 100 (gap > 30 s → two sessions)
+      mem.addData(LogFrame(1468244300L, "u1"), LogFrame(1468244320L, "u1"),
+        LogFrame(1468244340L, "u1"), LogFrame(1468244300L, "u2"),
+        LogFrame(1468244400L, "u2"))
+      q.processAllAvailable()
+      mem.addData(LogFrame(1468250000L, "sentinel")) // close everything open
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_probe")
+      .filter($"uid" =!= "sentinel")
+      .collect().map(r => (r.getString(2), r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == Set(
+      ("u1", 1468244300L, 1468244370L, 3L),
+      ("u2", 1468244300L, 1468244330L, 1L),
+      ("u2", 1468244400L, 1468244430L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across windows inside the watermark") {
+    val mem = MemoryStream[LogFrame]
+    val deduped = mem.toDF()
+      .select(timestamp_seconds($"ts").as("eventTime"), $"uid")
+      .withWatermark("eventTime", "1 minute")
+      .dropDuplicatesWithinWatermark("uid")
+    val q = deduped.writeStream.format("memory").queryName("ddw_probe")
+      .outputMode("append").start()
+    try {
+      // same uid in two adjacent minutes: plain windowed dedup counts it
+      // twice (once per window); within-watermark dedup emits it once
+      mem.addData(LogFrame(1468244340L, "x"), LogFrame(1468244401L, "x"),
+        LogFrame(1468244360L, "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val uids = spark.table("ddw_probe").select($"uid").as[String].collect().sorted
+    assert(uids.toSeq == Seq("x", "y"))
+  }
+}
