@@ -65,6 +65,24 @@ object VectorOps {
       when(round(dot(vec, typedlit(p.toSeq)), 6) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates are
+    * pairs sharing a sign-LSH bucket (never the all-pairs product), then
+    * verified by exact cosine ≥ threshold. The scalable embedding-dedup
+    * shape: one linear bucketing pass + a bucket-local self-join. */
+  def cosineDupPairs(corpus: DataFrame, planes: Array[Array[Double]],
+                     threshold: Double): DataFrame = {
+    val bucketed = corpus.select(col("id"), col("vec"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("d1"), col("vec").as("v1"))
+    val b = bucketed.select(col("bucket"), col("id").as("d2"), col("vec").as("v2"))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosine(col("v1"), col("v2")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
   /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
     * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {

@@ -142,6 +142,33 @@ object RelationalQueries {
       |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       |WHERE rn <= 3""".stripMargin
 
+  // ── Analytic window-function surface (ntile/ranks/distribution/nth) ────
+  private val windowAnalytics: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      first(col("o_orderkey")).over(wf).as("first_key"),
+      nth_value(col("o_orderkey"), 3).over(wf).as("third_key"))
+  }
+
+  private val windowAnalyticsSql =
+    """SELECT o_orderkey, o_orderstatus,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+      |       round(percent_rank() OVER w, 6) AS prank,
+      |       round(cume_dist() OVER w, 6) AS cdist,
+      |       first_value(o_orderkey) OVER wf AS first_key,
+      |       nth_value(o_orderkey, 3) OVER wf AS third_key
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey),
+      |       wf AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
   // ── Semi / anti joins (EXISTS / NOT EXISTS) ────────────────────────────
   private val semiJoinCustomers: Q = (s, dir) =>
     Tables.customer(s, dir)
@@ -269,6 +296,7 @@ object RelationalQueries {
     "rollup_sales"        -> rollupSales,
     "cube_orders"         -> cubeOrders,
     "window_rank_orders"  -> windowRankOrders,
+    "window_analytics"    -> windowAnalytics,
     "semi_join_customers" -> semiJoinCustomers,
     "anti_join_customers" -> antiJoinCustomers,
     "outer_join_orders"   -> outerJoinOrders,
@@ -285,6 +313,7 @@ object RelationalQueries {
     "rollup_sales"        -> rollupSalesSql,
     "cube_orders"         -> cubeOrdersSql,
     "window_rank_orders"  -> windowRankOrdersSql,
+    "window_analytics"    -> windowAnalyticsSql,
     "semi_join_customers" -> semiJoinCustomersSql,
     "anti_join_customers" -> antiJoinCustomersSql,
     "outer_join_orders"   -> outerJoinOrdersSql,

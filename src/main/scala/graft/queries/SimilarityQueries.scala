@@ -122,11 +122,39 @@ object SimilarityQueries {
        |FROM embeddings""".stripMargin
   }
 
+  // ── embedding-cosine near-dup (LSH-bucketed candidates + exact verify) ─
+  private val CosDupThreshold = 0.7
+
+  private val dedupEmbeddingCosine: Q = (s, dir) =>
+    VectorOps.cosineDupPairs(corpus(s, dir), planes, CosDupThreshold)
+
+  private lazy val dedupEmbeddingCosineSql = {
+    // candidates share a sign-LSH bucket (same literal planes as
+    // ann_lsh_buckets), then exact cosine ≥ threshold
+    s"""WITH buckets AS ($annLshBucketsSql),
+       |cand AS (SELECT a.id AS d1, b.id AS d2
+       |         FROM buckets a JOIN buckets b
+       |           ON a.bucket = b.bucket AND a.id < b.id),
+       |ce AS (SELECT vec_id AS vid, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |              generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |norms AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
+       |dots AS (SELECT d1, d2, sum(a.v * b.v) AS dot
+       |         FROM cand JOIN ce a ON a.vid = d1
+       |                   JOIN ce b ON b.vid = d2 AND b.i = a.i
+       |         GROUP BY 1, 2)
+       |SELECT DISTINCT d1, d2,
+       |       round(dot / (n1.nrm * n2.nrm), 6) AS sim
+       |FROM dots JOIN norms n1 ON n1.vid = d1
+       |          JOIN norms n2 ON n2.vid = d2
+       |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $CosDupThreshold""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "knn_bruteforce"  -> knnBruteforce,
     "ivf_assign"      -> ivfAssignQ,
     "knn_ivf"         -> knnIvf,
     "ann_lsh_buckets" -> annLshBuckets,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,5 +162,6 @@ object SimilarityQueries {
     "ivf_assign"      -> ivfAssignSql,
     "knn_ivf"         -> knnIvfSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
   )
 }

@@ -55,5 +55,5 @@ object UniqueUsersStream {
       unix_timestamp(col("window_start")).cast("string").as("key"),
       to_json(struct(
         unix_timestamp(col("window_start")).as("windowStart"),
-        col("unique_users"))).as("value"))
+        col("unique_users").as("uniqueUsers"))).as("value"))
 }

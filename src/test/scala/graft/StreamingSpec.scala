@@ -151,6 +151,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1468244340L, "a"), (1468244340L, "b"), (1468244400L, "a")))
   }
 
+  test("kafka sink records round-trip through the declared JSON shape") {
+    val counts = Seq((new java.sql.Timestamp(1468244340000L),
+      new java.sql.Timestamp(1468244400000L), 42L))
+      .toDF("window_start", "window_end", "unique_users")
+    val rec = graft.streaming.UniqueUsersStream.toKafkaRecords(counts).head()
+    assert(rec.getString(0) == "1468244340") // key = epoch-seconds string
+    val parsed = Seq(rec.getString(1)).toDF("value")
+      .select(from_json($"value",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "windowStart LONG, uniqueUsers LONG")).as("m"))
+      .select($"m.windowStart", $"m.uniqueUsers").head()
+    assert(parsed.getLong(0) == 1468244340L && parsed.getLong(1) == 42L)
+  }
+
   test("streaming_unique_users verify-query matches the batch flagship") {
     val streamed = Queries.all("streaming_unique_users")(spark, sf001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

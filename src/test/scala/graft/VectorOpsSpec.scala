@@ -51,6 +51,24 @@ class VectorOpsSpec extends SparkSpec {
     assert((b(0L) ^ b(2L)) == 0xffffL)
   }
 
+  test("cosineDupPairs finds a planted near-duplicate, nothing else") {
+    val planes = VectorOps.randomPlanes(16, 4)
+    val base = Array(0.3f, -1.2f, 0.8f, 2.0f)
+    val nearDup = base.map(x => x * 1.001f + 0.0005f) // ~same direction
+    val vs = Seq(
+      (0L, base), (1L, nearDup),
+      (2L, Array(-2.0f, 0.5f, 1.5f, -0.3f)),
+      (3L, Array(1.0f, 1.0f, -1.0f, 0.1f)))
+      .toDF("id", "vec")
+    val pairs = VectorOps.cosineDupPairs(vs, planes, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("dedup_embedding_cosine on testdata: no false positives (all pairs < 0.7)") {
+    assert(Queries.all("dedup_embedding_cosine")(spark, sf001).count() == 0)
+  }
+
   test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
     val brute = Queries.all("knn_bruteforce")(spark, sf001)
       .filter($"rank" === 1).collect()
