@@ -108,6 +108,56 @@ object TextQueries {
       |       ws.fp_set
       |FROM documents d JOIN ws ON d.doc_id = ws.doc_id""".stripMargin
 
+  // ── normalization pipeline: lower → strip punct → drop stopwords ───────
+  private val Stopwords = Seq("the", "a", "of", "and", "is")
+
+  private val textNormalize: Q = (s, dir) => {
+    val toks = TextFunctions.tokens(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "))
+    val kept = filter(toks, w => !w.isin(Stopwords.map(lit): _*))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws(" ", kept).as("normalized"),
+      size(kept).cast("long").as("n_kept"),
+      md5(concat_ws(" ", kept)).as("norm_fp"))
+  }
+
+  private val textNormalizeSql = {
+    val in = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+    s"""WITH tok AS (
+       |  SELECT doc_id, w, i FROM (
+       |    SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+       |    FROM (SELECT doc_id,
+       |                 str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ') AS ws
+       |          FROM documents))
+       |  WHERE w <> '' AND w NOT IN $in),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS normalized,
+       |               count(*) AS n_kept
+       |        FROM tok GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.normalized, '') AS normalized,
+       |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       |       md5(coalesce(agg.normalized, '')) AS norm_fp
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+  }
+
+  // ── cross-domain join: documents ⋈ embeddings (doc_id = vec_id) ────────
+  private val docEmbeddingJoin: Q = (s, dir) => {
+    import graft.operators.VectorOps
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        round(VectorOps.norm(col("embedding")), 6).as("emb_norm"))
+  }
+
+  private val docEmbeddingJoinSql =
+    """SELECT doc_id, lang,
+      |       (SELECT CAST(count(*) AS BIGINT)
+      |        FROM unnest(str_split(d.text, ' ')) AS t(w) WHERE w <> '') AS n_tokens,
+      |       round(sqrt((SELECT sum(v * v) FROM
+      |         unnest(CAST(e.embedding AS DOUBLE[])) AS u(v))), 6) AS emb_norm
+      |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
+
   // ── exact + word-set dedup ─────────────────────────────────────────────
   private val dedupDocsExact: Q = (s, dir) =>
     DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -213,6 +263,8 @@ object TextQueries {
     "text_quality"        -> textQuality,
     "lang_id"             -> langId,
     "doc_fingerprint"     -> docFingerprint,
+    "text_normalize"      -> textNormalize,
+    "doc_embedding_join"  -> docEmbeddingJoin,
     "dedup_docs_exact"    -> dedupDocsExact,
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
@@ -225,6 +277,8 @@ object TextQueries {
     "text_quality"        -> textQualitySql,
     "lang_id"             -> langIdSql,
     "doc_fingerprint"     -> docFingerprintSql,
+    "text_normalize"      -> textNormalizeSql,
+    "doc_embedding_join"  -> docEmbeddingJoinSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,

@@ -1,0 +1,45 @@
+package graft
+
+/** Plan regressions fail here before they cost anything at scale: filters
+  * must reach the parquet scan, projections must prune columns, small dims
+  * must broadcast, distinct must partial-aggregate map-side, and nothing
+  * may plan a cartesian product unintentionally.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Queries.all(name)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q1_agg: filter pushed to parquet, columns pruned") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "reads columns the query never uses")
+  }
+
+  test("filter_project: props column never read") {
+    val p = plan("filter_project")
+    assert(p.contains("PushedFilters") && p.contains("event_type"), p)
+    assert(!p.contains("props"), "props should be pruned from the scan")
+  }
+
+  test("q3_topk_revenue: dims broadcast, top-k via TakeOrderedAndProject") {
+    val p = plan("q3_topk_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "global sort would be O(n log n) at scale")
+  }
+
+  test("unique_users_per_minute: distinct partial-aggregates before the shuffle") {
+    val p = plan("unique_users_per_minute")
+    assert(p.contains("partial_count(distinct") || p.contains("partial_count(DISTINCT"), p)
+  }
+
+  test("no unintended cartesian products in the whole registry") {
+    val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
+    Queries.all.keys.filterNot(allowed)
+      .filterNot(_.startsWith("streaming_")).foreach { name =>
+        val p = Queries.all(name)(spark, sf001).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$p")
+      }
+  }
+}
