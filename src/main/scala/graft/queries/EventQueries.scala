@@ -10,6 +10,10 @@ import graft.time.TimeOps
   */
 object EventQueries {
 
+  /** Typed row for the Dataset[T] path (top-level so the product encoder
+    * derives — local case classes have no stable TypeTag). */
+  final case class Ev(user_id: Long, event_type: String, value: Double)
+
   /** SURVEY §2.1 #4–#7,#12–#13: tumbling 1-minute window + exact distinct
     * count — the whole main topology, batch form. */
   private val uniqueUsersPerMinute: Q = (s, dir) =>
@@ -171,6 +175,31 @@ object EventQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Typed Dataset[T] path: the same engine surface through case-class
+    * encoders and groupByKey — compile-time field checks where the
+    * DataFrame API is stringly-typed (SURVEY §1.3 "typed Dataset at API
+    * boundaries"). Encoders put rows in Tungsten format; the aggregate
+    * itself plans identically to the untyped groupBy. */
+  private val typedEventStats: Q = (s, dir) => {
+    import s.implicits._
+    val stats = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+      .as[Ev]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroups { (key: (Long, String), rows: Iterator[Ev]) =>
+        var n = 0L; var sum = 0.0
+        rows.foreach { e => n += 1; sum += e.value }
+        (key._1, key._2, n, sum)
+      }
+    stats.toDF("user_id", "event_type", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 4))
+  }
+
+  private val typedEventStatsSql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Approximate distinct (HyperLogLog++) — the mergeable-sketch scale path
     * (SURVEY §7 M2). No SQL oracle: approx results are engine-specific, so
     * the driver records the weaker rows-only check; exactness is bounded in
@@ -189,6 +218,7 @@ object EventQueries {
     "sliding_window_counts"   -> slidingWindowCounts,
     "session_window_stats"    -> sessionWindowStats,
     "user_set_per_minute"     -> userSetPerMinute,
+    "typed_event_stats"       -> typedEventStats,
     "approx_unique_users"     -> approxUniqueUsers,
   )
 
@@ -203,5 +233,6 @@ object EventQueries {
     "sliding_window_counts"   -> slidingWindowCountsSql,
     "session_window_stats"    -> sessionWindowStatsSql,
     "user_set_per_minute"     -> userSetPerMinuteSql,
+    "typed_event_stats"       -> typedEventStatsSql,
   )
 }

@@ -91,6 +91,36 @@ class RecoverySpec extends SparkSpec {
       ("u2", 1468244400L, 1468244430L, 1L)))
   }
 
+  test("transformWithState emits running unique counts per bucket (update semantics)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[graft.streaming.RunningDistinct.In]
+      val out = graft.streaming.RunningDistinct.runningUniquePerBucket(mem.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_probe")
+        .outputMode("update").start()
+      try {
+        mem.addData(graft.streaming.RunningDistinct.In(60L, "a"),
+          graft.streaming.RunningDistinct.In(60L, "b"))
+        q.processAllAvailable()
+        mem.addData(graft.streaming.RunningDistinct.In(60L, "a"), // dup: no change
+          graft.streaming.RunningDistinct.In(60L, "c"),
+          graft.streaming.RunningDistinct.In(120L, "a"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("tws_probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toList.sorted
+      // batch 1: bucket 60 → 2; batch 2: bucket 60 → 3 (dup ignored), 120 → 1
+      assert(rows == List((60L, 2L), (60L, 3L), (120L, 1L)))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark dedups across windows inside the watermark") {
     val mem = MemoryStream[LogFrame]
     val deduped = mem.toDF()
