@@ -52,6 +52,33 @@ class UniqueUsersSpec extends SparkSpec {
     assert(counts(UniqueUsers.perMinute(df, $"t", $"uid")) == Map(1468244340L -> 1L))
   }
 
+  test("empty and single-row inputs produce empty / single results, no errors") {
+    val empty = Seq.empty[LogFrame].toDF()
+      .select(TimeOps.fromEpochSeconds($"ts").as("t"), $"uid")
+    assert(UniqueUsers.perMinute(empty, $"t", $"uid").count() == 0)
+    assert(UniqueUsers.perMinuteTwoPhase(empty, $"t", $"uid").count() == 0)
+    val one = Seq(LogFrame(1468244340L, "solo")).toDF()
+      .select(TimeOps.fromEpochSeconds($"ts").as("t"), $"uid")
+    assert(counts(UniqueUsers.perMinute(one, $"t", $"uid")) == Map(1468244340L -> 1L))
+  }
+
+  test("uids containing delimiter characters are never corrupted (reference serde bug)") {
+    // HashSetStringSerde joined sets with '|' (reference
+    // HashSetStringSerde.java:20–27) so uids containing '|' corrupted the
+    // buffer; Spark encoders carry opaque strings — counts must be exact
+    val frames = Seq(
+      LogFrame(1468244340L, "a|b"), LogFrame(1468244340L, "a"),
+      LogFrame(1468244340L, "b"), LogFrame(1468244340L, "a|b"),
+      LogFrame(1468244340L, ","), LogFrame(1468244340L, ""))
+    val df = frames.toDF().select(TimeOps.fromEpochSeconds($"ts").as("t"), $"uid")
+      .filter(length($"uid") > 0)
+    assert(counts(UniqueUsers.perMinute(df, $"t", $"uid")) == Map(1468244340L -> 4L))
+    // the typed set-buffer aggregator agrees
+    val viaAgg = df.select($"uid").as[String]
+      .select(graft.functions.TypedAggs.distinctCount.toColumn).head()
+    assert(viaAgg == 4L)
+  }
+
   test("approx distinct is within rsd of exact on sf0.001 events") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val exact = UniqueUsers.perMinute(ev, $"ts", $"user_id")
