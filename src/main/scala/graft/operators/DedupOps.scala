@@ -35,12 +35,18 @@ object DedupOps {
     docs.groupBy(TextFunctions.wordSetFingerprint(textCol).as("fp"))
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Distinct (id, shingle) pairs — the feature relation every near-dup
-    * operator downstream consumes. */
-  def shingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+  /** Raw (id, shingle) pairs, duplicates included — NO shuffle. Sufficient
+    * for MinHash signatures: min over a multiset equals min over its set,
+    * so the distinct's full-relation shuffle would be pure waste there. */
+  def shingleBag(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     docs.select(idCol.as("doc_id"),
-        explode(TextFunctions.wordShingles(textCol, n)).as("g"))
-      .distinct()
+      explode(TextFunctions.wordShingles(textCol, n)).as("g"))
+
+  /** Distinct (id, shingle) pairs — needed where set semantics matter
+    * (Jaccard sizes and intersections). Costs a shuffle; prefer
+    * `shingleBag` when duplicates are harmless. */
+  def shingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    shingleBag(docs, idCol, textCol, n).distinct()
 
   /** The i-th MinHash "permutation" of a shingle: lexicographic min over
     * the set of md5(i + ":" + shingle). */
@@ -107,11 +113,13 @@ object DedupOps {
                       shingleN: Int, numHashes: Int, bands: Int,
                       threshold: Double, persistShingles: Boolean = false): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    // signatures read the shuffle-free bag (min is duplicate-insensitive);
+    // only the Jaccard verification needs the distinct set
+    val sig = minHashSignatures(shingleBag(docs, idCol, textCol, shingleN), numHashes)
     val sh0 = shingleSet(docs, idCol, textCol, shingleN)
     val sh = if (persistShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val sig = minHashSignatures(sh, numHashes)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }

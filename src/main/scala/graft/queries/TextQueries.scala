@@ -202,7 +202,9 @@ object TextQueries {
 
   private val minhashSignatures: Q = (s, dir) =>
     DedupOps.minHashSignatures(
-      DedupOps.shingleSet(Tables.documents(s, dir), col("doc_id"), col("text"), ShingleN),
+      // bag, not set: min is duplicate-insensitive, so the distinct's
+      // shuffle is skipped (oracle result identical)
+      DedupOps.shingleBag(Tables.documents(s, dir), col("doc_id"), col("text"), ShingleN),
       NumHashes)
 
   private val minhashSignaturesSql = s"$shingleCtes\nSELECT * FROM sig"
