@@ -175,6 +175,25 @@ object EventQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Conditional aggregates: count_if / filtered sums / bool aggregates —
+    * the guard-railed forms of CASE-sum pivoting. */
+  private val conditionalAgg: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 100.0).as("n_big"),
+        round(sum(when(col("value") > 100.0, col("value")).otherwise(0.0)), 4).as("sum_big"),
+        bool_or(col("value") > 499.0).as("any_near_max"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"))
+
+  private val conditionalAggSql =
+    """SELECT event_type,
+      |       CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |       round(CAST(sum(CASE WHEN value > 100.0 THEN value ELSE 0 END) AS DOUBLE), 4) AS sum_big,
+      |       bool_or(value > 499.0) AS any_near_max,
+      |       bool_and(value >= 0.0) AS all_nonneg
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Typed Dataset[T] path: the same engine surface through case-class
     * encoders and groupByKey — compile-time field checks where the
     * DataFrame API is stringly-typed (SURVEY §1.3 "typed Dataset at API
@@ -219,6 +238,7 @@ object EventQueries {
     "session_window_stats"    -> sessionWindowStats,
     "user_set_per_minute"     -> userSetPerMinute,
     "typed_event_stats"       -> typedEventStats,
+    "conditional_agg"         -> conditionalAgg,
     "approx_unique_users"     -> approxUniqueUsers,
   )
 
@@ -234,5 +254,6 @@ object EventQueries {
     "session_window_stats"    -> sessionWindowStatsSql,
     "user_set_per_minute"     -> userSetPerMinuteSql,
     "typed_event_stats"       -> typedEventStatsSql,
+    "conditional_agg"         -> conditionalAggSql,
   )
 }

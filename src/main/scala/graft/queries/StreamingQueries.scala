@@ -60,9 +60,46 @@ object StreamingQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
       |FROM events GROUP BY 1""".stripMargin
 
+  /** transformWithState in the gate: the RunningDistinct processor over a
+    * file-source stream. The whole file arrives in one micro-batch, so
+    * each bucket emits exactly one (final) running count — which must
+    * equal the batch distinct-count oracle. Requires the RocksDB state
+    * store provider (set per-run, restored after). */
+  private val streamingRunningDistinct: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val frames = s.readStream
+        .schema(eventsRawSchema)
+        .parquet(s"$dir/events.parquet*")
+        .select(
+          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000"))))
+            .as("bucket"),
+          col("user_id").cast("string").as("uid"))
+        .as[graft.streaming.RunningDistinct.In]
+      val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)
+      val sink = s"streaming_running_distinct_${runSeq.incrementAndGet()}"
+      val q = out.toDF().writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).select(col("bucket").as("minute"),
+        col("uniqueUsers").as("unique_users"))
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   val all: Map[String, Q] = Map(
-    "streaming_unique_users" -> streamingUniqueUsers)
+    "streaming_unique_users" -> streamingUniqueUsers,
+    "streaming_running_distinct" -> streamingRunningDistinct)
 
   val oracles: Map[String, String] = Map(
-    "streaming_unique_users" -> streamingUniqueUsersSql)
+    "streaming_unique_users" -> streamingUniqueUsersSql,
+    "streaming_running_distinct" -> streamingUniqueUsersSql)
 }

@@ -158,6 +158,45 @@ object TextQueries {
       |         unnest(CAST(e.embedding AS DOUBLE[])) AS u(v))), 6) AS emb_norm
       |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
 
+  // ── generator/UDTF surface: positional token explode ───────────────────
+  private val explodeTokens: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
+  private val explodeTokensSql =
+    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w AS token
+      |FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+      |      FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+      |            WHERE doc_id < 50))
+      |WHERE w <> ''""".stripMargin
+
+  // ── array-function surface over token arrays ───────────────────────────
+  private val arrayFuncs: Q = (s, dir) => {
+    val ts = TextFunctions.tokens(col("text"))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat_ws(" ", slice(ts, 1, 5)).as("first5"),
+      array_contains(ts, "spark").as("has_spark"),
+      element_at(ts, -1).as("last_token"),
+      size(array_distinct(ts)).cast("long").as("n_distinct"),
+      concat_ws(" ", reverse(slice(ts, 1, 3))).as("first3_reversed"))
+  }
+
+  private val arrayFuncsSql =
+    """WITH t AS (SELECT doc_id,
+      |                  list_filter(str_split(text, ' '), w -> w <> '') AS ws
+      |           FROM documents)
+      |SELECT doc_id,
+      |       array_to_string(list_slice(ws, 1, 5), ' ') AS first5,
+      |       list_contains(ws, 'spark') AS has_spark,
+      |       ws[-1] AS last_token,
+      |       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct,
+      |       array_to_string(list_reverse(list_slice(ws, 1, 3)), ' ') AS first3_reversed
+      |FROM t""".stripMargin
+
   // ── exact + word-set dedup ─────────────────────────────────────────────
   private val dedupDocsExact: Q = (s, dir) =>
     DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -267,6 +306,8 @@ object TextQueries {
     "doc_fingerprint"     -> docFingerprint,
     "text_normalize"      -> textNormalize,
     "doc_embedding_join"  -> docEmbeddingJoin,
+    "explode_tokens"      -> explodeTokens,
+    "array_funcs"         -> arrayFuncs,
     "dedup_docs_exact"    -> dedupDocsExact,
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
@@ -281,6 +322,8 @@ object TextQueries {
     "doc_fingerprint"     -> docFingerprintSql,
     "text_normalize"      -> textNormalizeSql,
     "doc_embedding_join"  -> docEmbeddingJoinSql,
+    "explode_tokens"      -> explodeTokensSql,
+    "array_funcs"         -> arrayFuncsSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,
