@@ -197,6 +197,63 @@ object TextQueries {
       |       array_to_string(list_reverse(list_slice(ws, 1, 3)), ' ') AS first3_reversed
       |FROM t""".stripMargin
 
+  // ── TF-IDF: top terms per document ─────────────────────────────────────
+  // tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+  // top-5 terms per doc by rounded score, term tiebreak.
+  private val tfidfTopTerms: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("w").as("term"), col("tfidf"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH toks AS (SELECT doc_id, w
+      |              FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+      |              WHERE w <> ''),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |scored AS (SELECT doc_id, tf.w,
+      |                  round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      |           FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+      |SELECT doc_id, w AS term, tfidf, CAST(rnk AS BIGINT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY tfidf DESC, w) AS rnk
+      |      FROM scored)
+      |WHERE rnk <= 5""".stripMargin
+
+  // ── global bigram counts (n-gram frequency table) ──────────────────────
+  private val bigramCounts: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val bigramCountsSql =
+    """WITH tok AS (SELECT doc_id, w, i FROM
+      |             (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
+      |              FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents))
+      |             WHERE w <> ''),
+      |bi AS (SELECT w || '_' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+      |       FROM tok)
+      |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+      |FROM bi WHERE bigram IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
+
   // ── exact + word-set dedup ─────────────────────────────────────────────
   private val dedupDocsExact: Q = (s, dir) =>
     DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -308,6 +365,8 @@ object TextQueries {
     "doc_embedding_join"  -> docEmbeddingJoin,
     "explode_tokens"      -> explodeTokens,
     "array_funcs"         -> arrayFuncs,
+    "tfidf_top_terms"     -> tfidfTopTerms,
+    "bigram_counts"       -> bigramCounts,
     "dedup_docs_exact"    -> dedupDocsExact,
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
@@ -324,6 +383,8 @@ object TextQueries {
     "doc_embedding_join"  -> docEmbeddingJoinSql,
     "explode_tokens"      -> explodeTokensSql,
     "array_funcs"         -> arrayFuncsSql,
+    "tfidf_top_terms"     -> tfidfTopTermsSql,
+    "bigram_counts"       -> bigramCountsSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,
