@@ -63,6 +63,39 @@ object EngineProperties extends Properties("engine") {
       fps(0) == fps(1)
     }
 
+  private val genAsofData: Gen[(List[(Long, Long, Long)], List[(Long, Long, Long)])] =
+    for {
+      left <- Gen.listOfN(40, for {
+        k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 100L); id <- Gen.choose(0L, 10000L)
+      } yield (k, t, id))
+      right <- Gen.listOfN(40, for {
+        k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 100L); id <- Gen.choose(0L, 10000L)
+      } yield (k, t, id))
+    } yield (left.distinctBy(_._3), right.distinctBy(_._3))
+
+  property("asOf ≡ brute-force latest-right-at-or-before, for random keyed data") =
+    Prop.forAll(genAsofData) { case (l, r) =>
+      l.isEmpty || {
+        import org.apache.spark.sql.functions.timestamp_seconds
+        val left = l.toDF("k", "t", "lid")
+          .select($"k", timestamp_seconds($"t").as("t"), $"lid")
+        val right = r.toDF("k", "t", "rid")
+          .select($"k", timestamp_seconds($"t").as("t"), $"rid")
+        val got = graft.operators.AsOfJoin.asOf(left, right,
+            $"k", $"k", $"t", $"t", Seq("rid" -> $"rid"), $"rid")
+          .collect()
+          .map(row => row.getAs[Long]("lid") ->
+            Option(row.getAs[Any]("asof_rid")).map(_.asInstanceOf[Long]))
+          .toMap
+        val want = l.map { case (k, t, lid) =>
+          val cands = r.filter(x => x._1 == k && x._2 <= t)
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(x => (x._2, x._3))._3))
+        }.toMap
+        got == want
+      }
+    }
+
   property("canonical fingerprint ignores case and extra spaces") =
     Prop.forAll(genWords) { words =>
       val base = words.mkString(" ")
