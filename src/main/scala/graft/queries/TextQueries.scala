@@ -254,6 +254,38 @@ object TextQueries {
       |FROM bi WHERE bigram IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ── deterministic dataset split + stratified sample ────────────────────
+  private val datasetSplit: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.Sampling.split(col("doc_id")).as("split"))
+
+  private val datasetSplitSql = {
+    val b = graft.functions.Sampling.bucket100Sql("doc_id")
+    s"""SELECT doc_id,
+       |       CASE WHEN $b < 80 THEN 'train'
+       |            WHEN $b < 90 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
+  private val stratifiedSample: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(graft.functions.Sampling.samplePredicate(col("doc_id"), 20))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        concat_ws(",", array_sort(collect_set(col("doc_id").cast("string"))))
+          .as("sample_ids"))
+
+  private val stratifiedSampleSql = {
+    val b = graft.functions.Sampling.bucket100Sql("doc_id")
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       |       string_agg(DISTINCT CAST(doc_id AS VARCHAR), ','
+       |                  ORDER BY CAST(doc_id AS VARCHAR)) AS sample_ids
+       |FROM documents WHERE $b < 20
+       |GROUP BY 1""".stripMargin
+  }
+
   // ── exact + word-set dedup ─────────────────────────────────────────────
   private val dedupDocsExact: Q = (s, dir) =>
     DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -367,6 +399,8 @@ object TextQueries {
     "array_funcs"         -> arrayFuncs,
     "tfidf_top_terms"     -> tfidfTopTerms,
     "bigram_counts"       -> bigramCounts,
+    "dataset_split"       -> datasetSplit,
+    "stratified_sample"   -> stratifiedSample,
     "dedup_docs_exact"    -> dedupDocsExact,
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
@@ -385,6 +419,8 @@ object TextQueries {
     "array_funcs"         -> arrayFuncsSql,
     "tfidf_top_terms"     -> tfidfTopTermsSql,
     "bigram_counts"       -> bigramCountsSql,
+    "dataset_split"       -> datasetSplitSql,
+    "stratified_sample"   -> stratifiedSampleSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,
