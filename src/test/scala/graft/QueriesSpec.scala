@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   */
 class QueriesSpec extends SparkSpec {
 
+  test("driver smoke contract: entry() returns rows on a plain session") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every registered query runs and yields a non-empty schema") {
     Queries.all.foreach { case (name, fn) =>
       val df = fn(spark, sf001)
