@@ -23,19 +23,23 @@ object Bench {
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
 
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
     val results = queries.map { case (n, f) => n -> runOne(n, f) }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query must not masquerade as a fast pass — name it
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,4 +37,27 @@ object Schemas {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** `events` as physically stored: ts is parquet TIMESTAMP(NANOS), read
+    * as raw int64 under the `nanosAsLong` conf (Spark's TimestampType is
+    * µs and rejects nanos outright). */
+  val eventsRawNanos: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The one place the ns→µs contract lives: floor-convert an epoch-nanos
+    * long to TimestampType. Integral DIV, not `/` — an epoch-ns (~1.7e18)
+    * exceeds double's 2^53 exact range, so double division would shift
+    * timestamps by up to ~0.3 µs. */
+  def tsFromNanos(nanos: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    org.apache.spark.sql.functions.timestamp_micros(
+      ColumnBridge.column(new IntegralDivide(
+        ColumnBridge.expression(nanos), Literal(1000L))))
+  }
 }

@@ -203,15 +203,22 @@ object AdvancedQueries {
         .otherwise(md5(col("text"))).as("fp8"),
       greatest(length(col("text")) - 7, lit(0)).cast("long").as("n_shingles"))
 
-  private val charFingerprintSql =
-    """SELECT d.doc_id,
-      |       CASE WHEN length(d.text) >= 8
-      |            THEN (SELECT min(md5(substr(d.text, t.i, 8)))
-      |                  FROM generate_series(1, 4000) AS t(i)
-      |                  WHERE t.i <= length(d.text) - 7)
-      |            ELSE md5(d.text) END AS fp8,
-      |       CAST(greatest(length(d.text) - 7, 0) AS BIGINT) AS n_shingles
-      |FROM documents d""".stripMargin
+  // lead-window char shingling: exact for ANY document length (an earlier
+  // generate_series form silently capped start positions at 4000)
+  private val charFingerprintSql = {
+    val g8 = (1 to 7).map(k => s"lead(c, $k) OVER win").mkString("c || ", " || ", "")
+    s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
+       |                   generate_subscripts(str_split(text, ''), 1) AS i
+       |            FROM documents),
+       |g AS (SELECT doc_id, $g8 AS g8
+       |      FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |m AS (SELECT doc_id, min(md5(g8)) AS fp8m
+       |      FROM g WHERE g8 IS NOT NULL GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CASE WHEN length(d.text) >= 8 THEN m.fp8m ELSE md5(d.text) END AS fp8,
+       |       CAST(greatest(length(d.text) - 7, 0) AS BIGINT) AS n_shingles
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
+  }
 
   val all: Map[String, Q] = Map(
     "asof_click_attribution" -> asofClickAttribution,

@@ -175,6 +175,39 @@ object EventQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_unique
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Inter-event gap analytics per user: lag-based time deltas — the
+    * temporal profile a sessionization gap threshold is tuned from.
+    * Gaps are computed on µs-truncated timestamps in both engines (Spark
+    * TimestampType is µs; the oracle truncates its ns reads). */
+  private val interEventGaps: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      // exact integer µs (a double epoch-seconds cast would round the µs
+      // fraction at ~1e9-second magnitudes)
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")) / 1e6, 4).as("avg_gap_sec"),
+        round(max(col("gap_us")) / 1e6, 4).as("max_gap_sec"))
+  }
+
+  private val interEventGapsSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(date_trunc('microseconds', ts))
+      |           - epoch_us(lag(date_trunc('microseconds', ts), 1)
+      |                      OVER (PARTITION BY user_id
+      |                            ORDER BY date_trunc('microseconds', ts), event_id)) AS gap_us
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |       round(CAST(avg(gap_us) AS DOUBLE) / 1e6, 4) AS avg_gap_sec,
+      |       round(CAST(max(gap_us) AS DOUBLE) / 1e6, 4) AS max_gap_sec
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1""".stripMargin
+
   /** Conditional aggregates: count_if / filtered sums / bool aggregates —
     * the guard-railed forms of CASE-sum pivoting. */
   private val conditionalAgg: Q = (s, dir) =>
@@ -239,6 +272,7 @@ object EventQueries {
     "user_set_per_minute"     -> userSetPerMinute,
     "typed_event_stats"       -> typedEventStats,
     "conditional_agg"         -> conditionalAgg,
+    "inter_event_gaps"        -> interEventGaps,
     "approx_unique_users"     -> approxUniqueUsers,
   )
 
@@ -255,5 +289,6 @@ object EventQueries {
     "user_set_per_minute"     -> userSetPerMinuteSql,
     "typed_event_stats"       -> typedEventStatsSql,
     "conditional_agg"         -> conditionalAggSql,
+    "inter_event_gaps"        -> interEventGapsSql,
   )
 }

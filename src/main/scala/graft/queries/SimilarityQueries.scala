@@ -114,7 +114,10 @@ object SimilarityQueries {
 
   private lazy val annLshBucketsSql = {
     val terms = planes.zipWithIndex.map { case (p, i) =>
-      val lst = p.map(w => if (w == w.floor) f"${w}%.1f" else w.toString).mkString("[", ",", "]")
+      // Double.toString is locale-independent ('.' decimal always);
+      // f"%.1f" would emit ',' decimals under comma-decimal locales and
+      // silently corrupt the SQL list literal
+      val lst = p.map(_.toString).mkString("[", ",", "]")
       s"(CASE WHEN round(list_dot_product(CAST(embedding AS DOUBLE[]), $lst), 6) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("\n       + ")
     s"""SELECT vec_id AS id,

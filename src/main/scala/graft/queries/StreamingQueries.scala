@@ -22,15 +22,9 @@ object StreamingQueries {
   private val runSeq = new AtomicInteger(0)
 
   // events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw
-  // int64 nanos (nanosAsLong) and floor-converts in-plan, mirroring
-  // Tables.events.
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  // int64 nanos (nanosAsLong) and floor-converts in-plan via the shared
+  // Schemas.tsFromNanos contract.
+  private val eventsRawSchema = graft.model.Schemas.eventsRawNanos
 
   private val streamingUniqueUsers: Q = (s, dir) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -39,7 +33,7 @@ object StreamingQueries {
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet*")
-      .select(timestamp_micros(expr("ts DIV 1000")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
@@ -76,8 +70,8 @@ object StreamingQueries {
         .schema(eventsRawSchema)
         .parquet(s"$dir/events.parquet*")
         .select(
-          unix_timestamp(date_trunc("minute", timestamp_micros(expr("ts DIV 1000"))))
-            .as("bucket"),
+          unix_timestamp(date_trunc("minute",
+            graft.model.Schemas.tsFromNanos(col("ts")))).as("bucket"),
           col("user_id").cast("string").as("uid"))
         .as[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)

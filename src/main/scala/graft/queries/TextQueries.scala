@@ -26,16 +26,23 @@ object TextQueries {
       col("doc_id"),
       size(ts).cast("long").as("n_tokens"),
       size(array_distinct(ts)).cast("long").as("n_unique"),
-      round(aggregate(transform(ts, w => length(w).cast("double")),
-        lit(0.0), (a, v) => a + v) / size(ts), 6).as("avg_token_len"))
+      when(size(ts) > 0,
+        round(aggregate(transform(ts, w => length(w).cast("double")),
+          lit(0.0), (a, v) => a + v) / size(ts), 6)).as("avg_token_len"))
   }
 
+  // LEFT JOIN keeps zero-token documents (the grouped form would drop
+  // them while Spark emits a row) — same pattern as text_normalize
   private val tokenStatsSql =
-    """SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-      |       CAST(count(DISTINCT w) AS BIGINT) AS n_unique,
-      |       round(CAST(sum(length(w)) AS DOUBLE) / count(*), 6) AS avg_token_len
-      |FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
-      |WHERE w <> '' GROUP BY doc_id""".stripMargin
+    """WITH t AS (SELECT doc_id, w
+      |           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+      |           WHERE w <> ''),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT w) AS n_unique,
+      |               round(CAST(sum(length(w)) AS DOUBLE) / count(*), 6) AS avg_token_len
+      |        FROM t GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |       CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique, avg_token_len
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
 
   // ── quality scoring ────────────────────────────────────────────────────
   private val textQuality: Q = (s, dir) =>
@@ -45,8 +52,9 @@ object TextQueries {
       TextFunctions.tokenCount(col("text")).as("n_tokens"),
       TextFunctions.markerRatio(col("text"),
         TextFunctions.langMarkers.head._2).as("stopword_ratio"),
-      round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
-        .cast("double") / length(col("text")), 6).as("punct_ratio"))
+      when(length(col("text")) > 0,
+        round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+          .cast("double") / length(col("text")), 6)).as("punct_ratio"))
 
   private val textQualitySql =
     """WITH t AS (SELECT doc_id, text FROM documents),
@@ -55,11 +63,13 @@ object TextQueries {
       |      FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM t)
       |      WHERE w <> '' GROUP BY doc_id)
       |SELECT t.doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-      |       CAST(n_tokens AS BIGINT) AS n_tokens,
-      |       round(CAST(hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stopword_ratio,
-      |       round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-      |             / length(text), 6) AS punct_ratio
-      |FROM t JOIN w ON t.doc_id = w.doc_id""".stripMargin
+      |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      |       round(CAST(coalesce(hits, 0) AS DOUBLE) / greatest(coalesce(n_tokens, 0), 1), 6)
+      |         AS stopword_ratio,
+      |       CASE WHEN length(text) > 0
+      |            THEN round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |                       / length(text), 6) END AS punct_ratio
+      |FROM t LEFT JOIN w ON t.doc_id = w.doc_id""".stripMargin
 
   // ── language-ID heuristic ──────────────────────────────────────────────
   private val langId: Q = (s, dir) => {
@@ -79,16 +89,19 @@ object TextQueries {
       s"sum(CASE WHEN w IN $in THEN 1 ELSE 0 END) AS ${l}_hits"
     }.mkString(",\n             ")
     val langs = TextFunctions.langMarkers.map(_._1)
-    val best = s"greatest(${langs.map(l => s"${l}_hits").mkString(", ")})"
-    val caseArms = langs.map(l => s"WHEN ${l}_hits = $best THEN '$l'").mkString(" ")
+    // coalesce at the OUTER level so zero-token docs (absent from h after
+    // the LEFT JOIN) read as 0 hits → 'und', matching Spark's row
+    def hits(l: String) = s"coalesce(h.${l}_hits, 0)"
+    val best = s"greatest(${langs.map(hits).mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN ${hits(l)} = $best THEN '$l'").mkString(" ")
     s"""WITH h AS (
        |  SELECT doc_id, $hitAggs
        |  FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY doc_id)
        |SELECT d.doc_id, d.lang AS lang_labeled,
        |       CASE WHEN $best = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_guess,
-       |       ${langs.map(l => s"CAST(${l}_hits AS BIGINT) AS ${l}_hits").mkString(", ")}
-       |FROM documents d JOIN h ON d.doc_id = h.doc_id""".stripMargin
+       |       ${langs.map(l => s"CAST(${hits(l)} AS BIGINT) AS ${l}_hits").mkString(", ")}
+       |FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""".stripMargin
   }
 
   // ── fingerprinting ─────────────────────────────────────────────────────
@@ -105,8 +118,8 @@ object TextQueries {
       |  WHERE w <> '' GROUP BY doc_id)
       |SELECT d.doc_id,
       |       md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
-      |       ws.fp_set
-      |FROM documents d JOIN ws ON d.doc_id = ws.doc_id""".stripMargin
+      |       coalesce(ws.fp_set, md5('')) AS fp_set
+      |FROM documents d LEFT JOIN ws ON d.doc_id = ws.doc_id""".stripMargin
 
   // ── normalization pipeline: lower → strip punct → drop stopwords ───────
   private val Stopwords = Seq("the", "a", "of", "and", "is")
@@ -166,8 +179,13 @@ object TextQueries {
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
 
+  // positions are renumbered AFTER the empty-token filter so they match
+  // Spark's posexplode over the filtered array (multi-space texts would
+  // otherwise diverge)
   private val explodeTokensSql =
-    """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w AS token
+    """SELECT doc_id,
+      |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS BIGINT) AS pos,
+      |       w AS token
       |FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
       |      FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents
       |            WHERE doc_id < 50))
@@ -365,7 +383,7 @@ object TextQueries {
        |FROM inter
        |JOIN sz z1 ON z1.doc_id = d1
        |JOIN sz z2 ON z2.doc_id = d2
-       |WHERE CAST(inter AS DOUBLE) / (z1.n + z2.n - inter) >= $Threshold""".stripMargin
+       |WHERE round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) >= $Threshold""".stripMargin
   }
 
   // ── SimHash ────────────────────────────────────────────────────────────

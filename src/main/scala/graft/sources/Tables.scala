@@ -15,15 +15,21 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot represent — the reader rejects it outright
     * ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos via the
-    * `nanosAsLong` conf and floor-convert to µs in-plan, preserving the
-    * public schema contract (`ts: TimestampType`). Integer `DIV` keeps the
-    * math in long space (an epoch-ns ≈ 1.7e18 overflows double precision).
+    * `nanosAsLong` conf and floor-convert to µs in-plan
+    * (`Schemas.tsFromNanos`), preserving the public schema contract
+    * (`ts: TimestampType`).
+    *
+    * NOTE the conf is a session-level side effect by necessity (the parquet
+    * reader has no per-read option for it): after this call, other readers
+    * in the session will see nanos columns as LongType instead of erroring.
+    * Confined to this loader + the streaming reader so the contract has one
+    * owner.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      .withColumn("ts", graft.model.Schemas.tsFromNanos(
+        org.apache.spark.sql.functions.col("ts")))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")

@@ -43,11 +43,18 @@ object StatefulDedup {
         case ((bucket, _), rows, state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
-            state.update(true)
             val expireMs = (bucket + retentionSec) * 1000L
-            if (expireMs > state.getCurrentWatermarkMs())
+            if (expireMs <= state.getCurrentWatermarkMs()) {
+              // bucket already expired relative to the watermark: this is
+              // late data — drop it WITHOUT storing state (storing with no
+              // timeout would leak the entry forever AND re-count a closed
+              // bucket, the exact reference bug this operator fixes)
+              Iterator.empty
+            } else {
+              state.update(true)
               state.setTimeoutTimestamp(expireMs)
-            Iterator.single(rows.next())
+              Iterator.single(rows.next())
+            }
           }
       }
   }

@@ -151,6 +151,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1468244340L, "a"), (1468244340L, "b"), (1468244400L, "a")))
   }
 
+  test("stateful dedup drops late rows for expired buckets without storing state") {
+    val mem = MemoryStream[StatefulDedup.Keyed]
+    val ds = mem.toDS()
+      .withColumn("eventTime", timestamp_millis($"eventTimeMs"))
+      .withWatermark("eventTime", "1 minute")
+      .as[StatefulDedup.Keyed]
+    val out = StatefulDedup.firstSeen(ds, retentionSec = 120L)
+    val q = out.toDF().writeStream.format("memory").queryName("sfd_late_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData(StatefulDedup.Keyed(1468244340L, "a", 1468244340000L))
+      q.processAllAvailable()
+      // push the watermark far past bucket+retention
+      mem.addData(StatefulDedup.Keyed(1468250000L, "w", 1468250000000L))
+      q.processAllAvailable()
+      // a first-seen (bucket, uid) arriving AFTER its bucket expired:
+      // must be dropped, not emitted (and must not leak timeout-less state)
+      mem.addData(StatefulDedup.Keyed(1468244340L, "late", 1468244341000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val uids = spark.table("sfd_late_probe").select($"uid").as[String].collect().toSet
+    assert(uids == Set("a", "w"))
+  }
+
   test("kafka sink records round-trip through the declared JSON shape") {
     val counts = Seq((new java.sql.Timestamp(1468244340000L),
       new java.sql.Timestamp(1468244400000L), 42L))
