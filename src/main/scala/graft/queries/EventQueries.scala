@@ -252,6 +252,32 @@ object EventQueries {
       |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Per-window top-k (leaderboard): the most active user in each minute —
+    * windowed aggregation composed with rank-within-group, the shape of
+    * every "top N per time bucket" dashboard query. Deterministic ties:
+    * count desc, then user_id. */
+  private val topUserPerMinute: Q = (s, dir) => {
+    val counts = Tables.events(s, dir)
+      .groupBy(TimeOps.minuteBucketEpoch(col("ts")).as("minute"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("minute")).orderBy(col("n_events").desc, col("user_id"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("minute"), col("user_id").as("top_user"), col("n_events"))
+  }
+
+  private val topUserPerMinuteSql =
+    """WITH c AS (
+      |  SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |         user_id, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT minute, user_id AS top_user, CAST(n_events AS BIGINT) AS n_events
+      |FROM (SELECT *, row_number() OVER (PARTITION BY minute
+      |                                   ORDER BY n_events DESC, user_id) AS rn
+      |      FROM c)
+      |WHERE rn = 1""".stripMargin
+
   /** Approximate distinct (HyperLogLog++) — the mergeable-sketch scale path
     * (SURVEY §7 M2). No SQL oracle: approx results are engine-specific, so
     * the driver records the weaker rows-only check; exactness is bounded in
@@ -273,6 +299,7 @@ object EventQueries {
     "typed_event_stats"       -> typedEventStats,
     "conditional_agg"         -> conditionalAgg,
     "inter_event_gaps"        -> interEventGaps,
+    "top_user_per_minute"     -> topUserPerMinute,
     "approx_unique_users"     -> approxUniqueUsers,
   )
 
@@ -290,5 +317,6 @@ object EventQueries {
     "typed_event_stats"       -> typedEventStatsSql,
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
+    "top_user_per_minute"     -> topUserPerMinuteSql,
   )
 }
