@@ -1,6 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "kafkastreamsjavachallengespark"
+// Keep runMain output machine-parseable: Bench prints one JSON line that
+// consumers read from the end of stdout; sbt's "[success] Total time"
+// trailer would otherwise land after it.
+Global / showSuccess := false
+// Forked run output goes straight to stdout (no "[info] " line prefix),
+// so Bench's JSON line reaches the consumer byte-identical.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

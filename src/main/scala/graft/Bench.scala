@@ -33,12 +33,16 @@ object Bench {
     queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
     val results = queries.map { case (n, f) => n -> runOne(n, f) }
 
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // ms precision keeps the line short enough for tail-buffer parsers
+    // (full Double.toString of 67 entries overflowed a ~3 KB tail in r1);
+    // Double.toString, not %f — String.format is locale-dependent.
+    def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // a failed query must not masquerade as a fast pass — name it
     val errs = results.collect { case (k, (_, Some(e))) =>
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    val total = fmt(results.map(_._2._1).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

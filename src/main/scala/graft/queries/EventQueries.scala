@@ -129,7 +129,9 @@ object EventQueries {
   /** Session windows (absent in the reference, SURVEY §2.3): 30-minute-gap
     * sessions per user. Oracle = classic gaps-and-islands; session end =
     * last event + gap, matching Spark's `session_window` semantics
-    * (merge iff gap strictly less than the threshold). */
+    * (merge iff gap <= the threshold: an event exactly one gap-width after
+    * the previous still extends the session, verified empirically — so the
+    * oracle breaks only on strictly-greater gaps). */
   private val sessionWindowStats: Q = (s, dir) =>
     Windowing.sessionStats(Tables.events(s, dir), col("ts"), col("user_id"),
       "30 minutes")
@@ -139,7 +141,7 @@ object EventQueries {
     """WITH o AS (
       |  SELECT user_id, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
       |              THEN 1 ELSE 0 END AS brk
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

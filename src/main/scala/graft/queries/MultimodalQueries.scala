@@ -21,7 +21,7 @@ object MultimodalQueries {
     """SELECT doc_id AS media_id,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |       md5(text) AS content_hash,
-      |       lower(hex(encode(substring(text, 1, 8)))) AS magic
+      |       lower(left(hex(encode(text)), 16)) AS magic
       |FROM documents""".stripMargin
 
   val all: Map[String, Q] = Map("multimodal_meta" -> multimodalMeta)

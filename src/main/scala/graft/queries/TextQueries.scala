@@ -198,7 +198,7 @@ object TextQueries {
       col("doc_id"),
       concat_ws(" ", slice(ts, 1, 5)).as("first5"),
       array_contains(ts, "spark").as("has_spark"),
-      element_at(ts, -1).as("last_token"),
+      try_element_at(ts, lit(-1)).as("last_token"),
       size(array_distinct(ts)).cast("long").as("n_distinct"),
       concat_ws(" ", reverse(slice(ts, 1, 3))).as("first3_reversed"))
   }
