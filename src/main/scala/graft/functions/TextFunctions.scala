@@ -28,15 +28,24 @@ object TextFunctions {
   /** Token count (BPE-less "token counting": whitespace words). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Word n-gram shingles ("w1_w2_w3"), the unit feature for MinHash and
-    * n-gram Jaccard. Documents shorter than n yield an empty array. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
+  /** Word n-gram shingles ("w1_w2_w3") from a pre-materialized token-array
+    * column — the unit feature for MinHash and n-gram Jaccard. Documents
+    * shorter than n yield an empty array.
+    *
+    * PERF: `ws` must be a column reference to an already-projected token
+    * array, not an inline `tokens(...)` expression — a lambda body
+    * re-evaluates captured subexpressions per element, so inlining the
+    * tokenization makes shingling O(tokens²) per document (measured 5× on
+    * the sf0.1 shingle bag). `wordShingles` below exists for one-shot
+    * column contexts; explode paths should project tokens first. */
+  def shinglesOf(ws: Column, n: Int): Column =
     when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws("_", slice(ws, i + 1, lit(n)))))
+        i => concat_ws("_", (1 to n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Shingles straight from text; fine for single-use projections. */
+  def wordShingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text — the exact-dedup key. */

@@ -39,8 +39,11 @@ object DedupOps {
     * for MinHash signatures: min over a multiset equals min over its set,
     * so the distinct's full-relation shuffle would be pure waste there. */
   def shingleBag(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    docs.select(idCol.as("doc_id"),
-      explode(TextFunctions.wordShingles(textCol, n)).as("g"))
+    // tokens materialized in their own projection: the shingling lambda
+    // must reference a bound column, not re-tokenize per element (see
+    // TextFunctions.shinglesOf perf note)
+    docs.select(idCol.as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+      .select(col("doc_id"), explode(TextFunctions.shinglesOf(col("ws"), n)).as("g"))
 
   /** Distinct (id, shingle) pairs — needed where set semantics matter
     * (Jaccard sizes and intersections). Costs a shuffle; prefer
@@ -48,15 +51,29 @@ object DedupOps {
   def shingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     shingleBag(docs, idCol, textCol, n).distinct()
 
-  /** The i-th MinHash "permutation" of a shingle: lexicographic min over
-    * the set of md5(i + ":" + shingle). */
+  /** MinHash permutation family h_i(x) = (a_i * x + b_i) mod P over a
+    * 40-bit base hash x = int(md5(shingle)[0:10 hex]). ONE md5 per shingle
+    * row (not one per permutation — 16× fewer digests) and the min-agg
+    * compares longs, not hex strings. Constants are engine-portable
+    * arithmetic so the DuckDB oracle reproduces them bit-for-bit:
+    * a_i < 2^20 and x < 2^40 keep a_i*x + b_i < 2^61, inside BIGINT
+    * (and Spark ANSI) range in both engines. */
+  val MinHashP: Long = 1000000007L
+  def mhA(i: Int): Long = (((i + 1) * 0x9E3779B1L) % 1048573L) | 1L
+  def mhB(i: Int): Long = ((i + 1) * 0x85EBCA77L) % MinHashP
+
+  /** 40-bit numeric base hash of a shingle (first 10 md5 hex digits). */
+  def shingleHash40(g: Column): Column =
+    conv(substring(md5(g), 1, 10), 16, 10).cast("long")
+
   private def mhExpr(i: Int): Column =
-    min(md5(concat(lit(i.toString), lit(":"), col("g")))).as(s"mh$i")
+    min((lit(mhA(i)) * col("h") + lit(mhB(i))) % lit(MinHashP)).as(s"mh$i")
 
   /** MinHash signatures: `numHashes` columns mh0..mhN computed in ONE hash
     * aggregate over the shingle relation. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles.groupBy(col("doc_id"))
+    shingles.select(col("doc_id"), shingleHash40(col("g")).as("h"))
+      .groupBy(col("doc_id"))
       .agg(mhExpr(0), (1 until numHashes).map(mhExpr): _*)
 
   /** LSH banding: (doc_id, band, band_hash) — band b hashes rows

@@ -20,26 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Dot product of two equal-length vector columns (double precision). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length vector columns (double precision) —
+    * a native codegen'd expression (graft.functions.DotProduct), not the
+    * `aggregate(zip_with(...))` composition: HOF lambdas evaluate
+    * interpreted and allocate an intermediate array per pair, which is
+    * the hot path of every O(pairs·dim) similarity join. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity. For similarity JOINS, don't call this per pair —
+    * it recomputes both norms each time; project `norm(vec)` on each side
+    * before the join (what every operator below does) so per-vector work
+    * is linear, not quadratic. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors of each query vector (brute force).
     * `queries` and `corpus`: (id, vec). Output: (qid, cid, sim, rank) with
     * rank 1..k, self-matches excluded, 6-dp rounded sim, id tiebreak. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec")))
-    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"))
+    // norms computed once per side (linear), never per pair (quadratic)
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qvec"),
+      norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cvec"),
+      norm(col("vec")).as("cn"))
     val sims = c.join(q, col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -72,13 +80,16 @@ object VectorOps {
   def cosineDupPairs(corpus: DataFrame, planes: Array[Array[Double]],
                      threshold: Double): DataFrame = {
     val bucketed = corpus.select(col("id"), col("vec"),
+      norm(col("vec")).as("nrm"),
       lshBucket(col("vec"), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("d1"), col("vec").as("v1"))
-    val b = bucketed.select(col("bucket"), col("id").as("d2"), col("vec").as("v2"))
+    val a = bucketed.select(col("bucket"), col("id").as("d1"),
+      col("vec").as("v1"), col("nrm").as("n1"))
+    val b = bucketed.select(col("bucket"), col("id").as("d2"),
+      col("vec").as("v2"), col("nrm").as("n2"))
     a.join(b, Seq("bucket"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(cosine(col("v1"), col("v2")), 6).as("sim"))
+        round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("sim"))
       .filter(col("sim") >= threshold)
       .distinct()
   }
@@ -89,8 +100,10 @@ object VectorOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cent_id"))
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("vec"), col("cvec")), 6))
+    corpus.withColumn("nrm", norm(col("vec")))
+      .crossJoin(broadcast(centroids.withColumn("cnrm", norm(col("cvec")))))
+      .withColumn("csim",
+        round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("vec"), col("cent_id").as("cell"))
@@ -102,12 +115,14 @@ object VectorOps {
              queryFilter: Column, k: Int): DataFrame = {
     val assigned = ivfAssign(corpus, centroids)
     val q = broadcast(assigned.filter(queryFilter)
-      .select(col("id").as("qid"), col("vec").as("qvec"), col("cell")))
-    val sims = assigned.select(col("id").as("cid"), col("vec").as("cvec"), col("cell"))
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        norm(col("vec")).as("qn"), col("cell")))
+    val sims = assigned.select(col("id").as("cid"), col("vec").as("cvec"),
+        norm(col("vec")).as("cn"), col("cell"))
       .join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        round(cosine(col("qvec"), col("cvec")), 6).as("sim"))
+        round(dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     sims.withColumn("rank", row_number().over(w).cast("long"))

@@ -256,7 +256,8 @@ object TextQueries {
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
-      .select(explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+      .select(TextFunctions.tokens(col("text")).as("ws"))
+      .select(explode(TextFunctions.shinglesOf(col("ws"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
@@ -342,9 +343,12 @@ object TextQueries {
        |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
        |dt AS (SELECT DISTINCT doc_id, g FROM sh WHERE g IS NOT NULL),
+       |dh AS (SELECT doc_id,
+       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
+       |       FROM dt),
        |sig AS (SELECT doc_id,
-       |        ${(0 until NumHashes).map(i => s"min(md5('$i:' || g)) AS mh$i").mkString(",\n        ")}
-       |        FROM dt GROUP BY doc_id)""".stripMargin
+       |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * h + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
+       |        FROM dh GROUP BY doc_id)""".stripMargin
 
   private val minhashSignatures: Q = (s, dir) =>
     DedupOps.minHashSignatures(
