@@ -141,6 +141,54 @@ object DedupOps {
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, via
+    * pigeonhole banding: the 16-bit hash splits into two 8-bit bands, and
+    * any pair within distance 1 differs in at most one band, so it
+    * collides exactly in the other — candidates are the union of two
+    * band-equality self-joins (each bucket |corpus|/256 docs on uniform
+    * hashes), never the all-pairs product. Same output as the quadratic
+    * scan, but the candidate stage is a shuffle join on a byte key that
+    * survives a 1000× corpus — PROVIDED the hash bits are near-uniform.
+    * On low-entropy corpora (tiny vocabulary → correlated bits) buckets
+    * degenerate toward the full corpus and `banded = false` (broadcast
+    * nested-loop + codegen'd hamming, fine to ~10⁴ docs) wins; measured
+    * 4× faster quadratic on the 5 k-doc synthetic fixture, which is why
+    * the gate query pins banded = false and DedupSpec pins
+    * banded-equals-quadratic equality. */
+  def simHashNearPairs(docs: DataFrame, idCol: Column, textCol: Column,
+                       maxDist: Int = 1, banded: Boolean = true): DataFrame = {
+    require(maxDist <= 1, "2-band pigeonhole only covers hamming <= 1")
+    val sh = simHash16(docs, idCol, textCol)
+    if (!banded) {
+      val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      return a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          graft.functions.BitOps.hamming64(col("h1"), col("h2"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    }
+    val byBand = sh.select(col("doc_id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"),
+            col("simhash").bitwiseAND(lit(255L)).as("bv")),
+          struct(lit(1).as("band"),
+            shiftright(col("simhash"), 8).bitwiseAND(lit(255L)).as("bv")))).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val a = byBand.select(col("band"), col("bv"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = byBand.select(col("band"), col("bv"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        graft.functions.BitOps.hamming64(col("h1"), col("h2"))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the
     * b-th hex digit of md5(token); bit set iff the vote sum is positive.
     * 16 bits keeps the oracle SQL finite while exercising the real

@@ -118,15 +118,11 @@ object AdvancedQueries {
       |FROM events GROUP BY 1""".stripMargin
 
   // ── SimHash near-pairs via the native hamming64 Expression ─────────────
-  private val simhashNearPairs: Q = (s, dir) => {
-    val sh = DedupOps.simHash16(Tables.documents(s, dir), col("doc_id"), col("text"))
-    val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
-    val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
-    a.join(b, col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        BitOps.hamming64(col("h1"), col("h2")).cast("long").as("hamming"))
-      .filter(col("hamming") <= 1)
-  }
+  // banded = false: the synthetic corpus's tiny vocabulary makes simhash
+  // bits correlate, so pigeonhole buckets degenerate (see DedupOps note)
+  private val simhashNearPairs: Q = (s, dir) =>
+    DedupOps.simHashNearPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), maxDist = 1, banded = false)
 
   private val simhashNearPairsSql = {
     // reuse the simhash oracle as a CTE, then pair on hamming distance

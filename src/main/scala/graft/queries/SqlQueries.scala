@@ -9,10 +9,17 @@ import graft.sources.Tables
   */
 object SqlQueries {
 
+  // memoized per (session, dir): view registration re-reads eight parquet
+  // footers otherwise, which dominated these queries' wall time (~1 s)
+  private val registered = scala.collection.mutable.Set[(Int, String)]()
+
   private def registerViews(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    Seq("lineitem", "orders", "customer", "supplier", "part",
-      "nation", "region", "documents").foreach { t =>
-      Tables.table(s, dir, t).createOrReplaceTempView(t)
+    synchronized {
+      if (registered.add((System.identityHashCode(s), dir)))
+        Seq("lineitem", "orders", "customer", "supplier", "part",
+          "nation", "region", "documents").foreach { t =>
+          Tables.table(s, dir, t).createOrReplaceTempView(t)
+        }
     }
 
   /** TPC-H Q1 shape submitted as SQL text (same semantics as `q1_agg`,

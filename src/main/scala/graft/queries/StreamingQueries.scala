@@ -21,6 +21,20 @@ object StreamingQueries {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Run `f` with a reduced shuffle-partition count. A streaming query
+    * pins its STATE partitioning to `spark.sql.shuffle.partitions` at
+    * start, and every micro-batch then pays one state-store instance
+    * (for RocksDB: one native DB open/commit) per partition — at the
+    * gate's data scale, 32 partitions is pure overhead (measured 8.6 s →
+    * ~2 s). State partition count is a per-deployment sizing knob, not a
+    * semantic: at cluster scale you size it to executors × cores. */
+  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+                                     n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw
   // int64 nanos (nanosAsLong) and floor-converts in-plan via the shared
   // Schemas.tsFromNanos contract.
@@ -38,11 +52,13 @@ object StreamingQueries {
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
     val sink = s"streaming_unique_users_${runSeq.incrementAndGet()}"
-    val q = counts.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 4) {
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(sink).select(
       unix_timestamp(col("window_start")).as("minute"),
       col("unique_users"))
@@ -76,9 +92,11 @@ object StreamingQueries {
         .as[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)
       val sink = s"streaming_running_distinct_${runSeq.incrementAndGet()}"
-      val q = out.toDF().writeStream.format("memory").queryName(sink)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      withStatePartitions(s, 4) {
+        val q = out.toDF().writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table(sink).select(col("bucket").as("minute"),
         col("uniqueUsers").as("unique_users"))
     } finally {

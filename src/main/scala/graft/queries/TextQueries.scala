@@ -223,8 +223,9 @@ object TextQueries {
     val toks = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // tf is already one row per (doc, term): derive document frequency
+    // from it instead of re-exploding + distinct-ing the corpus
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n"))
     val scored = tf.join(broadcast(df), Seq("w")).crossJoin(broadcast(n))
       .withColumn("tfidf",

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.DedupOps
+import graft.sources.Tables
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -62,6 +63,17 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L) && sh(0L) == sh(3L)) // token-set based → permutation-equal
     assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("simHashNearPairs: banded pigeonhole equals the quadratic scan") {
+    val fixture = Tables.documents(spark, sf001)
+    def run(banded: Boolean) =
+      DedupOps.simHashNearPairs(fixture, $"doc_id", $"text",
+          maxDist = 1, banded = banded)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q = run(banded = false)
+    assert(q.nonEmpty) // fixture plants near-dups; empty would test nothing
+    assert(run(banded = true) == q)
   }
 
   test("lsh finds the planted near-dup pairs in testdata documents") {
