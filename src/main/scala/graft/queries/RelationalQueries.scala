@@ -142,6 +142,31 @@ object RelationalQueries {
       |      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
       |WHERE rn <= 3""".stripMargin
 
+  // ── RANGE-frame window: rolling 30-day spend per customer ──────────────
+  // Event-time range frame (vs the ROWS frames above): the frame holds all
+  // peer orders within the trailing 30 days by VALUE, not by row offset.
+  // Spark's rangeBetween needs a numeric order key → epoch seconds; the
+  // oracle orders by the same integer so frame boundaries agree exactly.
+  private val rollingRevenue30d: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("od_epoch"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, dir)
+      .withColumn("od_epoch", unix_timestamp(col("o_orderdate")))
+      .withColumn("rev_30d", round(sum(col("o_totalprice")).over(w), 2))
+      .withColumn("n_30d", count(lit(1)).over(w).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("rev_30d"), col("n_30d"))
+  }
+
+  private val rollingRevenue30dSql =
+    """SELECT o_custkey, o_orderkey,
+      |       round(sum(o_totalprice) OVER w, 2) AS rev_30d,
+      |       CAST(count(*) OVER w AS BIGINT) AS n_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   // ── Analytic window-function surface (ntile/ranks/distribution/nth) ────
   private val windowAnalytics: Q = (s, dir) => {
     val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
@@ -297,6 +322,7 @@ object RelationalQueries {
     "cube_orders"         -> cubeOrders,
     "window_rank_orders"  -> windowRankOrders,
     "window_analytics"    -> windowAnalytics,
+    "rolling_revenue_30d" -> rollingRevenue30d,
     "semi_join_customers" -> semiJoinCustomers,
     "anti_join_customers" -> antiJoinCustomers,
     "outer_join_orders"   -> outerJoinOrders,
@@ -314,6 +340,7 @@ object RelationalQueries {
     "cube_orders"         -> cubeOrdersSql,
     "window_rank_orders"  -> windowRankOrdersSql,
     "window_analytics"    -> windowAnalyticsSql,
+    "rolling_revenue_30d" -> rollingRevenue30dSql,
     "semi_join_customers" -> semiJoinCustomersSql,
     "anti_join_customers" -> antiJoinCustomersSql,
     "outer_join_orders"   -> outerJoinOrdersSql,

@@ -152,12 +152,51 @@ object SimilarityQueries {
        |WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $CosDupThreshold""".stripMargin
   }
 
+  // ── unit-normalization (the standard pre-step before cosine ANN) ───────
+  // Emitted per-dimension (vec_id, dim, nv) so the gate hash-compares
+  // scalar doubles — cross-engine double→string array formatting is not
+  // stable, exploded scalars are.
+  private val embeddingNormalize: Q = (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorOps.norm(col("embedding")).as("nrm"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("col").cast("double") / col("nrm"), 6).as("nv"))
+
+  private val embeddingNormalizeSql =
+    """WITH ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |                   generate_subscripts(embedding, 1) AS i
+      |            FROM embeddings),
+      |norms AS (SELECT vec_id AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1)
+      |SELECT vec_id, CAST(i AS BIGINT) AS dim, round(v / nrm, 6) AS nv
+      |FROM ce JOIN norms ON vid = vec_id""".stripMargin
+
+  // ── per-language centroids (k-means-style mean vectors) ────────────────
+  // One shuffle: explode to (lang, dim, v), partial-aggregated avg per
+  // (lang, dim) — the map-side-combinable formulation of vector mean,
+  // which is how centroid updates stay linear at corpus scale.
+  private val embeddingCentroids: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(col("lang"), posexplode(col("embedding")))
+      .groupBy(col("lang"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+
+  private val embeddingCentroidsSql =
+    """SELECT lang, CAST(i AS BIGINT) AS dim, round(avg(v), 6) AS centroid
+      |FROM (SELECT d.lang, CAST(unnest(e.embedding) AS DOUBLE) AS v,
+      |             generate_subscripts(e.embedding, 1) AS i
+      |      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "knn_bruteforce"  -> knnBruteforce,
     "ivf_assign"      -> ivfAssignQ,
     "knn_ivf"         -> knnIvf,
     "ann_lsh_buckets" -> annLshBuckets,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "embedding_normalize"    -> embeddingNormalize,
+    "embedding_centroids"    -> embeddingCentroids,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,5 +205,7 @@ object SimilarityQueries {
     "knn_ivf"         -> knnIvfSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "embedding_normalize"    -> embeddingNormalizeSql,
+    "embedding_centroids"    -> embeddingCentroidsSql,
   )
 }
