@@ -33,6 +33,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count(distinct") || p.contains("partial_count(DISTINCT"), p)
   }
 
+  test("minhash_signatures: numeric min buffers keep the HashAggregate path") {
+    val p = plan("minhash_signatures")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"),
+      "string-typed min buffers regressed the signature agg to SortAggregate")
+  }
+
+  test("knn_bruteforce: norms computed per side before the join, not per pair") {
+    val p = plan("knn_bruteforce")
+    // the post-join projection must divide by the precomputed norm columns;
+    // a SQRT after the join means the norm moved back into the pair loop
+    val postJoin = p.split("BroadcastNestedLoopJoin").head
+    assert(!postJoin.contains("SQRT"),
+      s"norm recomputed per candidate pair (quadratic, was linear):\n$p")
+    assert(p.contains("SQRT(dot("), "per-side norm projections missing")
+  }
+
+  test("rolling_revenue_30d: single shuffle, value-based range frame") {
+    val p = plan("rolling_revenue_30d")
+    assert(p.contains("specifiedwindowframe(RangeFrame"), p)
+    assert(p.split("Exchange").length - 1 == 1,
+      "rolling window should cost exactly one hash-partition exchange")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
