@@ -9,8 +9,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain("formatted")`: `PushedFilters`, `ReadSchema`).
   */
 object Tables {
+  // Memoized per (session, dir, name): a DataFrame is an immutable logical
+  // plan, and reusing it reuses the resolved relation's file listing and
+  // parquet footer schema — re-reading those per query was a flat ~0.1 s
+  // tax on every entry in the registry. The testdata directories are
+  // immutable for a session's lifetime, so the cached listing cannot go
+  // stale; a session restart gets a fresh identity and fresh entries.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot represent — the reader rejects it outright
