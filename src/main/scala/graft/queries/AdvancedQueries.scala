@@ -12,6 +12,25 @@ import graft.time.TimeOps
   */
 object AdvancedQueries {
 
+  // ── approximate quantiles (sketch path; rows-only check like
+  // approx_unique_users — an approximation has no cross-engine oracle).
+  // percentile_approx is the single-pass mergeable-sketch quantile: at
+  // corpus scale the exact sort-based percentile in stats_agg is the
+  // oracle anchor, this is the one you actually run on 100 TB. ────────────
+  private val approxQuantilesPrice: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.9), 10000)")
+          .as("price_quartiles"),
+        expr("approx_count_distinct(o_custkey)").as("approx_custs"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("price_quartiles"), 1), 2).as("p25"),
+        round(element_at(col("price_quartiles"), 2), 2).as("p50"),
+        round(element_at(col("price_quartiles"), 3), 2).as("p75"),
+        round(element_at(col("price_quartiles"), 4), 2).as("p90"),
+        col("approx_custs"))
+
   // ── statistical aggregates (stddev/var/corr/covar/exact percentile) ────
   private val statsAgg: Q = (s, dir) =>
     Tables.lineitem(s, dir)
@@ -222,6 +241,7 @@ object AdvancedQueries {
     "token_stats_regex"    -> tokenStatsRegex,
     "char_fingerprint"     -> charFingerprint,
     "stats_agg"            -> statsAgg,
+    "approx_quantiles_price" -> approxQuantilesPrice, // rows-only: approx sketch
     "pivot_events"         -> pivotEvents,
     "grouping_sets_events" -> groupingSetsEvents,
     "scalar_subquery"      -> scalarSubquery,
