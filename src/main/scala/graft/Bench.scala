@@ -25,7 +25,14 @@ object Bench {
     // hotspot (e.g. SPARK_GRAFT_ONLY=minhash_lsh_pairs); driver leaves
     // it unset and benches the full registry.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an unknown name must fail loudly — a silent empty filter would emit
+    // a plausible 0-second "clean" line that a consumer records as a pass
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in registry: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 

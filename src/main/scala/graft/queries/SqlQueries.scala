@@ -9,13 +9,21 @@ import graft.sources.Tables
   */
 object SqlQueries {
 
-  // memoized per (session, dir): view registration re-reads eight parquet
-  // footers otherwise, which dominated these queries' wall time (~1 s)
-  private val registered = scala.collection.mutable.Set[(Int, String)]()
+  // Memoized per session: view registration re-reads eight parquet footers
+  // otherwise, which dominated these queries' wall time (~1 s). Temp view
+  // names are catalog-global, so the memo records WHICH dir a session's
+  // views currently point at and re-registers whenever it changes —
+  // skipping on a (session, dir) pair alone would silently serve a
+  // previously-registered dir's data after a switch back. Keyed by the
+  // session object (identity equality) with stopped sessions evicted, not
+  // by identityHashCode, which a later session could collide with.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, String]()
 
   private def registerViews(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     synchronized {
-      if (registered.add((System.identityHashCode(s), dir)))
+      registeredDir.keySet.removeIf(x => x.sparkContext.isStopped)
+      if (registeredDir.put(s, dir) != dir)
         Seq("lineitem", "orders", "customer", "supplier", "part",
           "nation", "region", "documents").foreach { t =>
           Tables.table(s, dir, t).createOrReplaceTempView(t)

@@ -15,17 +15,19 @@ object Tables {
   // tax on every entry in the registry. The testdata directories are
   // immutable for a session's lifetime, so the cached listing cannot go
   // stale; a session restart gets a fresh identity and fresh entries.
-  // WeakHashMap keyed by the session object (SparkSession equality is
-  // identity): a stopped session's entries vanish with it, and no hash
-  // collision can ever resurface a DataFrame bound to a dead session.
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+  // Keyed by the session object (SparkSession equality is identity), with
+  // stopped sessions explicitly evicted on access — a WeakHashMap can't do
+  // this job because the cached DataFrames strongly reference their session,
+  // which would pin the "weak" entry forever.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(s => s.sparkContext.isStopped)
     cache.computeIfAbsent(spark,
         _ => new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]())
       .computeIfAbsent((dir, name), _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (µs) cannot represent — the reader rejects it outright

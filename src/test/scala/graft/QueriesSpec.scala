@@ -9,6 +9,18 @@ import org.apache.spark.sql.functions._
   */
 class QueriesSpec extends SparkSpec {
 
+  test("sql queries re-register temp views when the data directory changes") {
+    // temp view names are catalog-global: a memoized registration that
+    // keys on (session, dir) alone serves the PREVIOUS dir's data after
+    // a switch back — this pins the dir-change invalidation
+    val sf0001 = "/root/testdata/sf0.01"
+    val a  = Queries.all("sql_q1")(spark, sf001).agg(sum("count_order")).head().getLong(0)
+    val b  = Queries.all("sql_q1")(spark, sf0001).agg(sum("count_order")).head().getLong(0)
+    val a2 = Queries.all("sql_q1")(spark, sf001).agg(sum("count_order")).head().getLong(0)
+    assert(a == a2, "switching back to the first dir must serve its data again")
+    assert(a != b, "different scale factors must differ (else the test is vacuous)")
+  }
+
   test("driver smoke contract: entry() returns rows on a plain session") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
