@@ -55,4 +55,35 @@ object AsOfJoin {
       .select(left.columns.map(c => col(s"_l.$c").as(c)) ++
         rightVals.map { case (n, _) => col(s"_carried.$n").as(s"asof_$n") }: _*)
   }
+
+  /** Native as-of join — the custom whole-operator path (preference (c)):
+    * `plans.AsOfJoinPlan` → `GraftStrategy` → `plans.AsOfJoinExec`, a
+    * single streaming merge per co-partitioned sorted partition instead of
+    * the union + window composition above (same two shuffles, no window
+    * frame buffering, each side keeps its own schema).
+    *
+    * Columns are resolved BY NAME against each side; disambiguate by
+    * renaming before the call (output = left columns ++ right columns, so
+    * shared names would be ambiguous downstream). Semantics are identical
+    * to `asOf` — AsOfJoinSpec pins the two paths row-for-row equal. */
+  def asOfNative(left: DataFrame, right: DataFrame,
+                 keyCol: String, timeCol: String,
+                 rightKeyCol: String, rightTimeCol: String,
+                 rightTiebreakCol: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftStrategy.install(spark)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val lPlan = ColumnBridge.analyzed(left)
+    val rPlan = ColumnBridge.analyzed(right)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      Seq(attr(lPlan, keyCol)), Seq(attr(rPlan, rightKeyCol)),
+      attr(lPlan, timeCol), attr(rPlan, rightTimeCol),
+      attr(rPlan, rightTiebreakCol)))
+  }
 }

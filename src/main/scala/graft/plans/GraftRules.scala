@@ -48,6 +48,8 @@ object GraftRules {
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftRules.rules.foreach(r => e.injectOptimizerRule(_ => r))
+    e.injectPlannerStrategy(_ => GraftStrategy)
+  }
 }

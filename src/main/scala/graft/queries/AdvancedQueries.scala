@@ -181,6 +181,23 @@ object AdvancedQueries {
       |      FROM u)
       |SELECT event_id, k AS user_id, asof_click_id FROM c WHERE side = 1""".stripMargin
 
+  // ── as-of via the custom physical operator (same oracle as composed) ───
+  // The whole-operator extension path: AsOfJoinPlan → GraftStrategy →
+  // AsOfJoinExec (single merge pass per sorted co-partition). Gated
+  // against the SAME DuckDB oracle as asof_click_attribution, so the
+  // custom exec's semantics are pinned to the composed operator's.
+  private val asofNativeAttribution: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    graft.operators.AsOfJoin.asOfNative(purchases, clicks,
+        "user_id", "ts", "click_user", "click_ts", "click_id")
+      .select(col("event_id"), col("user_id"), col("click_id").as("asof_click_id"))
+  }
+
   // ── explicit sort-merge join (big⋈big strategy control) ────────────────
   private val joinSortMerge: Q = (s, dir) =>
     Tables.lineitem(s, dir).hint("merge")
@@ -237,6 +254,7 @@ object AdvancedQueries {
 
   val all: Map[String, Q] = Map(
     "asof_click_attribution" -> asofClickAttribution,
+    "asof_native_attribution" -> asofNativeAttribution,
     "join_sort_merge"      -> joinSortMerge,
     "token_stats_regex"    -> tokenStatsRegex,
     "char_fingerprint"     -> charFingerprint,
@@ -252,6 +270,7 @@ object AdvancedQueries {
 
   val oracles: Map[String, String] = Map(
     "asof_click_attribution" -> asofClickAttributionSql,
+    "asof_native_attribution" -> asofClickAttributionSql, // same oracle: custom exec pinned to composed semantics
     "join_sort_merge"      -> joinSortMergeSql,
     "token_stats_regex"    -> tokenStatsRegexSql,
     "char_fingerprint"     -> charFingerprintSql,
