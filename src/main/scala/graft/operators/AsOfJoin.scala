@@ -80,10 +80,14 @@ object AsOfJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
+    val (lt, rt) = (attr(lPlan, timeCol), attr(rPlan, rightTimeCol))
+    // mismatched time types would compare raw internal values (e.g. micros
+    // vs seconds) and silently mis-join — fail at construction instead
+    require(lt.dataType == rt.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
       Seq(attr(lPlan, keyCol)), Seq(attr(rPlan, rightKeyCol)),
-      attr(lPlan, timeCol), attr(rPlan, rightTimeCol),
-      attr(rPlan, rightTiebreakCol)))
+      lt, rt, attr(rPlan, rightTiebreakCol)))
   }
 }

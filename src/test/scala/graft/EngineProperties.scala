@@ -96,6 +96,29 @@ object EngineProperties extends Properties("engine") {
       }
     }
 
+  property("asOfNative ≡ brute-force latest-right-at-or-before, for random keyed data") =
+    Prop.forAll(genAsofData) { case (l, r) =>
+      l.isEmpty || {
+        import org.apache.spark.sql.functions.timestamp_seconds
+        val left = l.toDF("k", "t", "lid")
+          .select($"k", timestamp_seconds($"t").as("t"), $"lid")
+        val right = r.toDF("rk", "rt", "rid")
+          .select($"rk", timestamp_seconds($"rt").as("rt"), $"rid")
+        val got = graft.operators.AsOfJoin.asOfNative(left, right,
+            "k", "t", "rk", "rt", "rid")
+          .collect()
+          .map(row => row.getAs[Long]("lid") ->
+            Option(row.getAs[Any]("rid")).map(_.asInstanceOf[Long]))
+          .toMap
+        val want = l.map { case (k, t, lid) =>
+          val cands = r.filter(x => x._1 == k && x._2 <= t)
+          lid -> (if (cands.isEmpty) None
+                  else Some(cands.maxBy(x => (x._2, x._3))._3))
+        }.toMap
+        got == want
+      }
+    }
+
   property("canonical fingerprint ignores case and extra spaces") =
     Prop.forAll(genWords) { words =>
       val base = words.mkString(" ")
