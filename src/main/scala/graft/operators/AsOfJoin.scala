@@ -81,13 +81,31 @@ object AsOfJoin {
         throw new IllegalArgumentException(
           s"column '$name' not found among ${plan.output.map(_.name).mkString(", ")}"))
     val (lt, rt) = (attr(lPlan, timeCol), attr(rPlan, rightTimeCol))
-    // mismatched time types would compare raw internal values (e.g. micros
-    // vs seconds) and silently mis-join — fail at construction instead
+    val (lk, rk) = (attr(lPlan, keyCol), attr(rPlan, rightKeyCol))
+    // fail-fast guards: each of these would otherwise produce silently
+    // wrong data, not an error —
+    // 1. mismatched time types compare raw internal values (micros vs
+    //    seconds);
     require(lt.dataType == rt.dataType,
       s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // 2. mismatched key types make the merge ordering read garbage (the
+    //    ordering is built from the LEFT key type and applied to both);
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    // 3. float keys skip the optimizer's NormalizeFloatingNumbers (it only
+    //    rewrites built-in Join/Aggregate/Window), so -0.0/0.0 and NaN
+    //    would mis-compare;
+    require(lk.dataType != org.apache.spark.sql.types.DoubleType &&
+        lk.dataType != org.apache.spark.sql.types.FloatType,
+      s"as-of keys must be integral/string/etc, not ${lk.dataType} (float " +
+        "normalization is undefined for the custom exec)")
+    // 4. shared attribute ids (self-join without re-aliasing) bind right
+    //    output columns to LEFT ordinals — right columns silently mirror
+    //    left values.
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "left and right share attribute ids (self-join?); re-alias every " +
+        "right column (e.g. df.select(cols renamed)) before asOfNative")
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
-      lPlan, rPlan,
-      Seq(attr(lPlan, keyCol)), Seq(attr(rPlan, rightKeyCol)),
-      lt, rt, attr(rPlan, rightTiebreakCol)))
+      lPlan, rPlan, Seq(lk), Seq(rk), lt, rt, attr(rPlan, rightTiebreakCol)))
   }
 }

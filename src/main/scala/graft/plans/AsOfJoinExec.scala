@@ -50,16 +50,12 @@ case class AsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     // local (not a member): the partition closure must capture expressions
-    // only, never `this` — serializing the exec would drag the plan tree
-    def timeOf(e: Expression, input: Seq[Attribute]): InternalRow => Option[Long] = {
+    // only, never `this` — serializing the exec would drag the plan tree.
+    // Returns the raw eval (null or boxed integral) — the merge loop
+    // evaluates once per row into locals instead of allocating Options.
+    def timeOf(e: Expression, input: Seq[Attribute]): InternalRow => Any = {
       val bound = BindReferences.bindReference(e, input)
-      row => bound.eval(row) match {
-        case null      => None
-        case l: Long   => Some(l)
-        case i: Int    => Some(i.toLong)
-        case other     => throw new IllegalStateException(
-          s"as-of time must be timestamp/long, got $other")
-      }
+      row => bound.eval(row)
     }
     val lOut = left.output
     val rOut = right.output
@@ -104,23 +100,35 @@ case class AsOfJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
+        private def asLong(v: Any): Long = v match {
+          case l: Long => l
+          case i: Int  => i.toLong
+          case other   => throw new IllegalStateException(
+            s"as-of time must be timestamp/long, got $other")
+        }
+
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lT = lTimeOf(lRow)
-          val leftJoinable = !lKey.anyNull && lT.isDefined
+          val lTRaw = lTimeOf(lRow)
+          val leftJoinable = !lKey.anyNull && lTRaw != null
+          val lT = if (leftJoinable) asLong(lTRaw) else 0L
           var done = !rHasRow
           while (!done) {
             val rKey = rKeyProj(rRow)
-            val joinable = !rKey.anyNull
+            val rTRaw = rTimeOf(rRow) // once per row, no Option boxing
+            val rJoinable = !rKey.anyNull && rTRaw != null
             val cmp = keyOrd.compare(rKey, lKey)
+            // null-key or null-time rights can never match ANY left row:
+            // consume them whenever their key group is reached, or they
+            // would stall the merge and starve the rest of their group
             val consume =
-              if (!joinable) cmp <= 0 // skip null-key rights in key order
-              else if (cmp < 0) true
-              else if (cmp == 0 && leftJoinable) rTimeOf(rRow).exists(_ <= lT.get)
-              else false
+              if (cmp < 0) true
+              else if (cmp > 0) false
+              else if (!rJoinable) true
+              else leftJoinable && asLong(rTRaw) <= lT
             if (consume) {
-              if (joinable && cmp == 0 && rTimeOf(rRow).isDefined) {
+              if (rJoinable && cmp == 0) {
                 cand = rRow.copy()
                 candKey = rKey.copy()
               }

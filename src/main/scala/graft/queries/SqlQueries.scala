@@ -23,11 +23,17 @@ object SqlQueries {
   private def registerViews(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     synchronized {
       registeredDir.keySet.removeIf(x => x.sparkContext.isStopped)
-      if (registeredDir.put(s, dir) != dir)
+      if (registeredDir.get(s) != dir) {
         Seq("lineitem", "orders", "customer", "supplier", "part",
           "nation", "region", "documents").foreach { t =>
           Tables.table(s, dir, t).createOrReplaceTempView(t)
         }
+        // recorded only AFTER all eight registrations succeed: marking
+        // first would make a partial failure un-retryable (the memo would
+        // claim the dir is registered while some views still point at the
+        // previous dir)
+        registeredDir.put(s, dir)
+      }
     }
 
   /** TPC-H Q1 shape submitted as SQL text (same semantics as `q1_agg`,

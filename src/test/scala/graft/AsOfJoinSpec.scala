@@ -58,6 +58,46 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("l3").isEmpty)        // right row is after the left row
   }
 
+  test("asOfNative: a null-time right row must not starve its key group") {
+    // null times sort NULLS FIRST; if the merge refuses to consume the
+    // null-time row, every later (valid) right row of key 1 is unreachable
+    val left = Seq((1L, Some(ts(20)), "l1")).toDF("k", "t", "lbl")
+    val right = Seq(
+      (1L, None: Option[Timestamp], 900L),
+      (1L, Some(ts(10)), 901L)).toDF("rk", "rt", "rid")
+    val out = AsOfJoin.asOfNative(left, right, "k", "t", "rk", "rt", "rid")
+      .collect().map(r => r.getAs[String]("lbl") ->
+        Option(r.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    assert(out("l1").contains(901L))
+  }
+
+  test("asOfNative fail-fast guards reject silently-wrong configurations") {
+    val left = Seq((1L, ts(1), "x")).toDF("k", "t", "lbl")
+    val right = Seq((1L, ts(1), 1L)).toDF("rk", "rt", "rid")
+    // self-join without re-aliasing: shared attribute ids
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left, left, "k", "t", "k", "t", "lbl")
+    }
+    // mismatched key types
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left,
+        right.select($"rk".cast("string").as("rk"), $"rt", $"rid"),
+        "k", "t", "rk", "rt", "rid")
+    }
+    // mismatched time types
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left,
+        right.select($"rk", $"rt".cast("long").as("rt"), $"rid"),
+        "k", "t", "rk", "rt", "rid")
+    }
+    // fractional keys (no NormalizeFloatingNumbers on the custom node)
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(left.select($"k".cast("double").as("k"), $"t", $"lbl"),
+        right.select($"rk".cast("double").as("rk"), $"rt", $"rid"),
+        "k", "t", "rk", "rt", "rid")
+    }
+  }
+
   test("asOfNative matches the composed asOf row-for-row on real event data") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val purchases = ev.filter($"event_type" === "purchase")
