@@ -66,6 +66,39 @@ object Multimodal {
                (implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     media.mapPartitions(_.map(r => decoder(r.media_id, r.media_type, r.payload)))
 
+  /** One sampled frame of a media payload. */
+  final case class FrameRecord(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Frame sampling: split the payload into fixed-size frames and keep
+    * every `stride`-th — the 1→N generator shape of real video sampling
+    * (decode replaced by byte chunking; a real codec changes only the
+    * chunk step). Lazy iterator-to-iterator: `grouped` over the byte
+    * array never materializes the frame list, so a partition's memory is
+    * one payload + one frame regardless of media length. */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int, stride: Int)
+                 (implicit enc: org.apache.spark.sql.Encoder[FrameRecord]): Dataset[FrameRecord] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    media.mapPartitions(_.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => FrameRecord(r.media_id, i, chunk)
+      }
+    })
+  }
+
+  /** Resize stub: deterministic downsample of a frame to ≤ `targetBytes`
+    * by dropping every step-th byte (??? in production terms: the real
+    * bilinear/area resize; same 1→1 partition-wise shape and output
+    * contract — bounded-size frames). */
+  def resizeStub(frames: Dataset[FrameRecord], targetBytes: Int)
+                (implicit enc: org.apache.spark.sql.Encoder[FrameRecord]): Dataset[FrameRecord] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    frames.mapPartitions(_.map { f =>
+      val step = math.max(1, math.ceil(f.frame.length.toDouble / targetBytes).toInt)
+      FrameRecord(f.media_id, f.frame_idx,
+        f.frame.indices.collect { case i if i % step == 0 => f.frame(i) }.toArray)
+    })
+  }
+
   /** Expression-level metadata features — the cheap path that needs no
     * decode and stays inside whole-stage codegen: size, hash, magic-byte
     * prefix. Use before shuffling or routing payloads. */

@@ -28,6 +28,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(f => f.n_bytes == -1L && f.checksum == -1L))
   }
 
+  test("frameSample chunks payloads and keeps every stride-th frame") {
+    val frames = Multimodal.frameSample(media, frameBytes = 32, stride = 2)
+      .collect().groupBy(_.media_id)
+    // 4-byte image: one 4-byte chunk, idx 0 kept
+    assert(frames(1L).map(f => (f.frame_idx, f.frame.length)).toSeq == Seq((0, 4)))
+    // 100-byte video → chunks 32,32,32,4 (idx 0..3); stride 2 keeps 0 and 2
+    assert(frames(2L).map(_.frame_idx).sorted.toSeq == Seq(0, 2))
+    assert(frames(2L).forall(_.frame.length == 32))
+    assert(!frames.contains(3L)) // empty payload yields no frames
+  }
+
+  test("resizeStub bounds frame size and is deterministic") {
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 1)
+    val resized = Multimodal.resizeStub(frames, targetBytes = 10).collect()
+    assert(resized.nonEmpty)
+    assert(resized.forall(_.frame.length <= 10))
+    val again = Multimodal.resizeStub(frames, targetBytes = 10).collect()
+    assert(resized.map(_.frame.toSeq).toSeq == again.map(_.frame.toSeq).toSeq)
+  }
+
   test("payloadMeta matches featurize on byte length") {
     val meta = Multimodal.payloadMeta(media.toDF(),
         org.apache.spark.sql.functions.col("media_id"),
