@@ -64,7 +64,10 @@ object Multimodal {
     * per-partition materialization, preserves input partitioning. */
   def featurize(media: Dataset[MediaRecord], decoder: Decoder = Decoder.fake)
                (implicit enc: org.apache.spark.sql.Encoder[MediaFeatures]): Dataset[MediaFeatures] =
-    media.mapPartitions(_.map(r => decoder(r.media_id, r.media_type, r.payload)))
+    // null payloads read as empty: decoders see bytes, never null (and the
+    // SQL-side oracles drop/zero null media rather than erroring)
+    media.mapPartitions(_.map(r => decoder(r.media_id, r.media_type,
+      if (r.payload == null) Array.emptyByteArray else r.payload)))
 
   /** One sampled frame of a media payload. */
   final case class FrameRecord(media_id: Long, frame_idx: Int, frame: Array[Byte])
@@ -79,23 +82,26 @@ object Multimodal {
                  (implicit enc: org.apache.spark.sql.Encoder[FrameRecord]): Dataset[FrameRecord] = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     media.mapPartitions(_.flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex.collect {
+      // null payload ≡ empty: zero frames, matching the SQL oracle's
+      // range(0, NULL) → no rows (a raw grouped would NPE the job)
+      val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+      payload.grouped(frameBytes).zipWithIndex.collect {
         case (chunk, i) if i % stride == 0 => FrameRecord(r.media_id, i, chunk)
       }
     })
   }
 
   /** Resize stub: deterministic downsample of a frame to ≤ `targetBytes`
-    * by dropping every step-th byte (??? in production terms: the real
-    * bilinear/area resize; same 1→1 partition-wise shape and output
-    * contract — bounded-size frames). */
+    * by KEEPING every step-th byte, step = ceil(len/target) (??? in
+    * production terms: the real bilinear/area resize; same 1→1
+    * partition-wise shape and output contract — bounded-size frames). */
   def resizeStub(frames: Dataset[FrameRecord], targetBytes: Int)
                 (implicit enc: org.apache.spark.sql.Encoder[FrameRecord]): Dataset[FrameRecord] = {
     require(targetBytes > 0, "targetBytes must be positive")
     frames.mapPartitions(_.map { f =>
       val step = math.max(1, math.ceil(f.frame.length.toDouble / targetBytes).toInt)
       FrameRecord(f.media_id, f.frame_idx,
-        f.frame.indices.collect { case i if i % step == 0 => f.frame(i) }.toArray)
+        (0 until f.frame.length by step).map(f.frame).toArray)
     })
   }
 

@@ -7,8 +7,9 @@ import graft.sources.Tables
 /** Multimodal-column surface in the correctness gate. The testdata has no
   * real media, so document text bytes stand in as the opaque payload —
   * which exercises the identical plumbing (binary column in, per-payload
-  * features out). The mapPartitions decode path is covered in
-  * MultimodalSpec; this query covers the codegen'd expression-level path.
+  * features out). `multimodal_meta` covers the codegen'd expression-level
+  * path; `multimodal_frames` oracle-checks the typed mapPartitions path
+  * itself (frame sampling); decode/resize internals are in MultimodalSpec.
   */
 object MultimodalQueries {
 
