@@ -254,6 +254,35 @@ object TextQueries {
       |      FROM scored)
       |WHERE rnk <= 5""".stripMargin
 
+  // ── repetition score (n-gram repetition quality signal) ────────────────
+  // 1 - unique_bigrams/bigrams: the standard "repetitive document" filter
+  // in training-data pipelines (high ratio = boilerplate/spam). Join-free
+  // single pass: both counts come from one materialized bigram array.
+  private val repetitionScore: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), TextFunctions.shinglesOf(col("ws"), 2).as("bi"))
+      .select(col("doc_id"),
+        size(col("bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bi"))).cast("long").as("n_unique_bigrams"),
+        when(size(col("bi")) > 0,
+          round(lit(1.0) - size(array_distinct(col("bi"))).cast("double") /
+            size(col("bi")), 6)).as("rep_ratio"))
+
+  private val repetitionScoreSql =
+    """WITH tok AS (SELECT doc_id, w, i FROM
+      |             (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i
+      |              FROM (SELECT doc_id, str_split(text,' ') AS ws FROM documents))
+      |             WHERE w <> ''),
+      |bi AS (SELECT doc_id, w || '_' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i) AS g
+      |       FROM tok),
+      |a AS (SELECT doc_id, count(*) AS nb, count(DISTINCT g) AS nu
+      |      FROM bi WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+      |       CAST(coalesce(nu, 0) AS BIGINT) AS n_unique_bigrams,
+      |       CASE WHEN nb > 0 THEN round(1 - CAST(nu AS DOUBLE) / nb, 6) END AS rep_ratio
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -414,6 +443,7 @@ object TextQueries {
   val all: Map[String, Q] = Map(
     "token_stats"         -> tokenStats,
     "text_quality"        -> textQuality,
+    "repetition_score"    -> repetitionScore,
     "lang_id"             -> langId,
     "doc_fingerprint"     -> docFingerprint,
     "text_normalize"      -> textNormalize,
@@ -434,6 +464,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "token_stats"         -> tokenStatsSql,
     "text_quality"        -> textQualitySql,
+    "repetition_score"    -> repetitionScoreSql,
     "lang_id"             -> langIdSql,
     "doc_fingerprint"     -> docFingerprintSql,
     "text_normalize"      -> textNormalizeSql,

@@ -119,6 +119,19 @@ object EngineProperties extends Properties("engine") {
       }
     }
 
+  property("frameSample at stride 1 reassembles the payload exactly") =
+    Prop.forAll(Gen.choose(0, 300), Gen.choose(1, 64)) { (len, frameBytes) =>
+      import graft.multimodal.Multimodal
+      val payload = Array.tabulate(len)(i => (i % 251).toByte)
+      val media = Seq(Multimodal.MediaRecord(7L, "video", payload, Map.empty)).toDS()
+      val frames = Multimodal.frameSample(media, frameBytes, stride = 1)
+        .collect().sortBy(_.frame_idx)
+      val reassembled = frames.flatMap(_.frame)
+      reassembled.sameElements(payload) &&
+        frames.forall(_.frame.length <= frameBytes) &&
+        frames.map(_.frame_idx).toSeq == frames.indices.toSeq
+    }
+
   property("canonical fingerprint ignores case and extra spaces") =
     Prop.forAll(genWords) { words =>
       val base = words.mkString(" ")
