@@ -19,11 +19,11 @@ object Queries {
   val all: Map[String, Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
-      AdvancedQueries.all ++ SqlQueries.all
+      AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
-      AdvancedQueries.oracles ++ SqlQueries.oracles
+      AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles
 }

@@ -189,6 +189,58 @@ object DedupOps {
       .distinct()
   }
 
+  /** Connected components over an undirected pair relation (`d1`, `d2`) —
+    * the step that turns near-dup PAIRS into dedup CLUSTERS (every doc
+    * labeled with the min doc id reachable through any chain of pairs),
+    * so a pipeline can keep one canonical doc per cluster.
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * shuffle-join (edges against current labels) plus one hash aggregate
+    * (min over neighbor labels); lineage is truncated every round with an
+    * eager localCheckpoint so the plan stays O(1) deep regardless of
+    * round count (on a real cluster swap in reliable `checkpoint`).
+    * Rounds needed = graph diameter. Near-dup graphs are quasi-cliques
+    * (pairs come from a similarity threshold, which is near-transitive),
+    * so diameter is small and this beats the O(log n) large-star/
+    * small-star alternating scheme in practice: each of its rounds
+    * rewrites the full EDGE relation, while a propagation round only
+    * rewrites the node-label relation (|V| ≤ |E| rows, usually ≪).
+    *
+    * Termination: converged when no label decreased this round (checked
+    * with a `limit(1).count()` probe on the checkpointed round result, so
+    * the probe re-reads checkpoint blocks, not the whole lineage).
+    * Throws if `maxIter` rounds pass without convergence — a silently
+    * unconverged labeling would be WRONG (two docs of one cluster left
+    * with different labels), never just slow. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster_id"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxIter) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val stepped = labels.as("l")
+        .join(nbrMin.as("m"), col("l.node") === col("m.src"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.cluster_id"),
+            coalesce(col("m.nbr_min"), col("l.cluster_id"))).as("cluster_id"),
+          (coalesce(col("m.nbr_min"), col("l.cluster_id")) <
+            col("l.cluster_id")).as("changed"))
+        .localCheckpoint()
+      converged = stepped.filter(col("changed")).limit(1).count() == 0L
+      labels = stepped.select(col("node"), col("cluster_id"))
+      round += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
   /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the
     * b-th hex digit of md5(token); bit set iff the vote sum is positive.
     * 16 bits keeps the oracle SQL finite while exercising the real

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import graft.sources.Tables
+
+/** File-format source/sink surface beyond parquet: CSV and JSON line
+  * writers + schema'd readers (SURVEY §2.3 "file formats: none in code" —
+  * inherited from Spark, surfaced here as a gated operator).
+  *
+  * The gate query proves the full write→read cycle preserves values: it
+  * writes `orders` to CSV and to JSON-lines, reads both back through
+  * explicit schemas (schema-on-read; no sampling inference pass at scale),
+  * and aggregates each — the oracle is the same aggregate computed by
+  * DuckDB straight from parquet, so any encode/decode drift (quoting,
+  * escaping, double formatting) breaks the hash match.
+  *
+  * Scale notes: the writers shard per input partition (no coalesce — a
+  * single-file write would serialize the job); doubles round-trip exactly
+  * through both formats (Java's shortest-repr `Double.toString` is
+  * read-back exact); CSV strings are quoted only when needed.
+  */
+object SourceQueries {
+
+  private val roundtripSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  private def statusAgg(df: DataFrame, fmt: String): DataFrame =
+    df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .withColumn("fmt", lit(fmt))
+
+  private val formatRoundtrip: Q = (s, dir) => {
+    // per-sfDir scratch dir: concurrent gates on different SFs don't clash
+    val fmtDir = s"${sys.props("java.io.tmpdir")}/graft_fmt_${Integer.toHexString(dir.hashCode)}"
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    base.write.mode("overwrite").option("header", "true").csv(s"$fmtDir/csv")
+    base.write.mode("overwrite").json(s"$fmtDir/json")
+    val csv = s.read.schema(roundtripSchema)
+      .option("header", "true").csv(s"$fmtDir/csv")
+    val json = s.read.schema(roundtripSchema).json(s"$fmtDir/json")
+    statusAgg(csv, "csv").unionByName(statusAgg(json, "json"))
+  }
+
+  private val formatRoundtripSql =
+    """WITH a AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |                  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+      |           FROM orders GROUP BY 1)
+      |SELECT o_orderstatus, n_orders, total_price, 'csv' AS fmt FROM a
+      |UNION ALL
+      |SELECT o_orderstatus, n_orders, total_price, 'json' AS fmt FROM a""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "format_roundtrip" -> formatRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "format_roundtrip" -> formatRoundtripSql)
+}

@@ -283,6 +283,57 @@ object TextQueries {
       |       CASE WHEN nb > 0 THEN round(1 - CAST(nu AS DOUBLE) / nb, 6) END AS rep_ratio
       |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin
 
+  // ── PII detection / redaction ──────────────────────────────────────────
+  // Standard pre-training scrub: count and mask emails, phone numbers, and
+  // URLs. The fixture corpus contains none, so the query first plants
+  // deterministic PII derived from doc_id (same enrichment in the oracle) —
+  // the operator under test is the count+redact pass, which is pure
+  // codegen'd regex (regexp_extract_all / regexp_replace), no UDF.
+  // Patterns are kept to the Java-regex ∩ RE2 common dialect so Spark and
+  // DuckDB compile identical automata.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{4}"
+  private val UrlRe   = "https?://\\S+"
+
+  private val piiScrub: Q = (s, dir) => {
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" via https://ex.org/d/"), col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), enriched.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("t"), lit(UrlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          UrlRe, "<URL>").as("redacted"))
+  }
+
+  private val piiScrubSql =
+    s"""WITH e AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |       || '@example.com or call 555-'
+       |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |       || ' via https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$UrlRe')) AS BIGINT) AS n_urls,
+       |  regexp_replace(regexp_replace(regexp_replace(
+       |    t, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g'),
+       |    '$UrlRe', '<URL>', 'g') AS redacted
+       |FROM e""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -420,6 +471,40 @@ object TextQueries {
        |WHERE round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) >= $Threshold""".stripMargin
   }
 
+  // ── dedup clusters (pairs → connected components) ──────────────────────
+  // The step after near-dup pair mining: label every involved doc with the
+  // min doc id reachable through any chain of LSH-verified pairs, plus the
+  // cluster size — exactly what a pipeline needs to keep one canonical doc
+  // per cluster. Oracle: recursive-CTE reachability closure over the SAME
+  // pair relation, min label per node.
+  private val dedupClusters: Q = (s, dir) => {
+    val pairs = DedupOps.minHashLshPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), ShingleN, NumHashes, Bands, Threshold)
+    DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .select(col("node").as("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"))
+  }
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${minhashLshPairsSql.replace("\n", "\n  ")}
+       |),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |      UNION SELECT d2, d1 FROM pairs),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.src, reach.lbl FROM e JOIN reach ON reach.node = e.dst),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT CAST(node AS BIGINT) AS doc_id,
+       |       CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+       |FROM lab""".stripMargin
+
   // ── SimHash ────────────────────────────────────────────────────────────
   private val simhashDocs: Q = (s, dir) =>
     DedupOps.simHash16(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -444,6 +529,7 @@ object TextQueries {
     "token_stats"         -> tokenStats,
     "text_quality"        -> textQuality,
     "repetition_score"    -> repetitionScore,
+    "pii_scrub"           -> piiScrub,
     "lang_id"             -> langId,
     "doc_fingerprint"     -> docFingerprint,
     "text_normalize"      -> textNormalize,
@@ -458,6 +544,7 @@ object TextQueries {
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
     "minhash_lsh_pairs"   -> minhashLshPairs,
+    "dedup_clusters"      -> dedupClusters,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -465,6 +552,7 @@ object TextQueries {
     "token_stats"         -> tokenStatsSql,
     "text_quality"        -> textQualitySql,
     "repetition_score"    -> repetitionScoreSql,
+    "pii_scrub"           -> piiScrubSql,
     "lang_id"             -> langIdSql,
     "doc_fingerprint"     -> docFingerprintSql,
     "text_normalize"      -> textNormalizeSql,
@@ -479,6 +567,7 @@ object TextQueries {
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,
     "minhash_lsh_pairs"   -> minhashLshPairsSql,
+    "dedup_clusters"      -> dedupClustersSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }

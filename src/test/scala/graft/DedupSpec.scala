@@ -80,4 +80,27 @@ class DedupSpec extends SparkSpec {
     val n = Queries.all("minhash_lsh_pairs")(spark, sf001).count()
     assert(n >= 25, s"expected the ~28 planted near-dup pairs, got $n")
   }
+
+  test("connectedComponents labels chains, keeps components separate") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    // 10-11-12, and an isolated pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)).toDF("d1", "d2")
+    val got = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup_clusters groups the planted lsh pairs consistently") {
+    val rows = Queries.all("dedup_clusters")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      // cluster id is a member (the min one) and sizes are consistent
+      assert(members.exists(_.getAs[Long]("doc_id") == cid))
+      assert(cid == members.map(_.getAs[Long]("doc_id")).min)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
 }
