@@ -57,6 +57,31 @@ class PlanAuditSpec extends SparkSpec {
       "rolling window should cost exactly one hash-partition exchange")
   }
 
+  test("pii_scrub and repetition_score: pure per-row pipelines, zero exchanges") {
+    Seq("pii_scrub", "repetition_score").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("Exchange"),
+        s"$name is a per-row map and must not shuffle:\n$p")
+    }
+  }
+
+  test("dedup_clusters: converged labels need exactly one exchange for sizing") {
+    // the iterative loop runs at call time against checkpointed relations;
+    // the RESULT plan is just the cluster_size window over the final
+    // labels — one hash-partition exchange on cluster_id, nothing else
+    val p = plan("dedup_clusters")
+    assert(p.contains("Window"), p)
+    assert(p.split("Exchange").length - 1 <= 1,
+      s"cluster sizing should cost at most one exchange:\n$p")
+  }
+
+  test("format_roundtrip: reads flow through the csv and json sources") {
+    val p = plan("format_roundtrip")
+    assert(p.toLowerCase.contains("csv") && p.toLowerCase.contains("json"), p)
+    assert(!p.contains("o_orderdate"),
+      "round-trip should only carry the three projected columns")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
