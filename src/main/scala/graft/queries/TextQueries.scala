@@ -334,6 +334,41 @@ object TextQueries {
        |    '$UrlRe', '<URL>', 'g') AS redacted
        |FROM e""".stripMargin
 
+  // ── shard packing (token-budget sequential binning) ────────────────────
+  // Pack docs (in doc_id order) into training shards of ~ShardBudget
+  // tokens: shard = which budget-multiple the doc's cumulative START falls
+  // in. The running total comes from operators.PrefixSum — two narrow
+  // passes, NO single-partition global window (see its scaladoc); the
+  // oracle is the plain global-window form, so the gate proves the
+  // distributed decomposition is value-identical to it.
+  private val ShardBudget = 2048L
+
+  private val shardPacking: Q = (s, dir) => {
+    val weighted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningTotal(weighted, "doc_id", "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $ShardBudget").as("shard_id"))
+  }
+
+  private val shardPackingSql =
+    s"""WITH t AS (SELECT doc_id, count(*) FILTER (WHERE w <> '') AS n_tokens
+       |           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+       |                 FROM documents)
+       |           GROUP BY doc_id),
+       |a AS (SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens
+       |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      FROM a)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       |       CAST((cum_tokens - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -530,6 +565,7 @@ object TextQueries {
     "text_quality"        -> textQuality,
     "repetition_score"    -> repetitionScore,
     "pii_scrub"           -> piiScrub,
+    "shard_packing"       -> shardPacking,
     "lang_id"             -> langId,
     "doc_fingerprint"     -> docFingerprint,
     "text_normalize"      -> textNormalize,
@@ -553,6 +589,7 @@ object TextQueries {
     "text_quality"        -> textQualitySql,
     "repetition_score"    -> repetitionScoreSql,
     "pii_scrub"           -> piiScrubSql,
+    "shard_packing"       -> shardPackingSql,
     "lang_id"             -> langIdSql,
     "doc_fingerprint"     -> docFingerprintSql,
     "text_normalize"      -> textNormalizeSql,

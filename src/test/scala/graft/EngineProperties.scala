@@ -132,6 +132,15 @@ object EngineProperties extends Properties("engine") {
         frames.map(_.frame_idx).toSeq == frames.indices.toSeq
     }
 
+  property("distributed prefix sum equals the sequential running total") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 100L)), Gen.choose(1, 8)) { (ws, parts) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val got = graft.operators.PrefixSum
+        .withRunningTotal(df, "id", "w", "cum", parts)
+        .orderBy("id").collect().map(_.getLong(2)).toSeq
+      got == ws.scanLeft(0L)(_ + _).tail
+    }
+
   property("canonical fingerprint ignores case and extra spaces") =
     Prop.forAll(genWords) { words =>
       val base = words.mkString(" ")
