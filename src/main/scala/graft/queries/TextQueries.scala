@@ -71,6 +71,80 @@ object TextQueries {
       |                       / length(text), 6) END AS punct_ratio
       |FROM t LEFT JOIN w ON t.doc_id = w.doc_id""".stripMargin
 
+  // ── composite quality filter (C4-style keep/drop with reasons) ─────────
+  // Rule chain over the text_quality signals; verdict = first failing rule
+  // in a FIXED order (so both engines agree on multi-fail docs), keep =
+  // passed all. Built on the same textQuality relation on both sides —
+  // one definition of the signals, two consumers.
+  private val qualityFilter: Q = (s, dir) =>
+    textQuality(s, dir).select(col("doc_id"),
+      when(col("n_tokens") < 5, "too_short")
+        .when(col("n_tokens") > 500, "too_long")
+        .when(col("stopword_ratio") < 0.01, "low_stopword")
+        .when(col("punct_ratio") > 0.2, "high_punct")
+        .otherwise("ok").as("verdict"))
+      .withColumn("keep", col("verdict") === "ok")
+
+  private val qualityFilterSql =
+    s"""WITH q AS ($textQualitySql)
+       |SELECT doc_id, verdict, verdict = 'ok' AS keep
+       |FROM (SELECT doc_id,
+       |             CASE WHEN n_tokens < 5 THEN 'too_short'
+       |                  WHEN n_tokens > 500 THEN 'too_long'
+       |                  WHEN stopword_ratio < 0.01 THEN 'low_stopword'
+       |                  WHEN punct_ratio > 0.2 THEN 'high_punct'
+       |                  ELSE 'ok' END AS verdict
+       |      FROM q)""".stripMargin
+
+  // ── document length histogram ──────────────────────────────────────────
+  private val lengthHistogram: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(expr("n_chars div 50").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
+  private val lengthHistogramSql =
+    """SELECT n_chars // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |       CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ── temperature-based source reweighting (training-mix sampling) ───────
+  // Per-source sampling multipliers for a temperature-adjusted mix:
+  // temp_share_s ∝ share_s^α (α = 0.5 upsamples rare sources), and
+  // sample_weight = temp_share/share is the per-doc acceptance multiplier
+  // a sampler applies. Totals reach each source row via tiny broadcast
+  // cross-joins, never a global window.
+  private val ReweightAlpha = 0.5
+
+  private val sourceReweight: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    val shared = counts.crossJoin(broadcast(total))
+      .withColumn("share0", col("n_docs") / col("total"))
+    val z = shared.agg(sum(pow(col("share0"), ReweightAlpha)).as("z"))
+    shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("share0"), 6).as("share"),
+        round(pow(col("share0"), ReweightAlpha) / col("z"), 6).as("temp_share"),
+        round(pow(col("share0"), ReweightAlpha) / col("z") / col("share0"), 6)
+          .as("sample_weight"))
+  }
+
+  private val sourceReweightSql =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+       |t AS (SELECT count(*) AS total FROM documents),
+       |sh AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / total AS share0
+       |       FROM c CROSS JOIN t),
+       |z AS (SELECT sum(pow(share0, $ReweightAlpha)) AS z FROM sh)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |       round(share0, 6) AS share,
+       |       round(pow(share0, $ReweightAlpha) / z, 6) AS temp_share,
+       |       round(pow(share0, $ReweightAlpha) / z / share0, 6) AS sample_weight
+       |FROM sh CROSS JOIN z""".stripMargin
+
   // ── language-ID heuristic ──────────────────────────────────────────────
   private val langId: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
@@ -566,6 +640,9 @@ object TextQueries {
     "repetition_score"    -> repetitionScore,
     "pii_scrub"           -> piiScrub,
     "shard_packing"       -> shardPacking,
+    "quality_filter"      -> qualityFilter,
+    "length_histogram"    -> lengthHistogram,
+    "source_reweight"     -> sourceReweight,
     "lang_id"             -> langId,
     "doc_fingerprint"     -> docFingerprint,
     "text_normalize"      -> textNormalize,
@@ -590,6 +667,9 @@ object TextQueries {
     "repetition_score"    -> repetitionScoreSql,
     "pii_scrub"           -> piiScrubSql,
     "shard_packing"       -> shardPackingSql,
+    "quality_filter"      -> qualityFilterSql,
+    "length_histogram"    -> lengthHistogramSql,
+    "source_reweight"     -> sourceReweightSql,
     "lang_id"             -> langIdSql,
     "doc_fingerprint"     -> docFingerprintSql,
     "text_normalize"      -> textNormalizeSql,
