@@ -137,7 +137,7 @@ object EventQueries {
       "30 minutes")
       .withColumnRenamed("key", "user_id")
 
-  private val sessionWindowStatsSql =
+  private[queries] val sessionWindowStatsSql =
     """WITH o AS (
       |  SELECT user_id, ts,
       |         CASE WHEN lag(ts) OVER w IS NULL

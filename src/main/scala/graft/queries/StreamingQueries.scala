@@ -107,11 +107,76 @@ object StreamingQueries {
     }
   }
 
+  /** Session windows through a REAL streaming execution: the same
+    * `Windowing.sessionStats` plan as the batch `session_window_stats`,
+    * driven by a file stream with a watermark (session windows demand one
+    * in streaming — it bounds the merge state — and only support APPEND
+    * mode, which emits a session exactly when the watermark passes its
+    * end). A session's end is its last event + gap, so the trailing
+    * sessions can never close on real data alone; the query streams from
+    * a scratch dir and injects one far-future sentinel event as a second
+    * micro-batch, advancing the watermark past every real session end —
+    * the standard "advance event time to flush" pattern. The final result
+    * (sentinel filtered out) must equal the batch gaps-and-islands
+    * oracle — streaming/batch parity for stateful session merging,
+    * including watermark-driven finalization. */
+  private val streamingSessions: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_sessions_${Integer.toHexString(dir.hashCode)}")
+    if (Files.exists(tmp)) {
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    Files.createDirectories(tmp)
+    Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
+    val frames = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$tmp/*.parquet")
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("user_id"))
+      .withWatermark("eventTime", "0 seconds")
+    val sessions = graft.operators.Windowing.sessionStats(
+      frames, col("eventTime"), col("user_id"), "30 minutes")
+    val sink = s"streaming_sessions_${runSeq.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = sessions.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: all real events
+        val maxNs = s.read.schema(eventsRawSchema)
+          .parquet(tmp.resolve("batch1.parquet").toString)
+          .agg(max(col("ts"))).head().getLong(0)
+        val dayNs = 86400L * 1000000000L
+        val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        sentinel.add(org.apache.spark.sql.Row(
+          -1L, maxNs + dayNs, -1L, "sentinel", 0.0, null))
+        val scratch = tmp.resolve("_scratch")
+        s.createDataFrame(sentinel, eventsRawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch)
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        Files.move(part, tmp.resolve("zz_batch2.parquet"))
+        q.processAllAvailable() // batch 2 + no-data flush batch
+      } finally q.stop()
+    }
+    s.table(sink).filter(col("key") >= 0)
+      .select(col("key").as("user_id"),
+        col("session_start"), col("session_end"), col("n_events"))
+  }
+
   val all: Map[String, Q] = Map(
     "streaming_unique_users" -> streamingUniqueUsers,
-    "streaming_running_distinct" -> streamingRunningDistinct)
+    "streaming_running_distinct" -> streamingRunningDistinct,
+    "streaming_sessions" -> streamingSessions)
 
   val oracles: Map[String, String] = Map(
     "streaming_unique_users" -> streamingUniqueUsersSql,
-    "streaming_running_distinct" -> streamingUniqueUsersSql)
+    "streaming_running_distinct" -> streamingUniqueUsersSql,
+    // same oracle as the batch session query — THE parity statement
+    "streaming_sessions" -> EventQueries.sessionWindowStatsSql)
 }
