@@ -43,9 +43,68 @@ case class HammingDistance64(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for 2-D Z-order (Morton) interleaving: the
+  * low 16 bits of `left` and `right` interleave into a 32-bit curve key
+  * (x in even positions, y in odd). Sorting / range-partitioning by the
+  * key co-locates rows that are close in BOTH dimensions — the standard
+  * multi-column data-layout trick for scan locality: min/max parquet
+  * footer stats on z-sorted files prune on either predicate column.
+  *
+  * Custom `Expression` (tier (b)): the 16-iteration interleave loop would
+  * be a 64-term built-in tree (32 shifts + 32 masks + ors); `doGenCode`
+  * emits the loop directly inside whole-stage codegen, no boxing.
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder2 requires (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  @inline private def interleave(x: Long, y: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = ctx.freshName("z")
+      val i = ctx.freshName("i")
+      s"""long $z = 0L;
+         |for (int $i = 0; $i < 16; $i++) {
+         |  $z |= (($a >> $i) & 1L) << (2 * $i);
+         |  $z |= (($b >> $i) & 1L) << (2 * $i + 1);
+         |}
+         |${ev.value} = $z;""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object BitOps {
   /** Column API for the expression. */
   def hamming64(a: Column, b: Column): Column =
     ColumnBridge.column(HammingDistance64(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the Z-order key. */
+  def zorder2(x: Column, y: Column): Column =
+    ColumnBridge.column(ZOrder2(
+      ColumnBridge.expression(x), ColumnBridge.expression(y)))
 }

@@ -252,7 +252,40 @@ object AdvancedQueries {
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id""".stripMargin
   }
 
+  // ── Z-order layout keys (multi-dimensional scan locality) ──────────────
+  // Morton-interleave (custkey, order-day) into one sort key: range-
+  // partitioning/sorting files by it co-locates rows close in BOTH
+  // dimensions, so parquet min/max footer stats prune scans filtered on
+  // EITHER column — the data-layout step of a 100 TB ingest. zkey comes
+  // from the codegen'd ZOrder2 Expression; the oracle re-derives it as
+  // the equivalent 32-term bit-arithmetic sum.
+  private val zorderLayout: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        BitOps.zorder2(
+          col("o_custkey").bitwiseAND(lit(65535L)),
+          // integral div: float division + cast truncates, but an exact
+          // midnight epoch could land on x.999... and floor differently
+          expr("unix_timestamp(o_orderdate) div 86400")
+            .bitwiseAND(lit(65535L))).as("zkey"))
+      .withColumn("layout_bucket", expr("zkey div 67108864")) // 2^26 → ≤64 buckets
+
+  private val zorderLayoutSql = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"((x // ${1L << i}) % 2) * ${1L << (2 * i)}",
+          s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT o_orderkey,
+       |                  o_custkey % 65536 AS x,
+       |                  (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) % 65536 AS y
+       |           FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS zkey,
+       |       CAST(($terms) // 67108864 AS BIGINT) AS layout_bucket
+       |FROM d""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "zorder_layout"        -> zorderLayout,
     "asof_click_attribution" -> asofClickAttribution,
     "asof_native_attribution" -> asofNativeAttribution,
     "join_sort_merge"      -> joinSortMerge,
@@ -269,6 +302,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "zorder_layout"        -> zorderLayoutSql,
     "asof_click_attribution" -> asofClickAttributionSql,
     "asof_native_attribution" -> asofClickAttributionSql, // same oracle: custom exec pinned to composed semantics
     "join_sort_merge"      -> joinSortMergeSql,

@@ -33,6 +33,29 @@ class BitOpsSpec extends SparkSpec {
     intercept[Exception] { df.select(BitOps.hamming64($"a", $"b")).collect() }
   }
 
+  test("zorder2 interleaves bits x-even/y-odd under codegen") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (0xABCDL, 0x1234L), (70000L, 3L)) // >16 bits masked off
+    val got = cases.toDF("x", "y")
+      .select(BitOps.zorder2($"x", $"y")).as[Long].collect().toSeq
+    assert(got == cases.map { case (x, y) => ref(x, y) })
+    assert(ref(1L, 0L) == 1L && ref(0L, 1L) == 2L && ref(65535L, 65535L) == 0xFFFFFFFFL)
+  }
+
+  test("zorder2 is null-safe and rejects non-long inputs") {
+    val df = Seq((Some(1L), None: Option[Long]), (Some(2L), Some(2L))).toDF("x", "y")
+    val got = df.select(BitOps.zorder2($"x", $"y").as("z")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq == Seq(None, Some(12L))) // interleave(2,2) = 0b1100
+    intercept[Exception] {
+      Seq(("s", 1L)).toDF("x", "y").select(BitOps.zorder2($"x", $"y")).collect()
+    }
+  }
+
   test("salted aggregation is bit-identical to the plain aggregate") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val salted = SkewOps.saltedCountSum(ev, $"event_type", $"value", $"event_id", 16)
