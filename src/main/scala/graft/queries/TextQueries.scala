@@ -408,6 +408,80 @@ object TextQueries {
        |    '$UrlRe', '<URL>', 'g') AS redacted
        |FROM e""".stripMargin
 
+  // ── count-min sketch heavy hitters ─────────────────────────────────────
+  // Token heavy-hitters through a REAL count-min sketch: D=4 md5-derived
+  // hash rows × W=256 buckets, estimate = min over rows of the bucket
+  // count, top-20 terms by estimate. Unlike HLL/percentile_approx (rows-
+  // only gate entries), CMS with FIXED hash functions is deterministic,
+  // so the oracle replays the identical sketch in SQL and the gate
+  // hash-checks estimate AND exact count side by side (est >= exact
+  // always; equality when no bucket collision). Scale path: the sketch
+  // table is D*W rows regardless of corpus size — mergeable across
+  // partitions, broadcastable back for estimation.
+  private val CmsD = 4
+  private val CmsW = 256
+
+  private def cmsBucket(i: Int, w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(i.toString), w)), 1, 8), 16, 10)
+      .cast("long") % CmsW
+
+  private val cmsTopkTerms: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+    val hashed = toks.select(
+      (col("w") +: (0 until CmsD).map(i => cmsBucket(i, col("w")).as(s"b$i"))): _*)
+    // the sketch: one partial-aggregated count per (row, bucket) — D*W rows
+    val sketch = (0 until CmsD).map { i =>
+      hashed.groupBy(col(s"b$i").as("bucket"))
+        .agg(count(lit(1)).as("cnt")).withColumn("hrow", lit(i))
+    }.reduce(_ unionByName _)
+    // per distinct term: its D buckets + exact count (buckets are a
+    // function of the term, so they ride the same aggregate)
+    val terms = hashed
+      .groupBy((col("w") +: (0 until CmsD).map(i => col(s"b$i"))): _*)
+      .agg(count(lit(1)).as("exact_n"))
+    val est = (0 until CmsD).map { i =>
+      terms.select(col("w"), col("exact_n"),
+        lit(i).as("hrow"), col(s"b$i").as("bucket"))
+    }.reduce(_ unionByName _)
+      .join(broadcast(sketch), Seq("hrow", "bucket"))
+      .groupBy(col("w"), col("exact_n"))
+      .agg(min(col("cnt")).as("cms_est"))
+    est.orderBy(col("cms_est").desc, col("w")).limit(20)
+      .select(col("w").as("term"), col("cms_est"), col("exact_n"))
+  }
+
+  private val cmsTopkTermsSql = {
+    val buckets = (0 until CmsD).map(i =>
+      s"CAST(('0x' || substring(md5('$i' || w), 1, 8)) AS BIGINT) % $CmsW AS b$i")
+      .mkString(",\n       ")
+    val sketchSelects = (0 until CmsD).map(i =>
+      s"SELECT $i AS hrow, b$i AS bucket, count(*) AS cnt FROM h GROUP BY 2")
+      .mkString("\n  UNION ALL ")
+    val estSelects = (0 until CmsD).map(i =>
+      s"SELECT w, exact_n, $i AS hrow, b$i AS bucket FROM t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT w FROM
+       |              (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
+       |              WHERE w <> ''),
+       |h AS (SELECT w,
+       |       $buckets
+       |      FROM toks),
+       |sk AS (
+       |  $sketchSelects),
+       |t AS (SELECT w, ${(0 until CmsD).map(i => s"b$i").mkString(", ")},
+       |             count(*) AS exact_n
+       |      FROM h GROUP BY ALL),
+       |e AS (
+       |  $estSelects),
+       |est AS (SELECT w, exact_n, min(cnt) AS cms_est
+       |        FROM e JOIN sk USING (hrow, bucket)
+       |        GROUP BY 1, 2)
+       |SELECT w AS term, CAST(cms_est AS BIGINT) AS cms_est,
+       |       CAST(exact_n AS BIGINT) AS exact_n
+       |FROM est ORDER BY cms_est DESC, w LIMIT 20""".stripMargin
+  }
+
   // ── shard packing (token-budget sequential binning) ────────────────────
   // Pack docs (in doc_id order) into training shards of ~ShardBudget
   // tokens: shard = which budget-multiple the doc's cumulative START falls
@@ -640,6 +714,7 @@ object TextQueries {
     "repetition_score"    -> repetitionScore,
     "pii_scrub"           -> piiScrub,
     "shard_packing"       -> shardPacking,
+    "cms_topk_terms"      -> cmsTopkTerms,
     "quality_filter"      -> qualityFilter,
     "length_histogram"    -> lengthHistogram,
     "source_reweight"     -> sourceReweight,
@@ -667,6 +742,7 @@ object TextQueries {
     "repetition_score"    -> repetitionScoreSql,
     "pii_scrub"           -> piiScrubSql,
     "shard_packing"       -> shardPackingSql,
+    "cms_topk_terms"      -> cmsTopkTermsSql,
     "quality_filter"      -> qualityFilterSql,
     "length_histogram"    -> lengthHistogramSql,
     "source_reweight"     -> sourceReweightSql,
