@@ -169,14 +169,61 @@ object StreamingQueries {
         col("session_start"), col("session_end"), col("n_events"))
   }
 
+  /** Stream-stream attribution join in the gate: views joined to
+    * purchases of the same user within a 60-minute lookback, both sides
+    * REAL file streams with watermarks and a time-bounded predicate (the
+    * bound is what makes both sides' state evictable — SURVEY §2.3
+    * stream-stream joins). Inner joins emit on match, so one micro-batch
+    * suffices; the result must equal the batch self-join oracle. */
+  private val streamingStreamJoin: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def side(tp: String) = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet*")
+      .filter(col("event_type") === tp)
+      .select(col("user_id").as("key"),
+        graft.model.Schemas.tsFromNanos(col("ts")).as("t"),
+        col("event_id").as("id"))
+    val joined = graft.streaming.StreamJoins.withinLookback(
+      side("view"), side("purchase"),
+      watermark = "0 seconds", lookback = "60 minutes")
+    val sink = s"streaming_stream_join_${runSeq.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink).select(col("key").as("user_id"),
+      col("left_id").as("view_id"), col("right_id").as("purchase_id"),
+      unix_timestamp(col("left_t")).as("view_ts"),
+      unix_timestamp(col("right_t")).as("purchase_ts"))
+  }
+
+  // µs-truncated comparisons mirror Spark's TimestampType precision
+  // (DuckDB reads the parquet ns timestamps losslessly)
+  private val streamingStreamJoinSql =
+    """WITH v AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |       CAST(epoch(date_trunc('second', v.ts)) AS BIGINT) AS view_ts,
+      |       CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_ts
+      |FROM v JOIN p ON v.user_id = p.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE""".stripMargin
+
   val all: Map[String, Q] = Map(
     "streaming_unique_users" -> streamingUniqueUsers,
     "streaming_running_distinct" -> streamingRunningDistinct,
-    "streaming_sessions" -> streamingSessions)
+    "streaming_sessions" -> streamingSessions,
+    "streaming_stream_join" -> streamingStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "streaming_unique_users" -> streamingUniqueUsersSql,
     "streaming_running_distinct" -> streamingUniqueUsersSql,
     // same oracle as the batch session query — THE parity statement
-    "streaming_sessions" -> EventQueries.sessionWindowStatsSql)
+    "streaming_sessions" -> EventQueries.sessionWindowStatsSql,
+    "streaming_stream_join" -> streamingStreamJoinSql)
 }
