@@ -517,6 +517,51 @@ object TextQueries {
        |       CAST((cum_tokens - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
+  // ── end-to-end training-data pipeline composition ──────────────────────
+  // The capstone "library composes" query: quality-filter → exact dedup
+  // (keep min doc_id per canonical fingerprint) → token count → pack the
+  // survivors into token-budget shards. Every stage is an operator gated
+  // on its own elsewhere; the oracle chains the same stages as CTEs, so
+  // the gate checks the COMPOSITION end to end, not just the parts.
+  private val pipelineEndToEnd: Q = (s, dir) => {
+    val kept = Tables.documents(s, dir)
+      .join(qualityFilter(s, dir).filter(col("keep")).select("doc_id"), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = kept
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val weighted = deduped.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.PrefixSum
+      .withRunningTotal(weighted, "doc_id", "n_tokens", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $ShardBudget").as("shard_id"))
+  }
+
+  private val pipelineEndToEndSql =
+    s"""WITH q AS ($qualityFilterSql),
+       |kept AS (SELECT d.doc_id, d.text
+       |         FROM documents d JOIN q ON d.doc_id = q.doc_id WHERE q.keep),
+       |dd AS (SELECT doc_id, text FROM (
+       |         SELECT doc_id, text, row_number() OVER (
+       |           PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+       |           ORDER BY doc_id) AS rn
+       |         FROM kept) WHERE rn = 1),
+       |t AS (SELECT doc_id, count(*) FILTER (WHERE w <> '') AS n_tokens
+       |      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM dd)
+       |      GROUP BY doc_id),
+       |a AS (SELECT dd.doc_id, coalesce(t.n_tokens, 0) AS n_tokens
+       |      FROM dd LEFT JOIN t ON dd.doc_id = t.doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM a)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -715,6 +760,7 @@ object TextQueries {
     "pii_scrub"           -> piiScrub,
     "shard_packing"       -> shardPacking,
     "cms_topk_terms"      -> cmsTopkTerms,
+    "pipeline_end_to_end" -> pipelineEndToEnd,
     "quality_filter"      -> qualityFilter,
     "length_histogram"    -> lengthHistogram,
     "source_reweight"     -> sourceReweight,
@@ -743,6 +789,7 @@ object TextQueries {
     "pii_scrub"           -> piiScrubSql,
     "shard_packing"       -> shardPackingSql,
     "cms_topk_terms"      -> cmsTopkTermsSql,
+    "pipeline_end_to_end" -> pipelineEndToEndSql,
     "quality_filter"      -> qualityFilterSql,
     "length_histogram"    -> lengthHistogramSql,
     "source_reweight"     -> sourceReweightSql,
