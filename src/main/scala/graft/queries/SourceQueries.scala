@@ -55,9 +55,36 @@ object SourceQueries {
       |UNION ALL
       |SELECT o_orderstatus, n_orders, total_price, 'json' AS fmt FROM a""".stripMargin
 
+  /** Hive-style partitioned layout: write orders partitioned by
+    * o_orderstatus (one directory per value — the physical layout that
+    * lets a reader skip whole partitions), read it back filtered to one
+    * status, and aggregate by priority. The filter must be satisfied by
+    * PARTITION PRUNING (directory listing, zero data files of other
+    * statuses opened) — PlanAuditSpec pins `PartitionFilters` on the
+    * scan. Oracle computes the same aggregate parquet-direct. */
+  private val partitionedRoundtrip: Q = (s, dir) => {
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft_part_${Integer.toHexString(dir.hashCode)}"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(outDir)
+    s.read.parquet(outDir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+  }
+
+  private val partitionedRoundtripSql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+      |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "format_roundtrip" -> formatRoundtrip)
+    "format_roundtrip" -> formatRoundtrip,
+    "partitioned_roundtrip" -> partitionedRoundtrip)
 
   val oracles: Map[String, String] = Map(
-    "format_roundtrip" -> formatRoundtripSql)
+    "format_roundtrip" -> formatRoundtripSql,
+    "partitioned_roundtrip" -> partitionedRoundtripSql)
 }

@@ -562,6 +562,32 @@ object TextQueries {
        |       CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
+  // ── higher-order array functions (lambda surface) ──────────────────────
+  // filter/transform/aggregate/exists as first-class gated ops — both
+  // engines evaluate real lambdas (DuckDB list_* equivalents). Tokens are
+  // materialized in their own projection first: a lambda re-evaluates
+  // captured subexpressions PER ELEMENT (the measured O(tokens²) trap).
+  private val hofFuncs: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(filter(col("ws"), w => length(w) > 4)).cast("long")
+          .as("n_long_tokens"),
+        aggregate(transform(col("ws"), w => length(w).cast("long")),
+          lit(0L), (a, v) => a + v).as("total_chars"),
+        exists(col("ws"), w => w === "spark").as("has_spark"))
+
+  private val hofFuncsSql =
+    """WITH t AS (SELECT doc_id,
+      |                  list_filter(str_split(text, ' '), w -> w <> '') AS ws
+      |           FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long_tokens,
+      |       CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT)
+      |         AS total_chars,
+      |       list_contains(ws, 'spark') AS has_spark
+      |FROM t""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -761,6 +787,7 @@ object TextQueries {
     "shard_packing"       -> shardPacking,
     "cms_topk_terms"      -> cmsTopkTerms,
     "pipeline_end_to_end" -> pipelineEndToEnd,
+    "hof_funcs"           -> hofFuncs,
     "quality_filter"      -> qualityFilter,
     "length_histogram"    -> lengthHistogram,
     "source_reweight"     -> sourceReweight,
@@ -790,6 +817,7 @@ object TextQueries {
     "shard_packing"       -> shardPackingSql,
     "cms_topk_terms"      -> cmsTopkTermsSql,
     "pipeline_end_to_end" -> pipelineEndToEndSql,
+    "hof_funcs"           -> hofFuncsSql,
     "quality_filter"      -> qualityFilterSql,
     "length_histogram"    -> lengthHistogramSql,
     "source_reweight"     -> sourceReweightSql,

@@ -82,6 +82,12 @@ class PlanAuditSpec extends SparkSpec {
       "round-trip should only carry the three projected columns")
   }
 
+  test("partitioned_roundtrip: status filter satisfied by partition pruning") {
+    val p = plan("partitioned_roundtrip")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"status filter must prune partitions at listing time:\n$p")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
