@@ -426,22 +426,26 @@ object TextQueries {
       .cast("long") % CmsW
 
   private val cmsTopkTerms: Q = (s, dir) => {
-    val toks = Tables.documents(s, dir)
+    // ONE corpus pass: the term-frequency aggregate. A bucket's sketch
+    // count equals the exact_n-weighted sum over the distinct terms that
+    // hash to it, so every stage below runs on the vocabulary, hashing
+    // each term once — not once per occurrence per branch. Checkpointed
+    // because 8 downstream branches (4 sketch rows + 4 estimation melts)
+    // would otherwise each re-run the corpus aggregation.
+    val tf = Tables.documents(s, dir)
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-    val hashed = toks.select(
-      (col("w") +: (0 until CmsD).map(i => cmsBucket(i, col("w")).as(s"b$i"))): _*)
-    // the sketch: one partial-aggregated count per (row, bucket) — D*W rows
+      .groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      .localCheckpoint()
+    val hashed = tf.select(
+      (col("w") +: col("exact_n") +:
+        (0 until CmsD).map(i => cmsBucket(i, col("w")).as(s"b$i"))): _*)
+    // the sketch: one count per (row, bucket) — D*W rows total
     val sketch = (0 until CmsD).map { i =>
       hashed.groupBy(col(s"b$i").as("bucket"))
-        .agg(count(lit(1)).as("cnt")).withColumn("hrow", lit(i))
+        .agg(sum(col("exact_n")).as("cnt")).withColumn("hrow", lit(i))
     }.reduce(_ unionByName _)
-    // per distinct term: its D buckets + exact count (buckets are a
-    // function of the term, so they ride the same aggregate)
-    val terms = hashed
-      .groupBy((col("w") +: (0 until CmsD).map(i => col(s"b$i"))): _*)
-      .agg(count(lit(1)).as("exact_n"))
     val est = (0 until CmsD).map { i =>
-      terms.select(col("w"), col("exact_n"),
+      hashed.select(col("w"), col("exact_n"),
         lit(i).as("hrow"), col(s"b$i").as("bucket"))
     }.reduce(_ unionByName _)
       .join(broadcast(sketch), Seq("hrow", "bucket"))
