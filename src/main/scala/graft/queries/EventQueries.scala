@@ -156,6 +156,47 @@ object EventQueries {
       |       CAST(count(*) AS BIGINT) AS n_events
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** The reference's parse-failure path (SURVEY §1.3: processRecord →
+    * `""` → filterNot) as an explicit, observable reject policy: corrupt
+    * JSON is injected for every 10th event, `from_json` (PERMISSIVE)
+    * nulls the struct for exactly those rows, and the query reports
+    * accepted/rejected counts per minute instead of silently dropping —
+    * the drop+count policy §1.4 mandates over the reference's epoch-0
+    * fallback. Oracle gates via DuckDB `json_valid` on the same rows. */
+  private val jsonRejectPolicy: Q = (s, dir) => {
+    val raw = when(col("event_id") % 10 === 0,
+      concat(lit("CORRUPT"), col("props"))).otherwise(col("props"))
+    // PERMISSIVE from_json nulls the FIELDS of a malformed row, not the
+    // struct — the unambiguous reject marker is the corrupt-record
+    // column, which captures the raw input iff parsing failed
+    val parsed = from_json(raw, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt",
+        org.apache.spark.sql.types.StringType))),
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    Tables.events(s, dir)
+      .select(TimeOps.minuteBucketEpoch(col("ts")).as("minute"),
+        parsed.as("p"))
+      .groupBy(col("minute"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("p._corrupt").isNotNull, 1)).as("n_rejected"),
+        sum(col("p.k")).as("sum_k"))
+  }
+
+  private val jsonRejectPolicySql =
+    """WITH r AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |                  CASE WHEN event_id % 10 = 0 THEN 'CORRUPT' || props
+      |                       ELSE props END AS raw
+      |           FROM events)
+      |SELECT minute, CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_rejected,
+      |       CAST(sum(CASE WHEN json_valid(raw)
+      |                     THEN CAST(json_extract(raw, '$.k') AS BIGINT) END) AS BIGINT)
+      |         AS sum_k
+      |FROM r GROUP BY 1""".stripMargin
+
   /** SURVEY §2.2 variant 2: windowed set-aggregate + set-size projection —
     * the reference's `HashSet` accumulate (UniqueUsersApp.java:173–191) and
     * `.size()` map (:193) as `collect_set` + `size`. The set is emitted
@@ -291,6 +332,7 @@ object EventQueries {
     "unique_users_per_minute" -> uniqueUsersPerMinute,
     "unique_users_two_phase"  -> uniqueUsersTwoPhase,
     "json_extract"            -> jsonExtract,
+    "json_reject_policy"      -> jsonRejectPolicy,
     "filter_project"          -> filterProject,
     "windowed_count_by_type"  -> windowedCountByType,
     "dedup_events_exact"      -> dedupEventsExact,
@@ -309,6 +351,7 @@ object EventQueries {
     "unique_users_per_minute" -> uniqueUsersPerMinuteSql,
     "unique_users_two_phase"  -> uniqueUsersPerMinuteSql,
     "json_extract"            -> jsonExtractSql,
+    "json_reject_policy"      -> jsonRejectPolicySql,
     "filter_project"          -> filterProjectSql,
     "windowed_count_by_type"  -> windowedCountByTypeSql,
     "dedup_events_exact"      -> dedupEventsExactSql,
