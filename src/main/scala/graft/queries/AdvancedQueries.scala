@@ -72,6 +72,20 @@ object AdvancedQueries {
     s"SELECT user_id,\n       $arms\nFROM events GROUP BY 1"
   }
 
+  // ── unpivot / melt (wide → long, the inverse of pivot) ─────────────────
+  // Round-trips the pivoted relation back to long form through Spark's
+  // native unpivot (Catalyst `Unpivot`), dropping the zero-filled cells
+  // the widening introduced. Oracle: the long-form aggregate directly.
+  private val unpivotEvents: Q = (s, dir) =>
+    pivotEvents(s, dir)
+      .unpivot(Array(col("user_id")),
+        eventTypes.map(col(_)).toArray, "event_type", "n_events")
+      .filter(col("n_events") > 0)
+
+  private val unpivotEventsSql =
+    """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   // ── grouping sets beyond rollup/cube ───────────────────────────────────
   private val groupingSetsEvents: Q = (s, dir) =>
     Tables.events(s, dir)
@@ -294,6 +308,7 @@ object AdvancedQueries {
     "stats_agg"            -> statsAgg,
     "approx_quantiles_price" -> approxQuantilesPrice, // rows-only: approx sketch
     "pivot_events"         -> pivotEvents,
+    "unpivot_events"       -> unpivotEvents,
     "grouping_sets_events" -> groupingSetsEvents,
     "scalar_subquery"      -> scalarSubquery,
     "ship_lag_join"        -> shipLagJoin,
@@ -310,6 +325,7 @@ object AdvancedQueries {
     "char_fingerprint"     -> charFingerprintSql,
     "stats_agg"            -> statsAggSql,
     "pivot_events"         -> pivotEventsSql,
+    "unpivot_events"       -> unpivotEventsSql,
     "grouping_sets_events" -> groupingSetsEventsSql,
     "scalar_subquery"      -> scalarSubquerySql,
     "ship_lag_join"        -> shipLagJoinSql,
