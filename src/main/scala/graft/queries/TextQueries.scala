@@ -592,6 +592,42 @@ object TextQueries {
       |       list_contains(ws, 'spark') AS has_spark
       |FROM t""".stripMargin
 
+  // ── map functions (MapType surface) ────────────────────────────────────
+  // map_from_arrays / map_keys / element_at / map_filter over a
+  // deterministically-built map (first 3 sorted distinct tokens → length).
+  // The oracle derives the same VALUES from the sorted token list —
+  // MapType is a Spark-side shape; the cross-engine contract is on the
+  // scalars extracted from it (map iteration order = insertion order =
+  // sorted, which is what makes first_key well-defined).
+  private val mapFuncs: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        slice(array_sort(array_distinct(col("ws"))), 1, 3).as("ks"))
+      .select(col("doc_id"),
+        map_from_arrays(col("ks"),
+          transform(col("ks"), k => length(k).cast("long"))).as("m"),
+        col("ks"))
+      .select(col("doc_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        try_element_at(map_keys(col("m")), lit(1)).as("first_key"),
+        when(size(col("ks")) > 0,
+          element_at(col("m"), element_at(col("ks"), 1))).as("first_len"),
+        size(map_filter(col("m"), (_, v) => v > 3)).cast("long")
+          .as("n_long_keys"))
+
+  private val mapFuncsSql =
+    """WITH t AS (SELECT doc_id,
+      |                  list_sort(list_distinct(
+      |                    list_filter(str_split(text, ' '), w -> w <> ''))) AS ds
+      |           FROM documents),
+      |k AS (SELECT doc_id, ds[1:3] AS ks FROM t)
+      |SELECT doc_id, CAST(len(ks) AS BIGINT) AS n_keys,
+      |       ks[1] AS first_key,
+      |       CAST(CASE WHEN len(ks) > 0 THEN length(ks[1]) END AS BIGINT) AS first_len,
+      |       CAST(len(list_filter(ks, x -> length(x) > 3)) AS BIGINT) AS n_long_keys
+      |FROM k""".stripMargin
+
   // ── global bigram counts (n-gram frequency table) ──────────────────────
   private val bigramCounts: Q = (s, dir) =>
     Tables.documents(s, dir)
@@ -792,6 +828,7 @@ object TextQueries {
     "cms_topk_terms"      -> cmsTopkTerms,
     "pipeline_end_to_end" -> pipelineEndToEnd,
     "hof_funcs"           -> hofFuncs,
+    "map_funcs"           -> mapFuncs,
     "quality_filter"      -> qualityFilter,
     "length_histogram"    -> lengthHistogram,
     "source_reweight"     -> sourceReweight,
@@ -822,6 +859,7 @@ object TextQueries {
     "cms_topk_terms"      -> cmsTopkTermsSql,
     "pipeline_end_to_end" -> pipelineEndToEndSql,
     "hof_funcs"           -> hofFuncsSql,
+    "map_funcs"           -> mapFuncsSql,
     "quality_filter"      -> qualityFilterSql,
     "length_histogram"    -> lengthHistogramSql,
     "source_reweight"     -> sourceReweightSql,
