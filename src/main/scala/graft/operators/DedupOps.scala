@@ -229,9 +229,12 @@ object DedupOps {
     var labels = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("cluster_id"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum(col("cluster_id"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // decimal sum: a Long sum would overflow (ANSI: throw) once
+    // |V| × max(id) nears 2^63 — real at billion-node corpus scale
+    def labelSum(df: DataFrame): BigDecimal =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().get(0))
+        .map(d => BigDecimal(d.asInstanceOf[java.math.BigDecimal]))
+        .getOrElse(BigDecimal(0))
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false

@@ -32,8 +32,10 @@ import org.apache.spark.sql.types.LongType
   */
 object PrefixSum {
 
-  /** Appends `outCol` = inclusive running total of `weightCol` (LongType)
-    * in ascending `idCol` order. `partitions` bounds the parallel width. */
+  /** Appends `outCol` = inclusive running total of `weightCol` (LongType,
+    * must be non-null — coalesce upstream; a null weight fails fast here
+    * rather than silently skewing every downstream total) in ascending
+    * `idCol` order. `partitions` bounds the parallel width. */
   def withRunningTotal(df: DataFrame, idCol: String, weightCol: String,
                        outCol: String, partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -141,6 +141,27 @@ object EngineProperties extends Properties("engine") {
       got == ws.scanLeft(0L)(_ + _).tail
     }
 
+  property("connectedComponents equals reference union-find on random graphs") =
+    Prop.forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(n => n -> find(n)).toMap
+        val got = graft.operators.DedupOps
+          .connectedComponents(edges.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == want
+      }
+    }
+
   property("canonical fingerprint ignores case and extra spaces") =
     Prop.forAll(genWords) { words =>
       val base = words.mkString(" ")
