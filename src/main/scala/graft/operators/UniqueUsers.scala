@@ -51,4 +51,24 @@ object UniqueUsers {
       .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
       .groupBy(col("minute"))
       .agg(approx_count_distinct(col("uid"), rsd).as("unique_users_approx"))
+
+  /** Sketch-vs-exact self-check: ONE aggregate computes both the HLL++
+    * estimate and the exact distinct, then emits the exact count plus a
+    * boolean `within_bound` = |approx − exact| ≤ max(absSlack, relBound ×
+    * exact). The boolean makes the sketch ORACLE-CHECKABLE: a cross-engine
+    * oracle can't reproduce engine-specific HLL values, but it can assert
+    * the exact side AND that the bound held (oracle emits literal TRUE —
+    * any out-of-bound estimate hash-mismatches the gate). */
+  def perMinuteApproxChecked(events: DataFrame, eventTime: Column, idCol: Column,
+                             rsd: Double = 0.01, relBound: Double = 0.05,
+                             absSlack: Int = 5): DataFrame =
+    events
+      .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
+      .groupBy(col("minute"))
+      .agg(approx_count_distinct(col("uid"), rsd).as("approx"),
+        count_distinct(col("uid")).as("unique_users"))
+      .select(col("minute"), col("unique_users"),
+        (abs(col("approx") - col("unique_users")) <=
+          greatest(lit(absSlack), col("unique_users") * lit(relBound)))
+          .as("within_bound"))
 }

@@ -12,24 +12,44 @@ import graft.time.TimeOps
   */
 object AdvancedQueries {
 
-  // ── approximate quantiles (sketch path; rows-only check like
-  // approx_unique_users — an approximation has no cross-engine oracle).
+  // ── approximate quantiles (sketch path, error-bound-gated). ────────────
   // percentile_approx is the single-pass mergeable-sketch quantile: at
   // corpus scale the exact sort-based percentile in stats_agg is the
-  // oracle anchor, this is the one you actually run on 100 TB. ────────────
+  // oracle anchor, this is the one you actually run on 100 TB. The sketch
+  // values themselves are engine-specific, so the gate hashes the EXACT
+  // side plus booleans asserting every sketch landed within its bound
+  // (quartiles ≤ 2% relative; HLL custkeys ≤ max(10, 10%·exact)) — the
+  // oracle emits literal TRUE, so a drifting sketch hash-mismatches. ─────
   private val approxQuantilesPrice: Q = (s, dir) =>
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
         expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.9), 10000)")
-          .as("price_quartiles"),
-        expr("approx_count_distinct(o_custkey)").as("approx_custs"))
+          .as("qa"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").as("qe"),
+        expr("approx_count_distinct(o_custkey)").as("ac"),
+        count_distinct(col("o_custkey")).as("n_custs"))
       .select(col("o_orderstatus"),
-        round(element_at(col("price_quartiles"), 1), 2).as("p25"),
-        round(element_at(col("price_quartiles"), 2), 2).as("p50"),
-        round(element_at(col("price_quartiles"), 3), 2).as("p75"),
-        round(element_at(col("price_quartiles"), 4), 2).as("p90"),
-        col("approx_custs"))
+        round(element_at(col("qe"), 1), 2).as("p25"),
+        round(element_at(col("qe"), 2), 2).as("p50"),
+        round(element_at(col("qe"), 3), 2).as("p75"),
+        round(element_at(col("qe"), 4), 2).as("p90"),
+        col("n_custs"),
+        expr("forall(zip_with(qa, qe, (a, e) -> abs(a - e) <= 0.02 * e), x -> x)")
+          .as("quartiles_ok"),
+        (abs(col("ac") - col("n_custs")) <=
+          greatest(lit(10), col("n_custs") * lit(0.10))).as("custs_ok"))
+
+  private val approxQuantilesPriceSql =
+    """SELECT o_orderstatus,
+      |       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+      |       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+      |       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+      |       round(quantile_cont(o_totalprice, 0.90), 2) AS p90,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |       TRUE AS quartiles_ok,
+      |       TRUE AS custs_ok
+      |FROM orders GROUP BY 1""".stripMargin
 
   // ── statistical aggregates (stddev/var/corr/covar/exact percentile) ────
   private val statsAgg: Q = (s, dir) =>
@@ -166,6 +186,17 @@ object AdvancedQueries {
        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""".stripMargin
   }
+
+  // ── SimHash near-pairs via pigeonhole banding (the 100 TB plan) ────────
+  // Same semantics and SAME oracle as simhash_near_pairs, but candidates
+  // come from the two 8-bit band-equality self-joins (shuffle join on a
+  // byte key) instead of the broadcast nested-loop product — the plan that
+  // survives a 1000× corpus. Both paths stay gated: quadratic wins on this
+  // low-entropy fixture, banded is the one you run at scale, and the gate
+  // proves they agree. PlanAuditSpec pins no-BNLJ on this one.
+  private val simhashNearPairsBanded: Q = (s, dir) =>
+    DedupOps.simHashNearPairs(Tables.documents(s, dir),
+      col("doc_id"), col("text"), maxDist = 1, banded = true)
 
   // ── as-of join: purchase → most recent prior click, per user ───────────
   private val asofClickAttribution: Q = (s, dir) => {
@@ -306,7 +337,7 @@ object AdvancedQueries {
     "token_stats_regex"    -> tokenStatsRegex,
     "char_fingerprint"     -> charFingerprint,
     "stats_agg"            -> statsAgg,
-    "approx_quantiles_price" -> approxQuantilesPrice, // rows-only: approx sketch
+    "approx_quantiles_price" -> approxQuantilesPrice,
     "pivot_events"         -> pivotEvents,
     "unpivot_events"       -> unpivotEvents,
     "grouping_sets_events" -> groupingSetsEvents,
@@ -314,6 +345,7 @@ object AdvancedQueries {
     "ship_lag_join"        -> shipLagJoin,
     "salted_agg_by_type"   -> saltedAggByType,
     "simhash_near_pairs"   -> simhashNearPairs,
+    "simhash_near_pairs_banded" -> simhashNearPairsBanded,
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +356,7 @@ object AdvancedQueries {
     "token_stats_regex"    -> tokenStatsRegexSql,
     "char_fingerprint"     -> charFingerprintSql,
     "stats_agg"            -> statsAggSql,
+    "approx_quantiles_price" -> approxQuantilesPriceSql,
     "pivot_events"         -> pivotEventsSql,
     "unpivot_events"       -> unpivotEventsSql,
     "grouping_sets_events" -> groupingSetsEventsSql,
@@ -331,5 +364,6 @@ object AdvancedQueries {
     "ship_lag_join"        -> shipLagJoinSql,
     "salted_agg_by_type"   -> saltedAggByTypeSql,
     "simhash_near_pairs"   -> simhashNearPairsSql,
+    "simhash_near_pairs_banded" -> simhashNearPairsSql, // same oracle: banded ≡ quadratic
   )
 }

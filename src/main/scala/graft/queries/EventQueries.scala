@@ -322,11 +322,19 @@ object EventQueries {
       |WHERE rn = 1""".stripMargin
 
   /** Approximate distinct (HyperLogLog++) — the mergeable-sketch scale path
-    * (SURVEY §7 M2). No SQL oracle: approx results are engine-specific, so
-    * the driver records the weaker rows-only check; exactness is bounded in
-    * UniqueUsersSpec instead. */
+    * (SURVEY §7 M2). Fully hash-checked despite being a sketch: the query
+    * emits the exact count plus a `within_bound` boolean asserting the HLL
+    * estimate landed inside max(5, 5%·exact); the DuckDB oracle reproduces
+    * the exact side and a literal TRUE, so an out-of-bound sketch fails the
+    * gate. Tighter error statistics stay in UniqueUsersSpec. */
   private val approxUniqueUsers: Q = (s, dir) =>
-    UniqueUsers.perMinuteApprox(Tables.events(s, dir), col("ts"), col("user_id"))
+    UniqueUsers.perMinuteApproxChecked(Tables.events(s, dir), col("ts"), col("user_id"))
+
+  private val approxUniqueUsersSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
 
   val all: Map[String, Q] = Map(
     "unique_users_per_minute" -> uniqueUsersPerMinute,
@@ -350,6 +358,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "unique_users_per_minute" -> uniqueUsersPerMinuteSql,
     "unique_users_two_phase"  -> uniqueUsersPerMinuteSql,
+    "approx_unique_users"     -> approxUniqueUsersSql,
     "json_extract"            -> jsonExtractSql,
     "json_reject_policy"      -> jsonRejectPolicySql,
     "filter_project"          -> filterProjectSql,

@@ -88,6 +88,13 @@ class PlanAuditSpec extends SparkSpec {
       s"status filter must prune partitions at listing time:\n$p")
   }
 
+  test("simhash_near_pairs_banded: candidates via equi-join, never all-pairs") {
+    val p = plan("simhash_near_pairs_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded SimHash must never plan the quadratic pair scan:\n$p")
+    assert(p.contains("Join"), s"band-bucket equi-join missing:\n$p")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
