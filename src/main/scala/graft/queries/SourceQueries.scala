@@ -35,8 +35,8 @@ object SourceQueries {
       .withColumn("fmt", lit(fmt))
 
   private val formatRoundtrip: Q = (s, dir) => {
-    // per-sfDir scratch dir: concurrent gates on different SFs don't clash
-    val fmtDir = s"${sys.props("java.io.tmpdir")}/graft_fmt_${Integer.toHexString(dir.hashCode)}"
+    // per-(sfDir, process) scratch dir — see queries.scratchPath
+    val fmtDir = scratchPath("fmt", dir)
     val base = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     base.write.mode("overwrite").option("header", "true").csv(s"$fmtDir/csv")
@@ -63,7 +63,7 @@ object SourceQueries {
     * statuses opened) — PlanAuditSpec pins `PartitionFilters` on the
     * scan. Oracle computes the same aggregate parquet-direct. */
   private val partitionedRoundtrip: Q = (s, dir) => {
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft_part_${Integer.toHexString(dir.hashCode)}"
+    val outDir = scratchPath("part", dir)
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice"), col("o_orderstatus"))

@@ -107,41 +107,40 @@ object StreamingQueries {
     }
   }
 
-  /** Session windows through a REAL streaming execution: the same
-    * `Windowing.sessionStats` plan as the batch `session_window_stats`,
-    * driven by a file stream with a watermark (session windows demand one
-    * in streaming — it bounds the merge state — and only support APPEND
-    * mode, which emits a session exactly when the watermark passes its
-    * end). A session's end is its last event + gap, so the trailing
-    * sessions can never close on real data alone; the query streams from
-    * a scratch dir and injects one far-future sentinel event as a second
-    * micro-batch, advancing the watermark past every real session end —
-    * the standard "advance event time to flush" pattern. The final result
-    * (sentinel filtered out) must equal the batch gaps-and-islands
-    * oracle — streaming/batch parity for stateful session merging,
-    * including watermark-driven finalization. */
-  private val streamingSessions: Q = (s, dir) => {
+  /** Append-mode gate harness: stream `events.parquet` from a scratch
+    * dir, run `build(frames)` with a memory sink in APPEND mode, then
+    * inject ONE far-future sentinel event (user_id/event_id = −1, event
+    * time = real max + 1 day) as a second micro-batch — advancing the
+    * watermark past every real window/session end so append mode emits
+    * every final result. The standard "advance event time to flush"
+    * pattern; callers filter the sentinel's own row back out.
+    *
+    * Scratch dir is keyed by (sfDir, pid) so two processes gating the
+    * same sfDir concurrently can't delete each other's in-flight files,
+    * and all directory walks/listings are closed (try/finally — Files
+    * .walk/list hold an open directory handle until closed). */
+  private def appendWithSentinelFlush(s: org.apache.spark.sql.SparkSession,
+      dir: String, tag: String)(
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_sessions_${Integer.toHexString(dir.hashCode)}")
+    val tmp = Paths.get(scratchPath(tag, dir))
     if (Files.exists(tmp)) {
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+      val walk = Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => Files.delete(p))
+      finally walk.close()
     }
     Files.createDirectories(tmp)
     Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
-        col("user_id"))
-      .withWatermark("eventTime", "0 seconds")
-    val sessions = graft.operators.Windowing.sessionStats(
-      frames, col("eventTime"), col("user_id"), "30 minutes")
-    val sink = s"streaming_sessions_${runSeq.incrementAndGet()}"
+    val out = build(frames)
+    val sink = s"${tag}_${runSeq.incrementAndGet()}"
     withStatePartitions(s, 4) {
-      val q = sessions.writeStream
+      val q = out.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
         .start()
@@ -157,16 +156,70 @@ object StreamingQueries {
         val scratch = tmp.resolve("_scratch")
         s.createDataFrame(sentinel, eventsRawSchema)
           .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-        val part = Files.list(scratch)
+        val list = Files.list(scratch)
+        val part = try list
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .findFirst().get()
+        finally list.close()
         Files.move(part, tmp.resolve("zz_batch2.parquet"))
         q.processAllAvailable() // batch 2 + no-data flush batch
       } finally q.stop()
     }
-    s.table(sink).filter(col("key") >= 0)
+    s.table(sink)
+  }
+
+  /** Session windows through a REAL streaming execution: the same
+    * `Windowing.sessionStats` plan as the batch `session_window_stats`,
+    * driven by a file stream with a watermark (session windows demand one
+    * in streaming — it bounds the merge state — and only support APPEND
+    * mode, which emits a session exactly when the watermark passes its
+    * end). A session's end is its last event + gap, so the trailing
+    * sessions can never close on real data alone; the sentinel flush
+    * advances the watermark past every real session end. The final result
+    * (sentinel filtered out) must equal the batch gaps-and-islands
+    * oracle — streaming/batch parity for stateful session merging,
+    * including watermark-driven finalization. */
+  private val streamingSessions: Q = (s, dir) =>
+    appendWithSentinelFlush(s, dir, "streaming_sessions") { raw =>
+      val frames = raw
+        .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+          col("user_id"))
+        .withWatermark("eventTime", "0 seconds")
+      graft.operators.Windowing.sessionStats(
+        frames, col("eventTime"), col("user_id"), "30 minutes")
+    }.filter(col("key") >= 0)
       .select(col("key").as("user_id"),
         col("session_start"), col("session_end"), col("n_events"))
+
+  /** The flagship pipeline in APPEND output mode — the reference's
+    * *intended* semantics (one final count per closed window; its
+    * `suppress(untilWindowCloses)` is commented out "Could not make it
+    * work", UniqueUsersApp.java:119) gated end-to-end: watermarked
+    * in-window dedup → windowed count, each window emitted exactly once
+    * when the watermark passes its end, flushed by the sentinel batch.
+    * Sentinel's own far-future window is dropped by the time filter; the
+    * result must equal the same batch count_distinct oracle as the
+    * complete-mode flagship. */
+  private val streamingUniqueUsersAppend: Q = (s, dir) => {
+    val counts = appendWithSentinelFlush(s, dir, "streaming_uu_append") { raw =>
+      val frames = raw.select(
+        graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("user_id").cast("string").as("uid"))
+      UniqueUsersStream.uniquePerWindow(frames,
+        window = "1 minute", watermark = Some("1 minute"))
+    }
+    // defensive sentinel drop: every real window starts ≤ the real max
+    // event time; the sentinel's window (a day later) can only start
+    // after it. (With a 1-minute watermark the sentinel's own window
+    // never closes, so it shouldn't be emitted at all — but the filter
+    // keys on the DATA, not on that emission subtlety.)
+    val maxNs = s.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet*")
+      .agg(max(col("ts"))).head().getLong(0)
+    counts.filter(unix_timestamp(col("window_start")) <=
+        Math.floorDiv(maxNs, 1000000000L))
+      .select(unix_timestamp(col("window_start")).as("minute"),
+        col("unique_users"))
   }
 
   /** Stream-stream attribution join in the gate: views joined to
@@ -216,12 +269,14 @@ object StreamingQueries {
 
   val all: Map[String, Q] = Map(
     "streaming_unique_users" -> streamingUniqueUsers,
+    "streaming_unique_users_append" -> streamingUniqueUsersAppend,
     "streaming_running_distinct" -> streamingRunningDistinct,
     "streaming_sessions" -> streamingSessions,
     "streaming_stream_join" -> streamingStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "streaming_unique_users" -> streamingUniqueUsersSql,
+    "streaming_unique_users_append" -> streamingUniqueUsersSql,
     "streaming_running_distinct" -> streamingUniqueUsersSql,
     // same oracle as the batch session query — THE parity statement
     "streaming_sessions" -> EventQueries.sessionWindowStatsSql,
