@@ -88,6 +88,15 @@ object AsOfJoin {
     //    seconds);
     require(lt.dataType == rt.dataType,
       s"as-of time types differ: ${lt.dataType} vs ${rt.dataType}")
+    // 1b. time type must be one the exec's asLong ordering handles —
+    //     otherwise (e.g. two StringType time columns) analysis would
+    //     pass and every row would throw mid-job in asLong; fail at
+    //     call time like the other guards
+    require({
+      import org.apache.spark.sql.types._
+      Seq(TimestampType, TimestampNTZType, DateType, LongType, IntegerType)
+        .contains(lt.dataType)
+    }, s"as-of time type must be timestamp/date/long/int, not ${lt.dataType}")
     // 2. mismatched key types make the merge ordering read garbage (the
     //    ordering is built from the LEFT key type and applied to both);
     require(lk.dataType == rk.dataType,

@@ -25,6 +25,14 @@ import org.apache.spark.sql.types.LongType
   * boundaries land, because a running sum over a globally sorted order is
   * prefix-decomposable.
   *
+  * PRECONDITION: `idCol` must be UNIQUE. With duplicate order keys,
+  * `repartitionByRange` may split tied rows across partition boundaries,
+  * making the relative order of ties (and therefore each tied row's
+  * running total) placement-dependent — the same nondeterminism a global
+  * window has for ties, but varying with partitioning rather than being
+  * stable per plan. Callers with non-unique keys must add a tiebreak
+  * column and pass a composite unique key.
+  *
   * The imperative per-partition pass is a genuine `mapPartitionsWithIndex`
   * use case (running state across rows in partition order) — exactly the
   * "rarely, for per-partition imperative logic" carve-out, since no
