@@ -4,14 +4,26 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line with per-query and total seconds.
   *
-  * Two passes: an untimed warmup (JIT, codegen caches, parquet footer
-  * cache) then the timed pass — steady-state numbers, not JVM-start
-  * artifacts. Queries run in name order for stable cross-round diffs.
+  * One untimed warmup pass (JIT, codegen caches, parquet footer cache),
+  * then `SPARK_GRAFT_RUNS` timed passes (default 3) — the reported
+  * per-query number is the MEDIAN across passes, so a single contended
+  * run on a busy box can't poison the recorded artifact (the round-2
+  * driver run read up to 17× inflated on queries that re-measured at
+  * baseline on an idle box). Queries run in name order for stable
+  * cross-round diffs.
+  *
+  * The stdout line keeps the driver contract (`"queries"` maps name →
+  * median seconds) and MUST stay short: the driver captures a bounded
+  * tail of the output, and the round-2 line already overflowed it
+  * (`"parsed": null` in the recorded artifact). Per-query min/median/max
+  * spread therefore goes to `BENCH_DETAIL.json` next to the repo root
+  * instead of the stdout line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,19 +56,39 @@ object Bench {
     }
 
     queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
-    val results = queries.map { case (n, f) => n -> runOne(n, f) }
+    // run-major order (full registry per pass, `runs` passes) so one
+    // transient load spike degrades one PASS of many queries — each
+    // query's other passes still vote it back to a sane median
+    val passes = (1 to runs).map { _ =>
+      queries.map { case (n, f) => n -> runOne(n, f) }
+    }
+    val byQuery = queries.map { case (n, _) =>
+      val ts = passes.map(_.find(_._1 == n).get._2._1).sorted
+      val firstErr = passes.flatMap(_.find(_._1 == n).get._2._2).headOption
+      (n, ts.head, ts(ts.size / 2), ts.last, firstErr)
+    }
 
     // ms precision keeps the line short enough for tail-buffer parsers
     // (full Double.toString of 67 entries overflowed a ~3 KB tail in r1);
     // Double.toString, not %f — String.format is locale-dependent.
     def fmt(v: Double): String = (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
+    val qs = byQuery.map { case (k, _, med, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     // a failed query must not masquerade as a fast pass — name it
-    val errs = results.collect { case (k, (_, Some(e))) =>
+    val errs = byQuery.collect { case (k, _, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
-    val total = fmt(results.map(_._2._1).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = fmt(byQuery.map(_._3).sum)
+    // full spread per query → repo file (the stdout line must stay short)
+    val detail = byQuery.map { case (k, min, med, max, _) =>
+      "\"" + k + "\":[" + fmt(min) + "," + fmt(med) + "," + fmt(max) + "]"
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","spread_min_med_max":$detail}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      detailJson.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // detail is best-effort, never fails the bench
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
