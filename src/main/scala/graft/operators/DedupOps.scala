@@ -222,12 +222,21 @@ object DedupOps {
     // (often a full LSH run) re-executes per round — measured 3× the total
     // runtime on the gate query. Eager localCheckpoint, same rationale as
     // the per-round label checkpoint below.
+    // hash-partition the edges by the per-round join key BEFORE the
+    // checkpoint: Dataset.localCheckpoint preserves outputPartitioning,
+    // so every round's sym⋈labels reuses it and only the (smaller) label
+    // relation moves — the edge relation is shuffled once, not per round
     val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("cluster_id"))
+    // seed = min(own, min neighbor) — round 1 fused into the node-listing
+    // aggregate (same shuffle the plain distinct would cost, one fewer
+    // push round overall; a clique converges at the seed itself)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
+      .select(col("src").as("node"), col("cluster_id"))
       .localCheckpoint()
     // decimal sum: a Long sum would overflow (ANSI: throw) once
     // |V| × max(id) nears 2^63 — real at billion-node corpus scale
