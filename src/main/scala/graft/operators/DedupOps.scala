@@ -89,15 +89,48 @@ object DedupOps {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_hash").as("band_hash"))
   }
 
-  /** Candidate pairs: docs sharing at least one band bucket (d1 < d2). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
+  /** Candidate pairs: docs sharing at least one band bucket (d1 < d2).
+    *
+    * Skew defense (`maxBucket`): a hot (band, band_hash) bucket — e.g. a
+    * near-constant corpus where one bucket holds most of it — makes the
+    * self-join quadratic in that bucket's size. With a cap set, a
+    * bucket-size pre-aggregate splits the buckets: ≤ cap proceeds with
+    * the normal all-pairs-in-bucket join; > cap emits STAR candidates
+    * only — every member paired with the bucket's min doc id — bounding
+    * the bucket's output at B−1 instead of B². Star pairs flow through
+    * the same exact-Jaccard verification as everything else, and
+    * `connectedComponents` recovers the full cluster transitively, so
+    * for the adversarial all-near-identical case the final clustering is
+    * unchanged while the candidate volume stays linear. (Pairs between
+    * two non-pivot members of an oversized bucket are not re-verified
+    * individually — the documented recall trade for boundedness; they
+    * remain candidates via any other band they share.)
+    * Default Int.MaxValue = off: the capped path costs one extra
+    * aggregate + join, so the uncapped fast path stays byte-identical. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    if (maxBucket == Int.MaxValue) {
+      val a = bands.as("a")
+      val b = bands.as("b")
+      return a.join(b, col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+    }
+    val sized = bands.join(
+      bands.groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("_n"), min(col("doc_id")).as("_pivot")),
+      Seq("band", "band_hash"))
+    val small = sized.filter(col("_n") <= maxBucket)
+    val pairsSmall = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    val pairsBig = sized
+      .filter(col("_n") > maxBucket && col("doc_id") =!= col("_pivot"))
+      .select(col("_pivot").as("d1"), col("doc_id").as("d2"))
+    pairsSmall.union(pairsBig).distinct()
   }
 
   /** Exact Jaccard over given pairs, via one equi-join on the shingle and a
@@ -128,7 +161,8 @@ object DedupOps {
     * slower on the 500-doc bench). */
   def minHashLshPairs(docs: DataFrame, idCol: Column, textCol: Column,
                       shingleN: Int, numHashes: Int, bands: Int,
-                      threshold: Double, persistShingles: Boolean = false): DataFrame = {
+                      threshold: Double, persistShingles: Boolean = false,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     // signatures read the shuffle-free bag (min is duplicate-insensitive);
     // only the Jaccard verification needs the distinct set
@@ -137,7 +171,7 @@ object DedupOps {
     val sh = if (persistShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 

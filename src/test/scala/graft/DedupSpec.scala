@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(n >= 25, s"expected the ~28 planted near-dup pairs, got $n")
   }
 
+  test("lshCandidates bucket cap: adversarial hot bucket stays linear, cluster intact") {
+    // 200 near-identical docs (one shared sentence, unique trailing token
+    // that vanishes from most shingles) — all 200 land in the same
+    // (band, band_hash) buckets, the adversarial hot-bucket corpus
+    val hot = (0L until 200L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta iota kappa v$i"))
+      .toDF("doc_id", "text")
+    val bands = DedupOps.lshBands(
+      DedupOps.minHashSignatures(
+        DedupOps.shingleBag(hot, $"doc_id", $"text", 3), 16), 8, 2)
+    val uncapped = DedupOps.lshCandidates(bands).count()
+    val capped = DedupOps.lshCandidates(bands, maxBucket = 16)
+    val cappedRows = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // linear bound: star pairs per oversized bucket ≤ members−1 (deduped
+    // across bands) plus the small residual buckets' quadratic — an order
+    // of magnitude under the ~19,900 uncapped quadratic pairs (measured:
+    // 527 vs 19,900 ≈ 38×)
+    assert(uncapped > 10000L, s"fixture not adversarial enough: $uncapped")
+    assert(cappedRows.length.toLong * 10 < uncapped,
+      s"cap failed to bound the hot bucket: ${cappedRows.length} of $uncapped pairs")
+    // the star pairs still connect every doc into ONE cluster
+    val labels = DedupOps.connectedComponents(capped.toDF("d1", "d2")).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(labels == Set(0L), s"capped candidates split the cluster: $labels")
+  }
+
   test("connectedComponents labels chains, keeps components separate") {
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
     // 10-11-12, and an isolated pair 20-21
