@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
 
 /** Kafka source/sink wiring (reference config.properties:1–5 +
   * UniqueUsersApp.java:68–89, re-expressed as Spark source options).
@@ -31,6 +32,21 @@ object KafkaTransport {
       topic: String,
       checkpointLocation: String)
 
+  /** The Kafka source's fixed output schema (the connector's documented
+    * wire shape: one row per ConsumerRecord). Declared here so tests can
+    * drive the exact same downstream plan from a connector-free source —
+    * KafkaParitySpec feeds `frames` a MemoryStream with THIS schema, which
+    * is everything of the Kafka path above the scan node.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
   /** Raw frames stream: (key, value, timestamp, ...) from a topic. */
   def readRaw(spark: SparkSession, cfg: SourceConfig): DataFrame = {
     val base = spark.readStream.format("kafka")
@@ -41,10 +57,19 @@ object KafkaTransport {
       base.option("maxOffsetsPerTrigger", n.toString)).load()
   }
 
+  /** The entire post-scan transform of the Kafka read path: raw wire
+    * records (any source with `wireSchema`-compatible columns) → typed,
+    * validated (eventTime, uid) frames. Factored out of [[readLogFrames]]
+    * so the one connector-dependent line is the scan itself; everything
+    * else is exercised broker-free in KafkaParitySpec.
+    */
+  def frames(raw: DataFrame): DataFrame =
+    LogFrames.valid(LogFrames.parse(raw,
+      org.apache.spark.sql.functions.col("value")))
+
   /** Typed, validated log frames from a topic (parse + reject filter). */
   def readLogFrames(spark: SparkSession, cfg: SourceConfig): DataFrame =
-    LogFrames.valid(LogFrames.parse(readRaw(spark, cfg),
-      org.apache.spark.sql.functions.col("value")))
+    frames(readRaw(spark, cfg))
 
   /** Writer for (key, value) records to a topic; exactly-once via the
     * checkpoint (the Spark analogue of the reference's changelog+offsets).
