@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Point-in-interval (range) join, scale-safe by bucket decomposition.
+  *
+  * Spark has no native range-join operator: `points.join(intervals,
+  * t >= s && t <= e)` plans as a broadcast-nested-loop (or cartesian)
+  * theta-join — quadratic work that dies at scale. The classic fix
+  * (interval-bucketing, as in Spark's own stream-stream time-interval
+  * join state layout) re-expresses it as an EQUI-join:
+  *
+  *  - each point maps to the single width-`w` bucket containing `t`;
+  *  - each interval explodes to every bucket it overlaps
+  *    (`floor(s/w) .. floor(e/w)` — `ceil(span/w)+1` rows, a bounded,
+  *    chosen fan-out);
+  *  - a hash shuffle (or broadcast) equi-join on the bucket id meets
+  *    every (point, interval) pair whose ranges can intersect, and the
+  *    exact `BETWEEN` predicate keeps true matches.
+  *
+  * Each point lives in exactly one bucket, so a matching pair meets
+  * exactly once — no dedup pass. Pick `bucketWidth` near the typical
+  * interval span: fan-out stays ≈ 2 while each bucket holds only the
+  * points that can possibly match. Both shuffles are on a single long
+  * key; skew from hot buckets is visible to (and split by) AQE.
+  *
+  * Inputs must come from distinct plans (self-joins need aliased legs —
+  * Spark's ambiguous-attribute rules, same as any equi-join). Time/bound
+  * columns must be integral (epoch seconds/days/...); callers convert
+  * timestamps first — same fail-fast contract as AsOfJoin.
+  */
+object RangeJoin {
+
+  private val integral = Set[org.apache.spark.sql.types.DataType](
+    ByteType, ShortType, IntegerType, LongType)
+
+  /** All (point, interval) pairs with `start ≤ t ≤ end` (inclusive both
+    * ends). Output = point columns ++ interval columns. */
+  def pointInInterval(points: DataFrame, tCol: Column,
+                      intervals: DataFrame, startCol: Column, endCol: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def dtype(df: DataFrame, c: Column) = df.select(c).schema.head.dataType
+    Seq("t" -> dtype(points, tCol), "start" -> dtype(intervals, startCol),
+        "end" -> dtype(intervals, endCol)).foreach { case (role, dt) =>
+      require(integral.contains(dt),
+        s"range-join $role column must be integral (epoch-converted), got $dt")
+    }
+    val w = lit(bucketWidth)
+    val pts = points.withColumn("_rj_bucket", floor(tCol / w).cast("long"))
+    val ivs = intervals.withColumn("_rj_bucket",
+      explode(sequence(floor(startCol / w).cast("long"),
+        floor(endCol / w).cast("long"))))
+    pts.join(ivs, pts("_rj_bucket") === ivs("_rj_bucket") &&
+        tCol >= startCol && tCol <= endCol)
+      .drop("_rj_bucket")
+  }
+}

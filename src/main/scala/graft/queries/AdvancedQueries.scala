@@ -158,6 +158,39 @@ object AdvancedQueries {
       |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
       |GROUP BY 1""".stripMargin
 
+  // ── bucketed range (point-in-interval) join ────────────────────────────
+  // Unlike ship_lag_join (range predicate refining an existing equi-key),
+  // this joins on the TIME RANGE ALONE — no shared key, which Spark would
+  // otherwise plan as a nested-loop product. RangeJoin decomposes it into
+  // a bucket equi-join (see operators/RangeJoin.scala); the plan pin lives
+  // in PlanAuditSpec (no BroadcastNestedLoopJoin / CartesianProduct).
+  // Fixture: every lineitem shipped within 7 days of any of the 50 most
+  // expensive orders' order dates (keys make each output row unique).
+  private val rangeJoinOrders: Q = (s, dir) => {
+    val iv = Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+      .select(col("o_orderkey").as("iv_order"),
+        unix_timestamp(col("o_orderdate")).as("iv_start"))
+      .withColumn("iv_end", col("iv_start") + lit(7L * 86400L))
+    val pts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        unix_timestamp(col("l_shipdate")).as("ship_s"))
+    graft.operators.RangeJoin.pointInInterval(
+        pts, col("ship_s"), iv, col("iv_start"), col("iv_end"),
+        bucketWidth = 7L * 86400L)
+      .select(col("iv_order"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val rangeJoinOrdersSql =
+    """WITH iv AS (SELECT o_orderkey AS iv_order,
+      |                   CAST(epoch(o_orderdate) AS BIGINT) AS s
+      |            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50)
+      |SELECT iv.iv_order, l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber
+      |FROM lineitem l JOIN iv
+      |  ON CAST(epoch(l.l_shipdate) AS BIGINT) BETWEEN iv.s AND iv.s + 604800""".stripMargin
+
   // ── skew-salted two-phase aggregation (result ≡ plain aggregate) ───────
   private val saltedAggByType: Q = (s, dir) =>
     SkewOps.saltedCountSum(Tables.events(s, dir),
@@ -343,6 +376,7 @@ object AdvancedQueries {
     "grouping_sets_events" -> groupingSetsEvents,
     "scalar_subquery"      -> scalarSubquery,
     "ship_lag_join"        -> shipLagJoin,
+    "range_join_orders"    -> rangeJoinOrders,
     "salted_agg_by_type"   -> saltedAggByType,
     "simhash_near_pairs"   -> simhashNearPairs,
     "simhash_near_pairs_banded" -> simhashNearPairsBanded,
@@ -362,6 +396,7 @@ object AdvancedQueries {
     "grouping_sets_events" -> groupingSetsEventsSql,
     "scalar_subquery"      -> scalarSubquerySql,
     "ship_lag_join"        -> shipLagJoinSql,
+    "range_join_orders"    -> rangeJoinOrdersSql,
     "salted_agg_by_type"   -> saltedAggByTypeSql,
     "simhash_near_pairs"   -> simhashNearPairsSql,
     "simhash_near_pairs_banded" -> simhashNearPairsSql, // same oracle: banded ≡ quadratic

@@ -95,6 +95,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join"), s"band-bucket equi-join missing:\n$p")
   }
 
+  test("range_join_orders: time-range-only join plans as a bucket equi-join") {
+    val p = plan("range_join_orders")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must decompose to a bucket equi-join, not a product:\n$p")
+    assert(p.contains("Join"), s"bucket equi-join missing:\n$p")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
