@@ -47,6 +47,16 @@ object TextFunctions {
   /** Shingles straight from text; fine for single-use projections. */
   def wordShingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** Character n-grams at every start position; docs shorter than `n`
+    * yield empty (NOT a descending `sequence` — Spark's sequence(1, 0)
+    * counts down). Same binding note as `shinglesOf`: pass a projected
+    * column, not a computed expression, in explode paths. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -51,6 +51,18 @@ object DedupOps {
   def shingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     shingleBag(docs, idCol, textCol, n).distinct()
 
+  /** Character-n-gram feature bag (id, g), duplicates included — the
+    * n-gram-Jaccard counterpart of the word `shingleBag`; one codegen'd
+    * transform + explode, no shuffle. */
+  def charShingleBag(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    docs.select(idCol.as("doc_id"), textCol.as("t"))
+      .select(col("doc_id"),
+        explode(TextFunctions.charShingles(col("t"), n)).as("g"))
+
+  /** Distinct character-n-gram features (set semantics for Jaccard). */
+  def charShingleSet(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    charShingleBag(docs, idCol, textCol, n).distinct()
+
   /** MinHash permutation family h_i(x) = (a_i * x + b_i) mod P over a
     * 40-bit base hash x = int(md5(shingle)[0:10 hex]). ONE md5 per shingle
     * row (not one per permutation — 16× fewer digests) and the min-agg
@@ -162,15 +174,27 @@ object DedupOps {
   def minHashLshPairs(docs: DataFrame, idCol: Column, textCol: Column,
                       shingleN: Int, numHashes: Int, bands: Int,
                       threshold: Double, persistShingles: Boolean = false,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    lshPairsOverShingles(
+      shingleBag(docs, idCol, textCol, shingleN),
+      shingleSet(docs, idCol, textCol, shingleN),
+      numHashes, bands, threshold, persistShingles, maxBucket)
+
+  /** The shingle-source-agnostic core of the MinHash+LSH pipeline: any
+    * (doc_id, g) feature relation works — word shingles, char n-grams,
+    * hashed tokens. `bag` may carry duplicates (signatures are min-based);
+    * `set` must be distinct (it defines the Jaccard). */
+  def lshPairsOverShingles(bag: DataFrame, set: DataFrame,
+                           numHashes: Int, bands: Int, threshold: Double,
+                           persistSet: Boolean = false,
+                           maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     // signatures read the shuffle-free bag (min is duplicate-insensitive);
     // only the Jaccard verification needs the distinct set
-    val sig = minHashSignatures(shingleBag(docs, idCol, textCol, shingleN), numHashes)
-    val sh0 = shingleSet(docs, idCol, textCol, shingleN)
-    val sh = if (persistShingles)
-      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sh0
+    val sig = minHashSignatures(bag, numHashes)
+    val sh = if (persistSet)
+      set.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else set
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }

@@ -738,13 +738,16 @@ object TextQueries {
     DedupOps.minHashLshPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
       ShingleN, NumHashes, Bands, Threshold)
 
-  private val minhashLshPairsSql = {
+  /** The band→candidate→exact-Jaccard oracle tail, shared by the word-
+    * shingle and char-n-gram variants: works over any CTE prefix defining
+    * `dt` (distinct (doc_id, g) features) and `sig` (minhash columns). */
+  private def lshPairsSqlOver(ctes: String): String = {
     val bandSelects = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand)
         .map(r => s"mh${b * RowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($rows) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shingleCtes,
+    s"""$ctes,
        |bands AS (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
@@ -764,6 +767,38 @@ object TextQueries {
        |JOIN sz z2 ON z2.doc_id = d2
        |WHERE round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) >= $Threshold""".stripMargin
   }
+
+  private val minhashLshPairsSql = lshPairsSqlOver(shingleCtes)
+
+  // ── char-n-gram Jaccard near-dup pairs ─────────────────────────────────
+  // Same MinHash+LSH skeleton over character 3-grams instead of word
+  // shingles — robust to tokenization differences (whitespace damage,
+  // joined words) that break word-level dedup. The lead()-window char
+  // shingling in the oracle mirrors Spark's substr transform exactly
+  // (docs shorter than 3 chars contribute nothing on either side).
+  private def charShingleCtes: String =
+    s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
+       |                   generate_subscripts(str_split(text, ''), 1) AS i
+       |            FROM documents),
+       |g3 AS (SELECT doc_id, c || lead(c, 1) OVER win || lead(c, 2) OVER win AS g
+       |       FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |dt AS (SELECT DISTINCT doc_id, g FROM g3 WHERE g IS NOT NULL),
+       |dh AS (SELECT doc_id,
+       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
+       |       FROM dt),
+       |sig AS (SELECT doc_id,
+       |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * h + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
+       |        FROM dh GROUP BY doc_id)""".stripMargin
+
+  private val ngramJaccardPairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    DedupOps.lshPairsOverShingles(
+      DedupOps.charShingleBag(docs, col("doc_id"), col("text"), 3),
+      DedupOps.charShingleSet(docs, col("doc_id"), col("text"), 3),
+      NumHashes, Bands, Threshold)
+  }
+
+  private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes)
 
   // ── dedup clusters (pairs → connected components) ──────────────────────
   // The step after near-dup pair mining: label every involved doc with the
@@ -846,6 +881,7 @@ object TextQueries {
     "dedup_docs_wordset"  -> dedupDocsWordset,
     "minhash_signatures"  -> minhashSignatures,
     "minhash_lsh_pairs"   -> minhashLshPairs,
+    "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "dedup_clusters"      -> dedupClusters,
     "simhash_docs"        -> simhashDocs,
   )
@@ -877,6 +913,7 @@ object TextQueries {
     "dedup_docs_wordset"  -> dedupDocsWordsetSql,
     "minhash_signatures"  -> minhashSignaturesSql,
     "minhash_lsh_pairs"   -> minhashLshPairsSql,
+    "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "dedup_clusters"      -> dedupClustersSql,
     "simhash_docs"        -> simhashDocsSql,
   )

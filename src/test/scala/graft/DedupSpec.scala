@@ -26,6 +26,26 @@ class DedupSpec extends SparkSpec {
     assert(sh0.head == "the_quick_brown" && sh0.length == 7)
   }
 
+  test("charShingles: every start position; sub-n docs yield empty, not a descending sequence") {
+    val fx = Seq((1L, "abcde"), (2L, "ab"), (3L, ""), (4L, "abc"))
+      .toDF("doc_id", "text")
+    val got = fx.select($"doc_id", TextFunctions.charShingles($"text", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("abc", "bcd", "cde"))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+    assert(got(4L) == Seq("abc"))
+  }
+
+  test("char-n-gram LSH pairs catch the same near-dups as word shingles here") {
+    val pairs = DedupOps.lshPairsOverShingles(
+        DedupOps.charShingleBag(docs, $"doc_id", $"text", 3),
+        DedupOps.charShingleSet(docs, $"doc_id", $"text", 3),
+        numHashes = 16, bands = 8, threshold = 0.8)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup must survive any threshold
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = DedupOps.exactGroups(docs, $"doc_id", $"text")
       .filter($"n_docs" > 1).collect()
