@@ -328,6 +328,66 @@ object TextQueries {
       |      FROM scored)
       |WHERE rnk <= 5""".stripMargin
 
+  // ── BM25 relevance scoring ─────────────────────────────────────────────
+  // The standard retrieval score a data pipeline uses for query-based
+  // corpus filtering ("keep docs relevant to X"): per (doc, query-term)
+  //   idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)        (Robertson-Sparck)
+  //   s(d,t) = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+  // summed over the fixed query. Scale shape: the term filter lands
+  // BEFORE the tf aggregate (only query-term rows shuffle), per-term df
+  // and the (N, avgdl) scalars broadcast — the fact side shuffles once.
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+  private val Bm25Query = Seq("spark", "join", "vector")
+
+  private val bm25Scores: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val dl = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("s", col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  private val bm25ScoresSql = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, w
+       |              FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+       |              WHERE w <> ''),
+       |dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       |       FROM documents d LEFT JOIN
+       |            (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+       |            ON d.doc_id = t.doc_id),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |       WHERE w IN ($terms) GROUP BY 1, 2),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (SELECT tf.doc_id,
+       |                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |                    * tf * ($Bm25K1 + 1.0)
+       |                    / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl / avgdl)) AS s
+       |           FROM tf JOIN df ON tf.w = df.w
+       |                   JOIN dl ON tf.doc_id = dl.doc_id
+       |                   CROSS JOIN stats)
+       |SELECT doc_id, round(sum(s), 6) AS bm25,
+       |       CAST(count(*) AS BIGINT) AS n_terms_hit
+       |FROM scored GROUP BY 1""".stripMargin
+  }
+
   // ── repetition score (n-gram repetition quality signal) ────────────────
   // 1 - unique_bigrams/bigrams: the standard "repetitive document" filter
   // in training-data pipelines (high ratio = boilerplate/spam). Join-free
@@ -741,10 +801,11 @@ object TextQueries {
   /** The band→candidate→exact-Jaccard oracle tail, shared by the word-
     * shingle and char-n-gram variants: works over any CTE prefix defining
     * `dt` (distinct (doc_id, g) features) and `sig` (minhash columns). */
-  private def lshPairsSqlOver(ctes: String): String = {
-    val bandSelects = (0 until Bands).map { b =>
-      val rows = (0 until RowsPerBand)
-        .map(r => s"mh${b * RowsPerBand + r}").mkString(" || '|' || ")
+  private def lshPairsSqlOver(ctes: String, bands: Int = Bands): String = {
+    val rowsPerBand = NumHashes / bands
+    val bandSelects = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, md5($rows) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""$ctes,
@@ -771,18 +832,28 @@ object TextQueries {
   private val minhashLshPairsSql = lshPairsSqlOver(shingleCtes)
 
   // ── char-n-gram Jaccard near-dup pairs ─────────────────────────────────
-  // Same MinHash+LSH skeleton over character 3-grams instead of word
+  // Same MinHash+LSH skeleton over character 5-grams instead of word
   // shingles — robust to tokenization differences (whitespace damage,
   // joined words) that break word-level dedup. The lead()-window char
   // shingling in the oracle mirrors Spark's substr transform exactly
-  // (docs shorter than 3 chars contribute nothing on either side).
+  // (docs shorter than 5 chars contribute nothing on either side).
+  //
+  // Parameter choice is a measured scale guard, not taste: 3-grams over
+  // this small-vocabulary corpus give UNRELATED pairs Jaccard ≈ 0.5–0.7,
+  // and at 2 rows/band LSH admits ~94% of all O(n²) pairs as candidates —
+  // the sf0.1 bench degenerated to a ~10⁹-row verify join. 5-grams push
+  // unrelated pairs below 0.3 while true near-dups stay ≥ 0.8, and
+  // 4 rows × 4 bands makes P(candidate) ≈ j⁴-per-band: ≤ 3% at j = 0.3,
+  // ≥ 87% at the 0.8 threshold — candidates stay ∝ true-pair count.
+  private val CharShingleN  = 5
+  private val CharLshBands  = 4
   private def charShingleCtes: String =
     s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
        |                   generate_subscripts(str_split(text, ''), 1) AS i
        |            FROM documents),
-       |g3 AS (SELECT doc_id, c || lead(c, 1) OVER win || lead(c, 2) OVER win AS g
+       |g5 AS (SELECT doc_id, ${(1 until CharShingleN).map(k => s"lead(c, $k) OVER win").mkString("c || ", " || ", "")} AS g
        |       FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id, g FROM g3 WHERE g IS NOT NULL),
+       |dt AS (SELECT DISTINCT doc_id, g FROM g5 WHERE g IS NOT NULL),
        |dh AS (SELECT doc_id,
        |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
        |       FROM dt),
@@ -793,12 +864,12 @@ object TextQueries {
   private val ngramJaccardPairs: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     DedupOps.lshPairsOverShingles(
-      DedupOps.charShingleBag(docs, col("doc_id"), col("text"), 3),
-      DedupOps.charShingleSet(docs, col("doc_id"), col("text"), 3),
-      NumHashes, Bands, Threshold)
+      DedupOps.charShingleBag(docs, col("doc_id"), col("text"), CharShingleN),
+      DedupOps.charShingleSet(docs, col("doc_id"), col("text"), CharShingleN),
+      NumHashes, CharLshBands, Threshold)
   }
 
-  private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes)
+  private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes, CharLshBands)
 
   // ── dedup clusters (pairs → connected components) ──────────────────────
   // The step after near-dup pair mining: label every involved doc with the
@@ -882,6 +953,7 @@ object TextQueries {
     "minhash_signatures"  -> minhashSignatures,
     "minhash_lsh_pairs"   -> minhashLshPairs,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
+    "bm25_scores"         -> bm25Scores,
     "dedup_clusters"      -> dedupClusters,
     "simhash_docs"        -> simhashDocs,
   )
@@ -914,6 +986,7 @@ object TextQueries {
     "minhash_signatures"  -> minhashSignaturesSql,
     "minhash_lsh_pairs"   -> minhashLshPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
+    "bm25_scores"         -> bm25ScoresSql,
     "dedup_clusters"      -> dedupClustersSql,
     "simhash_docs"        -> simhashDocsSql,
   )

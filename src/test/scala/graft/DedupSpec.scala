@@ -38,9 +38,9 @@ class DedupSpec extends SparkSpec {
 
   test("char-n-gram LSH pairs catch the same near-dups as word shingles here") {
     val pairs = DedupOps.lshPairsOverShingles(
-        DedupOps.charShingleBag(docs, $"doc_id", $"text", 3),
-        DedupOps.charShingleSet(docs, $"doc_id", $"text", 3),
-        numHashes = 16, bands = 8, threshold = 0.8)
+        DedupOps.charShingleBag(docs, $"doc_id", $"text", 5),
+        DedupOps.charShingleSet(docs, $"doc_id", $"text", 5),
+        numHashes = 16, bands = 4, threshold = 0.8)
       .select($"d1", $"d2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L))) // exact dup must survive any threshold
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
