@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import graft.sources.Tables
 
-/** File-format source/sink surface beyond parquet: CSV and JSON line
-  * writers + schema'd readers (SURVEY §2.3 "file formats: none in code" —
-  * inherited from Spark, surfaced here as a gated operator).
+/** File-format source/sink surface beyond parquet: CSV, JSON-lines, and
+  * ORC writers + schema'd readers (SURVEY §2.3 "file formats: none in
+  * code" — inherited from Spark, surfaced here as a gated operator).
   *
   * The gate query proves the full write→read cycle preserves values: it
-  * writes `orders` to CSV and to JSON-lines, reads both back through
+  * writes `orders` to CSV, JSON-lines, and ORC, reads each back through
   * explicit schemas (schema-on-read; no sampling inference pass at scale),
   * and aggregates each — the oracle is the same aggregate computed by
   * DuckDB straight from parquet, so any encode/decode drift (quoting,
@@ -41,10 +41,15 @@ object SourceQueries {
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     base.write.mode("overwrite").option("header", "true").csv(s"$fmtDir/csv")
     base.write.mode("overwrite").json(s"$fmtDir/json")
+    // ORC: the columnar alternative (predicate pushdown + column pruning
+    // like parquet); vectorized reader, schema from the file footer
+    base.write.mode("overwrite").orc(s"$fmtDir/orc")
     val csv = s.read.schema(roundtripSchema)
       .option("header", "true").csv(s"$fmtDir/csv")
     val json = s.read.schema(roundtripSchema).json(s"$fmtDir/json")
+    val orc = s.read.schema(roundtripSchema).orc(s"$fmtDir/orc")
     statusAgg(csv, "csv").unionByName(statusAgg(json, "json"))
+      .unionByName(statusAgg(orc, "orc"))
   }
 
   private val formatRoundtripSql =
@@ -53,7 +58,9 @@ object SourceQueries {
       |           FROM orders GROUP BY 1)
       |SELECT o_orderstatus, n_orders, total_price, 'csv' AS fmt FROM a
       |UNION ALL
-      |SELECT o_orderstatus, n_orders, total_price, 'json' AS fmt FROM a""".stripMargin
+      |SELECT o_orderstatus, n_orders, total_price, 'json' AS fmt FROM a
+      |UNION ALL
+      |SELECT o_orderstatus, n_orders, total_price, 'orc' AS fmt FROM a""".stripMargin
 
   /** Hive-style partitioned layout: write orders partitioned by
     * o_orderstatus (one directory per value — the physical layout that
