@@ -308,6 +308,57 @@ object StreamingQueries {
         col("unique_users"))
   }
 
+  /** The reference's debug store dump (DeduplicateValueTransformer
+    * .java:58–68 — `fetchAll` + print of every (window, uid) in the
+    * WindowStore), re-expressed on the engine-native surface: Spark 4's
+    * state data source reads a streaming checkpoint's state stores as
+    * DataFrames. The flagship runs with a real checkpoint; the gate then
+    * reads BOTH stateful operators — the windowed-count aggregate
+    * (operator 0: key = window, value = running count) and the dedup
+    * store (operator 1: key = (window, uid), the exact analogue of the
+    * reference's store) — and cross-checks them: per window, the agg
+    * state's count AND the number of dedup state keys must both equal
+    * the batch distinct count. Unlike the reference's hard-coded epoch
+    * range (couples the dump to its 2016 sample), this reads whatever
+    * the checkpoint holds. */
+  private val stateStoreDump: Q = (s, dir) => {
+    import java.nio.file.Paths
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ckpt = Paths.get(scratchPath("state_dump", dir))
+    freshDir(ckpt)
+    val frames = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet*")
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("user_id").cast("string").as("uid"))
+    val counts = UniqueUsersStream.uniquePerWindow(frames,
+      window = "1 minute", watermark = None)
+    val sink = s"state_dump_${runSeq.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val agg = s.read.format("statestore")
+      .option("operatorId", 0).load(ckpt.toString)
+      .select(unix_timestamp(col("key.w.start")).as("minute"),
+        col("value.count").as("unique_users"))
+    val ded = s.read.format("statestore")
+      .option("operatorId", 1).load(ckpt.toString)
+      .groupBy(unix_timestamp(col("key.w.start")).as("minute"))
+      .agg(count(lit(1)).as("uid_state_rows"))
+    agg.join(ded, Seq("minute"))
+  }
+
+  private val stateStoreDumpSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS uid_state_rows
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Stream-stream attribution join in the gate: views joined to
     * purchases of the same user within a 60-minute lookback, both sides
     * REAL file streams with watermarks and a time-bounded predicate (the
@@ -359,7 +410,8 @@ object StreamingQueries {
     "streaming_update_changelog" -> streamingUpdateChangelog,
     "streaming_running_distinct" -> streamingRunningDistinct,
     "streaming_sessions" -> streamingSessions,
-    "streaming_stream_join" -> streamingStreamJoin)
+    "streaming_stream_join" -> streamingStreamJoin,
+    "state_store_dump" -> stateStoreDump)
 
   val oracles: Map[String, String] = Map(
     "streaming_unique_users" -> streamingUniqueUsersSql,
@@ -368,5 +420,6 @@ object StreamingQueries {
     "streaming_running_distinct" -> streamingUniqueUsersSql,
     // same oracle as the batch session query — THE parity statement
     "streaming_sessions" -> EventQueries.sessionWindowStatsSql,
-    "streaming_stream_join" -> streamingStreamJoinSql)
+    "streaming_stream_join" -> streamingStreamJoinSql,
+    "state_store_dump" -> stateStoreDumpSql)
 }
