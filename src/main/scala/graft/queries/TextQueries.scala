@@ -328,6 +328,33 @@ object TextQueries {
       |      FROM scored)
       |WHERE rnk <= 5""".stripMargin
 
+  // ── rolling-hash document fingerprint (Rabin–Karp) ─────────────────────
+  // The polynomial rolling hash h = (h·B + code(c)) mod P over the char
+  // stream — the incremental-fingerprint primitive (content chunking,
+  // shift-resistant dedup anchors). One codegen'd `aggregate` over the
+  // char array; no shuffle, no UDF. Oracle seeds DuckDB's first-element
+  // list_reduce with a prepended sentinel so both engines run the exact
+  // left fold (validated value-identical incl. empty docs).
+  private val RkB = 31L
+  private val RkP = 1000000007L
+
+  private val rollingHashFingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(length(col("text")) === 0, lit(0L)).otherwise(
+        aggregate(TextFunctions.charShingles(col("text"), 1), lit(0L),
+          (acc, c) => (acc * lit(RkB) + ascii(c)) % lit(RkP))).as("rk_hash"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  private val rollingHashFingerprintSql =
+    s"""SELECT doc_id,
+       |       CASE WHEN length(text) = 0 THEN 0
+       |            ELSE CAST(list_reduce(list_prepend('', str_split(text, '')),
+       |                 (acc, c) -> ((CASE WHEN acc = '' THEN 0
+       |                               ELSE CAST(acc AS BIGINT) END) * $RkB
+       |                              + ascii(c)) % $RkP) AS BIGINT) END AS rk_hash,
+       |       CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents""".stripMargin
+
   // ── BM25 relevance scoring ─────────────────────────────────────────────
   // The standard retrieval score a data pipeline uses for query-based
   // corpus filtering ("keep docs relevant to X"): per (doc, query-term)
@@ -954,6 +981,7 @@ object TextQueries {
     "minhash_lsh_pairs"   -> minhashLshPairs,
     "ngram_jaccard_pairs" -> ngramJaccardPairs,
     "bm25_scores"         -> bm25Scores,
+    "rolling_hash_fingerprint" -> rollingHashFingerprint,
     "dedup_clusters"      -> dedupClusters,
     "simhash_docs"        -> simhashDocs,
   )
@@ -987,6 +1015,7 @@ object TextQueries {
     "minhash_lsh_pairs"   -> minhashLshPairsSql,
     "ngram_jaccard_pairs" -> ngramJaccardPairsSql,
     "bm25_scores"         -> bm25ScoresSql,
+    "rolling_hash_fingerprint" -> rollingHashFingerprintSql,
     "dedup_clusters"      -> dedupClustersSql,
     "simhash_docs"        -> simhashDocsSql,
   )

@@ -64,6 +64,32 @@ class PartitioningSpec extends SparkSpec {
         .filter(col("o_orderstatus") === "F").count())
   }
 
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    val dir = "target/test-dpp-orders"
+    graft.sources.Tables.orders(spark, sf001)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim carries the filter; only the join reveals which partitions
+    // survive — static pruning can't help, DPP must inject the subquery.
+    // The dim must be a REAL relation: a local Seq gets constant-folded
+    // (filter evaluated at plan time), leaving no selective predicate
+    // for the PartitionPruning rule to latch onto.
+    import spark.implicits._
+    val dimDir = "target/test-dpp-dim"
+    Seq(("F", "keep"), ("O", "drop"), ("P", "drop"))
+      .toDF("status", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim, col("o_orderstatus") === col("status"))
+      .filter(col("tag") === "keep")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    val n = joined.collect().map(_.getLong(1)).sum
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the fact scan:\n$plan")
+    assert(n == graft.sources.Tables.orders(spark, sf001)
+      .filter(col("o_orderstatus") === "F").count())
+  }
+
   test("broadcast hint vs merge hint actually change the join strategy") {
     val li = graft.sources.Tables.lineitem(spark, sf001)
     val o = graft.sources.Tables.orders(spark, sf001)
