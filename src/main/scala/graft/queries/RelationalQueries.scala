@@ -15,6 +15,45 @@ import graft.sources.Tables
   */
 object RelationalQueries {
 
+  // object-level case classes: encoders derive here, local classes don't
+  // (no stable TypeTag) — same note as EventQueries.Ev
+  final case class Cust(c_custkey: Long, c_name: String)
+  final case class Ord(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
+  // ── Typed Dataset join: joinWith → Dataset[(Cust, Ord)] ────────────────
+  // The typed half of the join surface: joinWith keeps both sides as
+  // case-class values (no column flattening), groupByKey + mapGroups
+  // aggregates them imperatively. Money is accumulated in CENTS (long) —
+  // mapGroups iterates rows in partition order, so a double sum would be
+  // order-dependent at the last ulp; integer cents make the fold exact
+  // and engine-portable. Plans identically to the untyped join + agg
+  // (one shuffle each side, hash agg) — the typed API is sugar, not a
+  // different engine path.
+  private val typedJoinOrders: Q = (s, dir) => {
+    import s.implicits._
+    val custs = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name")).as[Cust]
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")).as[Ord]
+    val pairs = custs.joinWith(ords,
+      custs("c_custkey") === ords("o_custkey"), "inner")
+    pairs.groupByKey(_._1.c_custkey)
+      .mapGroups { (k: Long, rows: Iterator[(Cust, Ord)]) =>
+        var n = 0L; var cents = 0L; var name = ""
+        rows.foreach { case (c, o) =>
+          n += 1; cents += math.round(o.o_totalprice * 100); name = c.c_name
+        }
+        (k, name, n, cents)
+      }
+      .toDF("c_custkey", "c_name", "n_orders", "total_cents")
+  }
+
+  private val typedJoinOrdersSql =
+    """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   // ── Aggregation: multi-measure hash agg (TPC-H Q1 shape) ───────────────
   private val q1Agg: Q = (s, dir) =>
     Tables.lineitem(s, dir)
@@ -326,6 +365,7 @@ object RelationalQueries {
     "semi_join_customers" -> semiJoinCustomers,
     "anti_join_customers" -> antiJoinCustomers,
     "outer_join_orders"   -> outerJoinOrders,
+    "typed_join_orders"   -> typedJoinOrders,
     "set_ops_users"       -> setOpsUsers,
     "topk_orders_by_price" -> topkOrdersByPrice,
     "scalar_funcs"        -> scalarFuncs,
@@ -344,6 +384,7 @@ object RelationalQueries {
     "semi_join_customers" -> semiJoinCustomersSql,
     "anti_join_customers" -> antiJoinCustomersSql,
     "outer_join_orders"   -> outerJoinOrdersSql,
+    "typed_join_orders"   -> typedJoinOrdersSql,
     "set_ops_users"       -> setOpsUsersSql,
     "topk_orders_by_price" -> topkOrdersByPriceSql,
     "scalar_funcs"        -> scalarFuncsSql,
