@@ -57,6 +57,15 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Rabin–Karp polynomial rolling hash h = (h·b + code(c)) mod p left-
+    * folded over the char stream — the incremental-fingerprint primitive.
+    * One codegen'd `aggregate`; empty text hashes to 0. Composable:
+    * h(a ++ b) = (h(a)·bᐞ|b| + h(b)) mod p (property-tested). */
+  def rollingHash(text: Column, b: Long, p: Long): Column =
+    when(length(text) === 0, lit(0L)).otherwise(
+      aggregate(charShingles(text, 1), lit(0L),
+        (acc, c) => (acc * lit(b) + ascii(c)) % lit(p)))
+
   /** Canonical-text fingerprint: md5 of lowercased, whitespace-collapsed,
     * trimmed text — the exact-dedup key. */
   def fingerprint(text: Column): Column =

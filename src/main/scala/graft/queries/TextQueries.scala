@@ -340,9 +340,7 @@ object TextQueries {
 
   private val rollingHashFingerprint: Q = (s, dir) =>
     Tables.documents(s, dir).select(col("doc_id"),
-      when(length(col("text")) === 0, lit(0L)).otherwise(
-        aggregate(TextFunctions.charShingles(col("text"), 1), lit(0L),
-          (acc, c) => (acc * lit(RkB) + ascii(c)) % lit(RkP))).as("rk_hash"),
+      TextFunctions.rollingHash(col("text"), RkB, RkP).as("rk_hash"),
       length(col("text")).cast("long").as("n_chars"))
 
   private val rollingHashFingerprintSql =

@@ -171,4 +171,47 @@ object EngineProperties extends Properties("engine") {
         .select(TextFunctions.fingerprint($"text")).as[String].collect()
       fps(0) == fps(1)
     }
+
+  private val genPoints: Gen[List[(Long, Long)]] =
+    Gen.listOfN(40, for {
+      id <- Gen.choose(0L, 10000L)
+      t <- Gen.choose(-300L, 300L)
+    } yield (id, t))
+
+  private val genIntervals: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(12, for {
+      id <- Gen.choose(0L, 10000L)
+      s <- Gen.choose(-300L, 300L)
+      span <- Gen.choose(0L, 250L)
+    } yield (id, s, s + span))
+
+  property("RangeJoin ≡ naive theta join, any bucket width") =
+    Prop.forAll(genPoints, genIntervals, Gen.oneOf(1L, 7L, 97L, 1000L)) {
+      (ps, ivs, width) =>
+        val points = ps.toDF("pid", "t")
+        val intervals = ivs.toDF("iid", "s", "e")
+        val got = graft.operators.RangeJoin.pointInInterval(
+            points, $"t", intervals, $"s", $"e", width)
+          .select($"pid", $"t", $"iid").as[(Long, Long, Long)].collect().toSeq.sorted
+        val want = points.join(intervals, $"t" >= $"s" && $"t" <= $"e")
+          .select($"pid", $"t", $"iid").as[(Long, Long, Long)].collect().toSeq.sorted
+        got == want
+    }
+
+  private val genAscii: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+
+  property("rolling hash matches the sequential fold and composes") =
+    Prop.forAll(genAscii, genAscii) { (a, b) =>
+      val B = 31L; val P = 1000000007L
+      def fold(s: String): Long = s.foldLeft(0L)((h, c) => (h * B + c.toLong) % P)
+      val hashes = Seq(a, b, a + b).toDF("text")
+        .select(TextFunctions.rollingHash($"text", B, P)).as[Long].collect()
+      // h(a ++ b) = (h(a)·B^|b| + h(b)) mod P — the anchor-shift identity
+      // content-defined chunking relies on
+      val composed = ((BigInt(fold(a)) * BigInt(B).modPow(b.length, BigInt(P))
+        + BigInt(fold(b))) mod BigInt(P)).toLong
+      hashes.toSeq == Seq(fold(a), fold(b), fold(a + b)) &&
+        composed == fold(a + b)
+    }
 }
