@@ -50,10 +50,71 @@ object MultimodalQueries {
       |       substring(hx, idx * 128 + 1, 128) AS frame_hex
       |FROM i WHERE idx % 2 = 0""".stripMargin
 
+  // ── the full media chain: frame-sample → resize → featurize ────────────
+  // All three mapPartitions stages composed (the 1→N generator, the 1→1
+  // bounded-size transform, the decode/featurize), value-checked end to
+  // end: the oracle recomputes every stage arithmetically over the hex
+  // representation — strided byte keep (step = ceil(len/16)), unsigned
+  // byte-sum checksum, and the fake decoder's derived dimensions.
+  // Frame identity survives featurize (whose contract is one id per
+  // media object) by packing media_id·1000 + frame_idx — safe here,
+  // frame counts are ≤ ~40 per document.
+  private val multimodalPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val media = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"), lit("video").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      map().cast("map<string,string>").as("meta")).as[Multimodal.MediaRecord]
+    val resized = Multimodal.resizeStub(
+      Multimodal.frameSample(media, frameBytes = 64, stride = 2), targetBytes = 16)
+    val feats = Multimodal.featurize(resized.map(f =>
+      Multimodal.MediaRecord(f.media_id * 1000L + f.frame_idx, "video", f.frame,
+        Map.empty[String, String])))
+    feats.toDF().select(
+      expr("media_id div 1000").as("media_id"),
+      (col("media_id") % 1000).cast("long").as("frame_idx"),
+      col("n_bytes"), col("checksum"),
+      col("width").cast("long").as("width"),
+      col("height").cast("long").as("height"),
+      col("frames").cast("long").as("frames"))
+  }
+
+  private val multimodalPipelineSql =
+    """WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx
+      |           FROM documents),
+      |i AS (SELECT media_id, hx,
+      |             unnest(range(0, CAST(ceil(length(hx) / 128.0) AS INT))) AS idx
+      |      FROM h),
+      |fr AS (SELECT media_id, idx AS frame_idx, substring(hx, idx * 128 + 1, 128) AS fhex
+      |       FROM i WHERE idx % 2 = 0),
+      |rz AS (SELECT media_id, frame_idx,
+      |              string_agg(substring(fhex, j * step * 2 + 1, 2), '' ORDER BY j) AS rhex
+      |       FROM (SELECT media_id, frame_idx, fhex,
+      |                    CAST(ceil((length(fhex) // 2) / 16.0) AS INT) AS step,
+      |                    unnest(range(0, CAST(ceil((length(fhex) // 2)
+      |                      / ceil((length(fhex) // 2) / 16.0)) AS INT))) AS j
+      |             FROM fr)
+      |       GROUP BY 1, 2),
+      |cs AS (SELECT media_id, frame_idx, length(rhex) // 2 AS n_bytes,
+      |              sum(CAST(('0x' || substring(rhex, k * 2 + 1, 2)) AS BIGINT)) AS checksum
+      |       FROM (SELECT media_id, frame_idx, rhex,
+      |                    unnest(range(0, CAST(length(rhex) // 2 AS INT))) AS k
+      |             FROM rz)
+      |       GROUP BY 1, 2, rhex)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(n_bytes AS BIGINT) AS n_bytes,
+      |       CAST(checksum AS BIGINT) AS checksum,
+      |       CAST(16 + checksum % 64 AS BIGINT) AS width,
+      |       CAST(16 + (checksum // 64) % 64 AS BIGINT) AS height,
+      |       CAST(1 + n_bytes % 30 AS BIGINT) AS frames
+      |FROM cs""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "multimodal_meta"   -> multimodalMeta,
-    "multimodal_frames" -> multimodalFrames)
+    "multimodal_meta"     -> multimodalMeta,
+    "multimodal_frames"   -> multimodalFrames,
+    "multimodal_pipeline" -> multimodalPipeline)
   val oracles: Map[String, String] = Map(
-    "multimodal_meta"   -> multimodalMetaSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_meta"     -> multimodalMetaSql,
+    "multimodal_frames"   -> multimodalFramesSql,
+    "multimodal_pipeline" -> multimodalPipelineSql)
 }
