@@ -888,10 +888,13 @@ object TextQueries {
 
   private val ngramJaccardPairs: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    DedupOps.lshPairsOverShingles(
-      DedupOps.charShingleBag(docs, col("doc_id"), col("text"), CharShingleN),
-      DedupOps.charShingleSet(docs, col("doc_id"), col("text"), CharShingleN),
-      NumHashes, CharLshBands, Threshold)
+    // char shingles are ~10× denser than word shingles (one per character)
+    // — here the bag/set split flips: feeding signatures from the distinct
+    // SET and persisting it costs one explode+distinct instead of two
+    // explodes, and the cache is read back by the verify join
+    val set = DedupOps.charShingleSet(docs, col("doc_id"), col("text"), CharShingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    DedupOps.lshPairsOverShingles(set, set, NumHashes, CharLshBands, Threshold)
   }
 
   private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes, CharLshBands)
