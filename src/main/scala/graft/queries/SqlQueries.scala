@@ -72,14 +72,74 @@ object SqlQueries {
       |                      WHERE i.o_custkey = o.o_custkey)
       |GROUP BY 1""".stripMargin
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): generate the full month
+    * calendar spanning the data, then LEFT JOIN so empty months surface
+    * as zero rows — the gaps-in-time-series shape a plain GROUP BY can't
+    * produce. Spark requires UNION ALL in the recursive step (acyclic
+    * here: the month column strictly increases to a bound). */
+  private val sqlRecursiveMonths: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1992-01-01'
+        UNION ALL
+        SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1998-12-01'
+      )
+      SELECT date_format(m, 'yyyy-MM') AS month,
+             count(o_orderkey) AS n_orders,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_price
+      FROM months LEFT JOIN orders
+        ON date_trunc('MONTH', o_orderdate) = CAST(m AS TIMESTAMP)
+      GROUP BY 1""")
+  }
+
+  private val sqlRecursiveMonthsSql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < DATE '1998-12-01'
+      |)
+      |SELECT strftime(m, '%Y-%m') AS month,
+      |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |       round(CAST(coalesce(sum(o_totalprice), 0) AS DOUBLE), 2) AS total_price
+      |FROM months LEFT JOIN orders
+      |  ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+      |GROUP BY 1""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — top-1-per-row
+    * without a window function (the decorrelated per-group-top-k shape;
+    * Catalyst plans the lateral as a join). */
+  private val sqlLateralTop: Q = (s, dir) => {
+    registerViews(s, dir)
+    s.sql("""
+      SELECT r_name, top.s_name AS top_supplier, top.bal
+      FROM region,
+      LATERAL (SELECT s_name, round(s_acctbal, 2) AS bal
+               FROM supplier JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_regionkey = r_regionkey
+               ORDER BY s_acctbal DESC, s_name LIMIT 1) top""")
+  }
+
+  private val sqlLateralTopSql =
+    """SELECT r_name, top.s_name AS top_supplier, top.bal
+      |FROM region,
+      |LATERAL (SELECT s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS bal
+      |         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |         WHERE n_regionkey = r_regionkey
+      |         ORDER BY s_acctbal DESC, s_name LIMIT 1) top""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "sql_q1"         -> sqlQ1,
-    "sql_correlated" -> sqlCorrelated,
+    "sql_q1"               -> sqlQ1,
+    "sql_correlated"       -> sqlCorrelated,
+    "sql_recursive_months" -> sqlRecursiveMonths,
+    "sql_lateral_top"      -> sqlLateralTop,
   )
 
   val oracles: Map[String, String] = Map(
     // same oracle as the DSL form — dialect in, identical result out
-    "sql_q1"         -> RelationalQueries.oracles("q1_agg"),
-    "sql_correlated" -> sqlCorrelatedSql,
+    "sql_q1"               -> RelationalQueries.oracles("q1_agg"),
+    "sql_correlated"       -> sqlCorrelatedSql,
+    "sql_recursive_months" -> sqlRecursiveMonthsSql,
+    "sql_lateral_top"      -> sqlLateralTopSql,
   )
 }
