@@ -226,7 +226,11 @@ object DedupOps {
             .cast("long").as("hamming"))
         .filter(col("hamming") <= maxDist)
     }
-    val byBand = sh.select(col("doc_id"), col("simhash"),
+    // the (doc_id, simhash) relation is tiny (16 bytes/doc) but costs a
+    // full token-explode + aggregate to compute, and it feeds BOTH sides
+    // of the band self-join — persist so the corpus is hashed once
+    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val byBand = shP.select(col("doc_id"), col("simhash"),
         explode(array(
           struct(lit(0).as("band"),
             col("simhash").bitwiseAND(lit(255L)).as("bv")),
@@ -240,11 +244,15 @@ object DedupOps {
       col("doc_id").as("d2"), col("simhash").as("h2"))
     a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
+      // a distance-0 pair collides in BOTH bands; keep its band-1 copy out
+      // by requiring the band-0 bytes to differ there — exact dedup without
+      // a full shuffle over the candidate pairs (replaces `.distinct()`)
+      .filter(col("band") === 0 ||
+        col("h1").bitwiseAND(lit(255L)) =!= col("h2").bitwiseAND(lit(255L)))
       .select(col("d1"), col("d2"),
         graft.functions.BitOps.hamming64(col("h1"), col("h2"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
   }
 
   /** Connected components over an undirected pair relation (`d1`, `d2`) —
