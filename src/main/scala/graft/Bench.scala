@@ -52,6 +52,11 @@ object Bench {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      // drop caches a query persisted for its own intermediate reuse:
+      // each pass builds a NEW lineage, so a leftover cache is never hit
+      // again — it only piles up memory pressure across the 100+-query
+      // sweep (measured: 2.6× max-pass inflation on ngram_jaccard_pairs)
+      spark.catalog.clearCache()
       ((System.nanoTime() - t0) / 1e9, err)
     }
 

@@ -57,6 +57,23 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Modulus/base of the char-n-gram window-hash family — shared by the
+    * Spark expression (CharNGramHashes) and every oracle SQL that
+    * re-derives the same hashes via an ascii()-fold, so the two engines
+    * agree bit-for-bit. p < 2³⁰ also keeps the hashes inside the MinHash
+    * permutation family's 2⁴⁰ input domain. */
+  val NGramHashB: Long = 1000003L
+  val NGramHashP: Long = 1000000007L
+
+  /** All n-code-point window hashes of `text` as array<long> — one
+    * codegen'd pass (see CharNGramHashes). The row-local feature
+    * representation for char-n-gram MinHash/Jaccard dedup. */
+  def charNGramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CharNGramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        n, NGramHashB, NGramHashP))
+
   /** Rabin–Karp polynomial rolling hash h = (h·b + code(c)) mod p left-
     * folded over the char stream — the incremental-fingerprint primitive.
     * One codegen'd `aggregate`; empty text hashes to 0. Composable:

@@ -84,8 +84,14 @@ object DedupOps {
   /** MinHash signatures: `numHashes` columns mh0..mhN computed in ONE hash
     * aggregate over the shingle relation. */
   def minHashSignatures(shingles: DataFrame, numHashes: Int): DataFrame =
-    shingles.select(col("doc_id"), shingleHash40(col("g")).as("h"))
-      .groupBy(col("doc_id"))
+    minHashSignaturesFromHashes(
+      shingles.select(col("doc_id"), shingleHash40(col("g")).as("h")), numHashes)
+
+  /** Signature aggregate over an already-hashed (doc_id, h) relation —
+    * the entry point when the caller pre-hashed features to 40-bit longs
+    * (so the md5 is computed once per feature row, not once per consumer). */
+  def minHashSignaturesFromHashes(hashed: DataFrame, numHashes: Int): DataFrame =
+    hashed.groupBy(col("doc_id"))
       .agg(mhExpr(0), (1 until numHashes).map(mhExpr): _*)
 
   /** LSH banding: (doc_id, band, band_hash) — band b hashes rows
@@ -187,16 +193,90 @@ object DedupOps {
   def lshPairsOverShingles(bag: DataFrame, set: DataFrame,
                            numHashes: Int, bands: Int, threshold: Double,
                            persistSet: Boolean = false,
-                           maxBucket: Int = Int.MaxValue): DataFrame = {
+                           maxBucket: Int = Int.MaxValue,
+                           preHashed: Boolean = false): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     // signatures read the shuffle-free bag (min is duplicate-insensitive);
-    // only the Jaccard verification needs the distinct set
-    val sig = minHashSignatures(bag, numHashes)
+    // only the Jaccard verification needs the distinct set.
+    // preHashed: `g` already holds the 40-bit feature hash (long) — the
+    // verify join then shuffles an 8-byte key instead of the raw feature
+    // string, and the md5 is computed once per feature upstream. Jaccard
+    // is then over hash-distinct features: identical to string-distinct
+    // up to 40-bit collisions, and the oracle applies the SAME hash, so
+    // both engines see the same (collided) sets.
+    val sig = if (preHashed)
+      minHashSignaturesFromHashes(bag.select(col("doc_id"), col("g").as("h")), numHashes)
+    else minHashSignatures(bag, numHashes)
     val sh = if (persistSet)
       set.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else set
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc hashed char-n-gram arrays (doc_id, hs: array<long>) — the
+    * ROW-LOCAL feature representation: one codegen'd rolling-hash pass
+    * per doc (CharNGramHashes), no explode, no shuffle, no per-window
+    * digest. A doc's feature set rides in its row (8 bytes per
+    * character), the same layout Spark ML's MinHashLSH uses; fine for
+    * any doc that fits a task's memory, i.e. all of them. */
+  def charShingleHashes(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      TextFunctions.charNGramHashes(textCol, n).as("hs"))
+
+  /** MinHash signatures as a pure PROJECTION over row-local feature
+    * arrays: mh_i = array_min(transform(hs, h → perm_i(h))). Zero
+    * shuffles — compare `minHashSignatures`, whose exploded bag needs a
+    * groupBy. Docs with no features (shorter than the shingle width) are
+    * dropped, matching the exploded form where they emit no rows. */
+  def minHashSignaturesFromArrays(hashed: DataFrame, numHashes: Int): DataFrame =
+    hashed.filter(size(col("hs")) > 0)
+      .select(col("doc_id") +: (0 until numHashes).map { i =>
+        array_min(transform(col("hs"),
+          h => (lit(mhA(i)) * h + lit(mhB(i))) % lit(MinHashP))).as(s"mh$i")
+      }: _*)
+
+  /** Exact Jaccard over candidate pairs with SET-VALUED doc rows: two
+    * joins pull each side's distinct feature array onto the pair, then
+    * size(array_intersect) computes the overlap row-locally. Shuffle
+    * volume is |candidate docs| feature arrays + |pairs| — compare
+    * `jaccardOverPairs`, which shuffles |pairs| × |avg set| exploded
+    * rows twice. Wins whenever docs appear in >1 pair (always, for
+    * near-dup clusters). */
+  def jaccardOverPairsArrays(pairs: DataFrame, docSets: DataFrame): DataFrame =
+    pairs.join(docSets.as("x1"), col("d1") === col("x1.doc_id"))
+      .join(docSets.as("x2"), col("d2") === col("x2.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("x1.gs"), col("x2.gs"))).cast("long").as("inter"),
+        size(col("x1.gs")).cast("long").as("n1"),
+        size(col("x2.gs")).cast("long").as("n2"))
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+
+  /** LSH near-dup pipeline over row-local hashed feature arrays — the
+    * dense-feature (char-n-gram) counterpart of `lshPairsOverShingles`.
+    * Signatures and per-doc sets are projections (no corpus shuffle at
+    * all); the only shuffles are the band-bucket candidate self-join and
+    * the two verify joins, each bounded by candidate volume. The
+    * candidate relation feeds both the doc filter and the verify join →
+    * persisted here (≤ pairs-count rows). Callers should persist
+    * `hashed` (it feeds signatures and verification). */
+  def lshPairsArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int,
+                         threshold: Double,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
+    val sig = minHashSignaturesFromArrays(hashed, numHashes)
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // AQE broadcasts the semi-join side at runtime when candDocs is small;
+    // on adversarial corpora (huge candidate sets) it degrades gracefully
+    // to a shuffle semi-join instead of OOMing a forced broadcast
+    val docSets = hashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
+      .join(candDocs, Seq("doc_id"), "leftsemi")
+    jaccardOverPairsArrays(cand, docSets).filter(col("jaccard") >= threshold)
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, via

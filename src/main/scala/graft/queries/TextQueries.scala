@@ -872,29 +872,41 @@ object TextQueries {
   // ≥ 87% at the 0.8 threshold — candidates stay ∝ true-pair count.
   private val CharShingleN  = 5
   private val CharLshBands  = 4
+  // The window hash mirrors CharNGramHashes' fold h = (h·B + cp) % P over
+  // the N code points of each window: same modular arithmetic over
+  // DuckDB's ascii() (which returns the code point), so both engines
+  // produce identical hashes. lead() past the doc end is NULL, which
+  // nulls the whole fold — exactly the "no window starts here" rows.
+  private def charWindowHashSql: String = {
+    import graft.functions.TextFunctions.{NGramHashB => B, NGramHashP => P}
+    (1 until CharShingleN).foldLeft("CAST(ascii(c) AS BIGINT)") { (acc, k) =>
+      s"((($acc) * $B + ascii(lead(c, $k) OVER win)) % $P)"
+    }
+  }
+
   private def charShingleCtes: String =
     s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
        |                   generate_subscripts(str_split(text, ''), 1) AS i
        |            FROM documents),
-       |g5 AS (SELECT doc_id, ${(1 until CharShingleN).map(k => s"lead(c, $k) OVER win").mkString("c || ", " || ", "")} AS g
+       |wh AS (SELECT doc_id, $charWindowHashSql AS g
        |       FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id, g FROM g5 WHERE g IS NOT NULL),
-       |dh AS (SELECT doc_id,
-       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
-       |       FROM dt),
+       |dt AS (SELECT DISTINCT doc_id, g FROM wh WHERE g IS NOT NULL),
        |sig AS (SELECT doc_id,
-       |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * h + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
-       |        FROM dh GROUP BY doc_id)""".stripMargin
+       |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
+       |        FROM dt GROUP BY doc_id)""".stripMargin
 
   private val ngramJaccardPairs: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    // char shingles are ~10× denser than word shingles (one per character)
-    // — here the bag/set split flips: feeding signatures from the distinct
-    // SET and persisting it costs one explode+distinct instead of two
-    // explodes, and the cache is read back by the verify join
-    val set = DedupOps.charShingleSet(docs, col("doc_id"), col("text"), CharShingleN)
+    // char shingles are ~10× denser than word shingles (one per character),
+    // so this query takes the row-local array path: per-doc hashed window
+    // arrays from the codegen'd rolling-hash expression (SAME fold in the
+    // oracle over ascii()), signatures as an array_min projection, Jaccard
+    // via array_intersect on the joined pairs — the corpus is never
+    // exploded or shuffled. The hashed relation feeds signatures AND
+    // verification → persist.
+    val hashed = DedupOps.charShingleHashes(docs, col("doc_id"), col("text"), CharShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DedupOps.lshPairsOverShingles(set, set, NumHashes, CharLshBands, Threshold)
+    DedupOps.lshPairsArrayLocal(hashed, NumHashes, CharLshBands, Threshold)
   }
 
   private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes, CharLshBands)

@@ -56,6 +56,36 @@ class BitOpsSpec extends SparkSpec {
     }
   }
 
+  test("charNGramHashes matches the per-window fold, incl. edges") {
+    import graft.functions.TextFunctions.{charNGramHashes, NGramHashB, NGramHashP}
+    def ref(s: String, n: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - n).map { i =>
+        cps.slice(i, i + n).foldLeft(0L)((h, c) => (h * NGramHashB + c) % NGramHashP)
+      }
+    }
+    val texts = Seq("hello world", "abcd", "abcde", "aaaaa", "", "ab",
+      "naïve café ∑∆") // multibyte: code points, not bytes
+    val df = texts.toDF("t")
+    val got = df.select(charNGramHashes($"t", 5).as("hs"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == texts.map(ref(_, 5)))
+    // interpreted eval (no codegen) agrees: force via filter on literal
+    val interp = texts.map { t =>
+      graft.functions.CharNGramHashes(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+        5, NGramHashB, NGramHashP)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    }
+    assert(interp == texts.map(ref(_, 5)))
+    // null text → null array
+    val nulls = Seq[Option[String]](None, Some("abcdef")).toDF("t")
+      .select(charNGramHashes($"t", 5).as("hs")).collect()
+    assert(nulls(0).isNullAt(0) && !nulls(1).isNullAt(0))
+  }
+
   test("salted aggregation is bit-identical to the plain aggregate") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val salted = SkewOps.saltedCountSum(ev, $"event_type", $"value", $"event_id", 16)
