@@ -88,7 +88,8 @@ object StreamingQueries {
         .select(
           unix_timestamp(date_trunc("minute",
             graft.model.Schemas.tsFromNanos(col("ts")))).as("bucket"),
-          col("user_id").cast("string").as("uid"))
+          col("user_id").cast("string").as("uid"),
+          graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"))
         .as[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)
       val sink = s"streaming_running_distinct_${runSeq.incrementAndGet()}"

@@ -139,17 +139,22 @@ class RecoverySpec extends SparkSpec {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      def in(bucket: Long, uid: String, tsSec: Long) =
+        graft.streaming.RunningDistinct.In(bucket, uid,
+          new java.sql.Timestamp(tsSec * 1000L))
       val mem = MemoryStream[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(mem.toDS())
       val q = out.toDF().writeStream.format("memory").queryName("tws_probe")
         .outputMode("update").start()
       try {
-        mem.addData(graft.streaming.RunningDistinct.In(60L, "a"),
-          graft.streaming.RunningDistinct.In(60L, "b"))
+        // ts stays ahead of the batch-1 watermark (62 s) and below the
+        // bucket-60 eviction timer (180 s) so neither lateness filtering
+        // nor retention interferes with this test's assertions
+        mem.addData(in(60L, "a", 61L), in(60L, "b", 62L))
         q.processAllAvailable()
-        mem.addData(graft.streaming.RunningDistinct.In(60L, "a"), // dup: no change
-          graft.streaming.RunningDistinct.In(60L, "c"),
-          graft.streaming.RunningDistinct.In(120L, "a"))
+        mem.addData(in(60L, "a", 63L), // dup: no change
+          in(60L, "c", 64L),
+          in(120L, "a", 121L))
         q.processAllAvailable()
       } finally q.stop()
       val rows = spark.table("tws_probe").collect()

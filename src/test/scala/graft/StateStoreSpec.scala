@@ -49,4 +49,49 @@ class StateStoreSpec extends SparkSpec {
     val expectedCounts = expected.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     assert(agg == expectedCounts)
   }
+
+  test("RunningDistinct evicts a bucket's state once the watermark passes retention") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_evict_").toString
+      def in(bucket: Long, uid: String, tsSec: Long) =
+        graft.streaming.RunningDistinct.In(bucket, uid,
+          new java.sql.Timestamp(tsSec * 1000L))
+      val mem = MemoryStream[graft.streaming.RunningDistinct.In]
+      val out = graft.streaming.RunningDistinct.runningUniquePerBucket(mem.toDS())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_evict_sink")
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      try {
+        mem.addData(in(60L, "a", 61L), in(60L, "b", 62L))
+        q.processAllAvailable()
+        // bucket 60's timer is armed at 60 s + window + retention = 180 s;
+        // this batch pushes the watermark to 601 s → timer fires in the
+        // trailing timer batch and bucket 60's map+count are cleared
+        mem.addData(in(600L, "z", 601L))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val seen = spark.read.format("statestore")
+        .option("stateVarName", "seen").load(ckpt)
+      val seenKeys = seen.select($"key.value".as("bucket"),
+          $"user_map_key.value".as("uid"))
+        .as[(Long, String)].collect().toSet
+      assert(seenKeys == Set((600L, "z")),
+        s"expired bucket 60 still present in 'seen': $seenKeys")
+      val counts = spark.read.format("statestore")
+        .option("stateVarName", "count").load(ckpt)
+        .select($"key.value".as("bucket"), $"value.value".as("n"))
+        .as[(Long, Long)].collect().toSet
+      assert(counts == Set((600L, 1L)),
+        s"expired bucket 60 still present in 'count': $counts")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
