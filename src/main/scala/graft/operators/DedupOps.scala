@@ -306,33 +306,74 @@ object DedupOps {
             .cast("long").as("hamming"))
         .filter(col("hamming") <= maxDist)
     }
-    // the (doc_id, simhash) relation is tiny (16 bytes/doc) but costs a
-    // full token-explode + aggregate to compute, and it feeds BOTH sides
-    // of the band self-join — persist so the corpus is hashed once
+    simHashBandedPairs(sh, bands = 2, maxDist = maxDist, bits = 16)
+  }
+
+  /** Pigeonhole-banded near-pair mining over ANY (doc_id, simhash)
+    * relation: the `bits`-bit hash splits into `bands` equal bands; a
+    * pair within Hamming distance d < bands differs in at most d bands,
+    * so it collides exactly in ≥ 1 — candidates are the union of `bands`
+    * band-equality self-joins (shuffle joins on a short integer key),
+    * never the all-pairs product. Exact Hamming verification follows.
+    *
+    * De-dup without a distinct shuffle: a pair colliding in several
+    * bands is kept only at its FIRST matching band — the "no earlier
+    * band also matches" predicate is computable from (h1, h2) alone, so
+    * duplicate candidates are filtered in-place (generalizes the 2-band
+    * band-0-byte trick of round 3).
+    *
+    * The hash relation is tiny (8 bytes/doc) but costs a full
+    * token-explode + aggregate to compute, and it feeds BOTH sides of
+    * the band self-join — persisted here so the corpus is hashed once. */
+  def simHashBandedPairs(sh: DataFrame, bands: Int, maxDist: Int,
+                         bits: Int = 64): DataFrame = {
+    require(bands > maxDist,
+      s"$bands-band pigeonhole only covers hamming <= ${bands - 1}")
+    require(bits % bands == 0 && bits <= 64, "bands must split the hash evenly")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    def bv(h: Column, k: Int): Column =
+      shiftrightunsigned(h, k * w).bitwiseAND(lit(mask))
     val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val byBand = shP.select(col("doc_id"), col("simhash"),
-        explode(array(
-          struct(lit(0).as("band"),
-            col("simhash").bitwiseAND(lit(255L)).as("bv")),
-          struct(lit(1).as("band"),
-            shiftright(col("simhash"), 8).bitwiseAND(lit(255L)).as("bv")))).as("bb"))
+        explode(array((0 until bands).map(k =>
+          struct(lit(k).as("band"), bv(col("simhash"), k).as("bv"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = byBand.select(col("band"), col("bv"),
       col("doc_id").as("d1"), col("simhash").as("h1"))
     val b = byBand.select(col("band"), col("bv"),
       col("doc_id").as("d2"), col("simhash").as("h2"))
+    val earlierBandAlsoMatches = (0 until bands - 1).map(j =>
+        col("band") > j && bv(col("h1"), j) === bv(col("h2"), j))
+      .reduceOption(_ || _).getOrElse(lit(false))
     a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
-      // a distance-0 pair collides in BOTH bands; keep its band-1 copy out
-      // by requiring the band-0 bytes to differ there — exact dedup without
-      // a full shuffle over the candidate pairs (replaces `.distinct()`)
-      .filter(col("band") === 0 ||
-        col("h1").bitwiseAND(lit(255L)) =!= col("h2").bitwiseAND(lit(255L)))
+      .filter(!earlierBandAlsoMatches)
       .select(col("d1"), col("d2"),
         graft.functions.BitOps.hamming64(col("h1"), col("h2"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** 64-bit SimHash near-pairs at Hamming ≤ `maxDist` — the production
+    * near-dup configuration (the 16-bit variant trades width for a
+    * finite oracle; this one is the real thing). 4 bands of 16 bits
+    * cover d ≤ 3 by pigeonhole. `banded = false` is the quadratic
+    * reference plan for equality gating at fixture scale. */
+  def simHashNearPairs64(docs: DataFrame, idCol: Column, textCol: Column,
+                         maxDist: Int = 3, bands: Int = 4,
+                         banded: Boolean = true): DataFrame = {
+    val sh = simHash64(docs, idCol, textCol)
+    if (!banded) {
+      val a = sh.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      val b = sh.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+      a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          graft.functions.BitOps.hamming64(col("h1"), col("h2"))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= maxDist)
+    } else simHashBandedPairs(sh, bands, maxDist, bits = 64)
   }
 
   /** Connected components over an undirected pair relation (`d1`, `d2`) —
@@ -408,6 +449,31 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** 64-bit SimHash over the distinct token set: bit b votes +1/-1 by
+    * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token) — i.e. the low 64
+    * bits of the digest drive the 64 votes; bit set iff the vote sum is
+    * positive. Engine-portable: the oracle recomputes the identical
+    * digit/bit extraction from DuckDB's md5 hex string. */
+  def simHash64(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val exploded = docs.select(idCol.as("doc_id"),
+        explode(TextFunctions.distinctTokens(textCol)).as("w"))
+      .withColumn("h", md5(col("w")))
+    // one conv per hex digit (16), shared by that digit's 4 bit votes
+    val withDigits = exploded.select(col("doc_id") +:
+      (0 until 16).map(d => conv(substring(col("h"), d + 1, 1), 16, 10)
+        .cast("int").as(s"d$d")): _*)
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    withDigits.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the

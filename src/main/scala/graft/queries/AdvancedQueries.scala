@@ -231,6 +231,42 @@ object AdvancedQueries {
     DedupOps.simHashNearPairs(Tables.documents(s, dir),
       col("doc_id"), col("text"), maxDist = 1, banded = true)
 
+  // ── 64-bit SimHash, hamming ≤ 3, 4-band pigeonhole ─────────────────────
+  // The production near-dup configuration (64 bits, d ≤ 3) — the 16-bit
+  // variants above keep a deliberately small hash for oracle-visible
+  // density; this one is what you run on a real corpus. Banded plan in
+  // the gate; quadratic-equality is pinned in DedupSpec.
+  private val simhash64NearPairsBanded: Q = (s, dir) =>
+    DedupOps.simHashNearPairs64(Tables.documents(s, dir),
+      col("doc_id"), col("text"), maxDist = 3, bands = 4, banded = true)
+
+  private val simhash64NearPairsSql = {
+    val sums = (0 until 64).map { b =>
+      val digit = s"(strpos('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1)"
+      s"sum(CASE WHEN ($digit >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n      ")
+    // DuckDB's checked shift rejects 1 << 63 — the sign bit needs its
+    // literal value (Long.MinValue) spelled out arithmetic-free
+    def bitVal(b: Int): String =
+      if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+      else s"(CAST(1 AS BIGINT) << $b)"
+    val bits = (0 until 64).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${bitVal(b)} ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    s"""WITH t AS (SELECT DISTINCT doc_id, w
+       |           FROM (SELECT doc_id, unnest(str_split(text,' ')) AS w FROM documents)
+       |           WHERE w <> ''),
+       |h AS (SELECT doc_id, md5(w) AS h FROM t),
+       |s AS (SELECT doc_id,
+       |      $sums
+       |      FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $bits AS simhash FROM s)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   // ── as-of join: purchase → most recent prior click, per user ───────────
   private val asofClickAttribution: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
@@ -380,6 +416,7 @@ object AdvancedQueries {
     "salted_agg_by_type"   -> saltedAggByType,
     "simhash_near_pairs"   -> simhashNearPairs,
     "simhash_near_pairs_banded" -> simhashNearPairsBanded,
+    "simhash64_near_pairs_banded" -> simhash64NearPairsBanded,
   )
 
   val oracles: Map[String, String] = Map(
@@ -400,5 +437,6 @@ object AdvancedQueries {
     "salted_agg_by_type"   -> saltedAggByTypeSql,
     "simhash_near_pairs"   -> simhashNearPairsSql,
     "simhash_near_pairs_banded" -> simhashNearPairsSql, // same oracle: banded ≡ quadratic
+    "simhash64_near_pairs_banded" -> simhash64NearPairsSql,
   )
 }

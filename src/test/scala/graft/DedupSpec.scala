@@ -96,6 +96,26 @@ class DedupSpec extends SparkSpec {
     assert(run(banded = true) == q)
   }
 
+  test("simHashNearPairs64: 4-band pigeonhole at d<=3 equals the quadratic scan") {
+    val fixture = Tables.documents(spark, sf001)
+    def run(banded: Boolean) =
+      DedupOps.simHashNearPairs64(fixture, $"doc_id", $"text",
+          maxDist = 3, bands = 4, banded = banded)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q = run(banded = false)
+    assert(q.nonEmpty) // fixture plants near-dups; empty would test nothing
+    assert(run(banded = true) == q)
+    // 64-bit hash at d<=3 must be far more selective than 16-bit at d<=1
+    assert(q.forall(_._3 <= 3))
+  }
+
+  test("simHashBandedPairs rejects a band count the distance bound breaks") {
+    val sh = DedupOps.simHash64(docs, $"doc_id", $"text")
+    intercept[IllegalArgumentException] {
+      DedupOps.simHashBandedPairs(sh, bands = 3, maxDist = 3)
+    }
+  }
+
   test("lsh finds the planted near-dup pairs in testdata documents") {
     val n = Queries.all("minhash_lsh_pairs")(spark, sf001).count()
     assert(n >= 25, s"expected the ~28 planted near-dup pairs, got $n")
