@@ -405,11 +405,88 @@ object StreamingQueries {
       |FROM v JOIN p ON v.user_id = p.user_id
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE""".stripMargin
 
+  /** The WATERMARK LATE-DATA POLICY made oracle-visible — the policy the
+    * reference gets wrong (README.md:196 admits late frames land in
+    * wrong windows; its extractor assigns malformed keys to the epoch
+    * window). Harness: events split by minute — everything from the
+    * 11th minute on is delivered first, and only after that batch (and
+    * its watermark-commit no-data batch) completes is the first-ten-
+    * minutes file written, so the late rows arrive under a watermark at
+    * (global max event time − 1 min), thousands of minutes past their
+    * windows, and the windowed aggregate must DROP every one. A final
+    * far-future sentinel flushes append mode. Oracle: the batch
+    * aggregate EXCLUDING the first ten minutes — a late row leaking in
+    * (or a late-window resurrection) is a hash mismatch.
+    *
+    * The progressive delivery is essential, not convenience: late-record
+    * filtering in a stateful operator uses the watermark ONE BATCH
+    * BEHIND eviction (`eventTimeWatermarkForLateEvents`, the Spark 3.4+
+    * chained-stateful-operator contract), so a late file processed
+    * back-to-back after the on-time batch would still see wm = 0 and be
+    * admitted — measured exactly that with pre-written files. */
+  private val streamingLateDataDrop: Q = (s, dir) => {
+    import java.nio.file.Paths
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Paths.get(scratchPath("streaming_late_drop", dir))
+    freshDir(tmp)
+    val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+    // minute-truncated epoch seconds of the raw int64-nanos ts column
+    val minuteCol = unix_timestamp(date_trunc("minute",
+      graft.model.Schemas.tsFromNanos(col("ts"))))
+    val bounds = events.agg(
+      min(minuteCol).as("m0"), max(col("ts")).as("maxNs")).head()
+    val (m0, maxNs) = (bounds.getLong(0), bounds.getLong(1))
+    val now = System.currentTimeMillis()
+    writeOneFile(events.filter(minuteCol >= m0 + 600), tmp,
+      "batch1_ontime.parquet", now - 240000L)
+    val frames = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$tmp/*.parquet")
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("user_id").cast("string").as("uid"))
+    val counts = UniqueUsersStream.uniquePerWindow(frames,
+      window = "1 minute", watermark = Some("1 minute"))
+    val sink = s"streaming_late_drop_${runSeq.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = counts.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // on-time batch + watermark-commit batch
+        writeOneFile(events.filter(minuteCol < m0 + 600), tmp,
+          "batch2_late.parquet", now - 120000L)
+        q.processAllAvailable() // late batch: every row behind the watermark
+        val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        sentinel.add(org.apache.spark.sql.Row(
+          -1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null))
+        writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
+          "zz_batch3_sentinel.parquet", now)
+        q.processAllAvailable() // flush every real window
+      } finally q.stop()
+    }
+    s.table(sink)
+      .filter(unix_timestamp(col("window_start")) <=
+        Math.floorDiv(maxNs, 1000000000L)) // sentinel's own window out
+      .select(unix_timestamp(col("window_start")).as("minute"),
+        col("unique_users"))
+  }
+
+  private val streamingLateDataDropSql =
+    """WITH m0 AS (SELECT CAST(epoch(date_trunc('minute', min(ts))) AS BIGINT) AS m
+      |            FROM events)
+      |SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS unique_users
+      |FROM events, m0
+      |WHERE epoch(date_trunc('minute', ts)) >= m0.m + 600
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "streaming_unique_users" -> streamingUniqueUsers,
     "streaming_unique_users_append" -> streamingUniqueUsersAppend,
     "streaming_update_changelog" -> streamingUpdateChangelog,
     "streaming_running_distinct" -> streamingRunningDistinct,
+    "streaming_late_data_drop" -> streamingLateDataDrop,
     "streaming_sessions" -> streamingSessions,
     "streaming_stream_join" -> streamingStreamJoin,
     "state_store_dump" -> stateStoreDump)
@@ -419,6 +496,7 @@ object StreamingQueries {
     "streaming_unique_users_append" -> streamingUniqueUsersSql,
     "streaming_update_changelog" -> streamingUpdateChangelogSql,
     "streaming_running_distinct" -> streamingUniqueUsersSql,
+    "streaming_late_data_drop" -> streamingLateDataDropSql,
     // same oracle as the batch session query — THE parity statement
     "streaming_sessions" -> EventQueries.sessionWindowStatsSql,
     "streaming_stream_join" -> streamingStreamJoinSql,
