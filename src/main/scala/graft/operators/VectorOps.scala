@@ -94,9 +94,11 @@ object VectorOps {
       .distinct()
   }
 
-  /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
-    * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  /** IVF assignment generalized to the `n` nearest centroids by cosine
+    * (max sim, centroid-id tiebreak): (id, vec, cell, probe_rank 1..n).
+    * n = 1 is plain cell assignment; n > 1 is the query side of
+    * multi-probe. `centroids`: (cent_id, cvec). */
+  def ivfAssignN(corpus: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cent_id"))
@@ -104,19 +106,31 @@ object VectorOps {
       .crossJoin(broadcast(centroids.withColumn("cnrm", norm(col("cvec")))))
       .withColumn("csim",
         round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cent_id").as("cell"))
+      .withColumn("probe_rank", row_number().over(w))
+      .filter(col("probe_rank") <= n)
+      .select(col("id"), col("vec"), col("cent_id").as("cell"), col("probe_rank"))
   }
 
-  /** Approximate top-k: probe only the query's own IVF cell. Trades recall
-    * for a corpus-scan prune factor of ~K (the IVF contract). */
+  /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
+    * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignN(corpus, centroids, 1)
+      .select(col("id"), col("vec"), col("cell"))
+
+  /** Approximate top-k: each query probes its `nProbe` nearest IVF cells
+    * (corpus vectors live in exactly one). nProbe = 1 is classic IVF;
+    * higher nProbe is THE standard recall lever — quantization error
+    * parks true neighbors in adjacent cells, and probing the next-nearest
+    * cells recovers them at nProbe× scan cost (still a ~K/nProbe prune of
+    * the corpus). A (qid, cid) pair arises at most once because the
+    * corpus side has one cell per vector — no post-join dedup needed. */
   def ivfKnn(corpus: DataFrame, centroids: DataFrame,
-             queryFilter: Column, k: Int): DataFrame = {
+             queryFilter: Column, k: Int, nProbe: Int = 1): DataFrame = {
     val assigned = ivfAssign(corpus, centroids)
-    val q = broadcast(assigned.filter(queryFilter)
-      .select(col("id").as("qid"), col("vec").as("qvec"),
-        norm(col("vec")).as("qn"), col("cell")))
+    val q = broadcast(
+      ivfAssignN(corpus.filter(queryFilter), centroids, nProbe)
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          norm(col("vec")).as("qn"), col("cell")))
     val sims = assigned.select(col("id").as("cid"), col("vec").as("cvec"),
         norm(col("vec")).as("cn"), col("cell"))
       .join(q, Seq("cell"))

@@ -104,6 +104,100 @@ object SimilarityQueries {
        |      FROM sims)
        |WHERE rnk <= $KIvf""".stripMargin
 
+  // ── IVF recall gate: multi-probe recall@k vs the brute-force truth ─────
+  // Per query: hits of nProbe=1 and nProbe=2 IVF against the exact top-5,
+  // plus two self-check booleans the oracle re-derives: `monotone_ok`
+  // (probing MORE cells can never lose a true neighbor — a superset of
+  // candidates can only displace non-neighbors, whose sims are strictly
+  // below every true top-k member's) and `avg_recall_ok` (corpus-wide
+  // recall@5 of the 2-probe variant ≥ 0.4 — the measured floor across
+  // sf0.001/0.01/0.1 is 0.44/0.52/0.485 vs 0.24/0.40/0.32 at 1 probe;
+  // SCALING.md records the numbers). A recall regression in either the
+  // assignment or the probe join breaks the hash.
+  private val NProbe = 2
+  private val AvgRecallBound = 0.4
+  private val knnIvfRecall: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val cents = c.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    val isQuery = col("id") % QueryMod === 0
+    val bf = VectorOps.bruteForceKnn(c.filter(isQuery), c, KBrute)
+      .select(col("qid"), col("cid"))
+    def hitsOf(nProbe: Int, name: String) = {
+      val ivf = VectorOps.ivfKnn(c, cents, isQuery, KBrute, nProbe)
+        .select(col("qid"), col("cid"))
+      bf.join(ivf, Seq("qid", "cid"), "leftsemi")
+        .groupBy(col("qid")).agg(count(lit(1)).as(name))
+    }
+    val qids = bf.select(col("qid")).distinct()
+    val perQuery = qids
+      .join(hitsOf(1, "h1"), Seq("qid"), "left")
+      .join(hitsOf(NProbe, "h2"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h1"), lit(0L)).as("hits_probe1"),
+        coalesce(col("h2"), lit(0L)).as("hits_probe2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    perQuery
+      .withColumn("monotone_ok", col("hits_probe2") >= col("hits_probe1"))
+      .withColumn("avg_recall_ok",
+        (avg(col("hits_probe2")).over(w) / KBrute) >= AvgRecallBound)
+      .select(col("qid"), col("hits_probe1"), col("hits_probe2"),
+        col("monotone_ok"), col("avg_recall_ok"))
+  }
+
+  private val knnIvfRecallSql =
+    s"""$ivfCtes,
+       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
+       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
+       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM bdots JOIN norms nq ON nq.vid = qid
+       |                     JOIN norms nc ON nc.vid = cid),
+       |btop AS (SELECT qid, cid
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
+       |         WHERE rnk <= $KBrute),
+       |qprobe AS (SELECT id AS qid, kid AS cell, rn AS probe_rank
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                           ORDER BY csim DESC, kid) AS rn
+       |                 FROM asims WHERE id % $QueryMod = 0)
+       |           WHERE rn <= $NProbe),
+       |ipairs AS (SELECT qid, c2.id AS cid, probe_rank
+       |           FROM qprobe JOIN cells c2
+       |             ON c2.cell = qprobe.cell AND c2.id <> qprobe.qid),
+       |isims AS (SELECT qid, ipairs.cid AS cid, probe_rank,
+       |                 round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM (SELECT qid, pairs.cid, min(probe_rank) AS probe_rank,
+       |                       sum(a.v * b.v) AS dot
+       |                FROM ipairs pairs
+       |                JOIN ce a ON a.cid = pairs.qid
+       |                JOIN ce b ON b.cid = pairs.cid AND b.i = a.i
+       |                GROUP BY 1, 2) ipairs
+       |          JOIN norms nq ON nq.vid = qid
+       |          JOIN norms nc ON nc.vid = ipairs.cid),
+       |itop1 AS (SELECT qid, cid
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                          ORDER BY sim DESC, cid) AS rnk
+       |                FROM isims WHERE probe_rank = 1)
+       |          WHERE rnk <= $KBrute),
+       |itop2 AS (SELECT qid, cid
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                          ORDER BY sim DESC, cid) AS rnk FROM isims)
+       |          WHERE rnk <= $KBrute),
+       |per_q AS (SELECT b.qid,
+       |                 count(i1.cid) AS hits_probe1,
+       |                 count(i2.cid) AS hits_probe2
+       |          FROM btop b
+       |          LEFT JOIN itop1 i1 ON i1.qid = b.qid AND i1.cid = b.cid
+       |          LEFT JOIN itop2 i2 ON i2.qid = b.qid AND i2.cid = b.cid
+       |          GROUP BY 1)
+       |SELECT qid, CAST(hits_probe1 AS BIGINT) AS hits_probe1,
+       |       CAST(hits_probe2 AS BIGINT) AS hits_probe2,
+       |       hits_probe2 >= hits_probe1 AS monotone_ok,
+       |       (avg(hits_probe2) OVER () / $KBrute) >= $AvgRecallBound AS avg_recall_ok
+       |FROM per_q""".stripMargin
+
   // ── sign-LSH bucketing (random hyperplanes, shared literal matrix) ─────
   private val NPlanes = 16
   private lazy val planes = VectorOps.randomPlanes(NPlanes, 64)
@@ -193,6 +287,7 @@ object SimilarityQueries {
     "knn_bruteforce"  -> knnBruteforce,
     "ivf_assign"      -> ivfAssignQ,
     "knn_ivf"         -> knnIvf,
+    "knn_ivf_recall"  -> knnIvfRecall,
     "ann_lsh_buckets" -> annLshBuckets,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "embedding_normalize"    -> embeddingNormalize,
@@ -203,6 +298,7 @@ object SimilarityQueries {
     "knn_bruteforce"  -> knnBruteforceSql,
     "ivf_assign"      -> ivfAssignSql,
     "knn_ivf"         -> knnIvfSql,
+    "knn_ivf_recall"  -> knnIvfRecallSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "embedding_normalize"    -> embeddingNormalizeSql,

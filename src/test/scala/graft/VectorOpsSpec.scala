@@ -87,4 +87,29 @@ class VectorOpsSpec extends SparkSpec {
       assert(ranks.toSeq == (1L to ranks.length).toSeq)
     }
   }
+
+  test("multi-probe IVF: candidates superset, recall monotone, gate booleans true") {
+    val c = graft.sources.Tables.embeddings(spark, sf001)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = c.filter($"id" < 8)
+      .select($"id".as("cent_id"), $"vec".as("cvec"))
+    val isQuery = $"id" % 50 === 0
+    def pairs(nProbe: Int) =
+      VectorOps.ivfKnn(c, cents, isQuery, 5, nProbe)
+        .select($"qid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = VectorOps.bruteForceKnn(c.filter(isQuery), c, 5)
+      .select($"qid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (p1, p2) = (pairs(1), pairs(2))
+    // per-query recall against the exact top-5 can only grow with nProbe
+    def recall(p: Set[(Long, Long)]) = (bf intersect p).size
+    assert(recall(p2) >= recall(p1))
+    assert(recall(p2) > 0, "2-probe IVF found no true neighbors at all")
+    // gate booleans hold on the fixture
+    val gate = Queries.all("knn_ivf_recall")(spark, sf001).collect()
+    assert(gate.nonEmpty)
+    assert(gate.forall(_.getAs[Boolean]("monotone_ok")))
+    assert(gate.forall(_.getAs[Boolean]("avg_recall_ok")))
+  }
 }
