@@ -62,6 +62,27 @@ object SourceQueries {
       |UNION ALL
       |SELECT o_orderstatus, n_orders, total_price, 'orc' AS fmt FROM a""".stripMargin
 
+  /** Avro write→read→aggregate — same contract as `format_roundtrip`
+    * for the one format the reference names but never uses (dead serde
+    * deps, pom.xml:79–93). Sharded executor-side writer + schema'd
+    * distributed reader from graft.sources.AvroIO (the container has
+    * avro-core but no spark-avro module). Oracle: the same aggregate
+    * computed parquet-direct — any Avro encode/decode drift breaks the
+    * hash. */
+  private val avroRoundtrip: Q = (s, dir) => {
+    val avroDir = s"${scratchPath("fmt", dir)}/avro"
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    graft.sources.AvroIO.write(base, avroDir)
+    statusAgg(graft.sources.AvroIO.read(s, avroDir, roundtripSchema), "avro")
+  }
+
+  private val avroRoundtripSql =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price,
+      |       'avro' AS fmt
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned layout: write orders partitioned by
     * o_orderstatus (one directory per value — the physical layout that
     * lets a reader skip whole partitions), read it back filtered to one
@@ -89,9 +110,11 @@ object SourceQueries {
 
   val all: Map[String, Q] = Map(
     "format_roundtrip" -> formatRoundtrip,
+    "avro_roundtrip" -> avroRoundtrip,
     "partitioned_roundtrip" -> partitionedRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "format_roundtrip" -> formatRoundtripSql,
+    "avro_roundtrip" -> avroRoundtripSql,
     "partitioned_roundtrip" -> partitionedRoundtripSql)
 }

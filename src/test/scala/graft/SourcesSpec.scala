@@ -4,6 +4,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamJoins
 
+import scala.jdk.CollectionConverters._
+
 /** File-format roundtrips (sources/sinks category: json/csv/parquet) and
   * the stream-stream lookback join.
   */
@@ -79,5 +81,27 @@ class SourcesSpec extends SparkSpec {
     // clicks 1 and 2 (key 1, within 10 min before purchase@1600) match;
     // click 3 is another key; click 4 is after the purchase
     assert(rows == Set((1L, 100L), (2L, 100L)))
+  }
+
+  test("AvroIO round-trips scalars incl. nulls; rejects non-scalar schemas") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("b", BooleanType)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "a,b\"c", 1.5, true),
+      org.apache.spark.sql.Row(2L, null, null, false),
+      org.apache.spark.sql.Row(null, "", -0.0, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), schema).repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("avro_spec_").toString
+    graft.sources.AvroIO.write(df, dir)
+    val back = graft.sources.AvroIO.read(spark, dir, schema)
+    assert(back.schema == schema)
+    assert(back.collect().toSet == rows.toSet)
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.avroSchemaFor(
+        StructType(Seq(StructField("a", ArrayType(LongType)))), "r")
+    }
   }
 }
