@@ -77,7 +77,14 @@ object TextFunctions {
   /** Rabin–Karp polynomial rolling hash h = (h·b + code(c)) mod p left-
     * folded over the char stream — the incremental-fingerprint primitive.
     * One codegen'd `aggregate`; empty text hashes to 0. Composable:
-    * h(a ++ b) = (h(a)·bᐞ|b| + h(b)) mod p (property-tested). */
+    * h(a ++ b) = (h(a)·bᐞ|b| + h(b)) mod p (property-tested).
+    *
+    * ASCII-ONLY CONTRACT: `code(c)` is Spark's ascii(), which returns the
+    * first BYTE of the UTF-8 encoding — negative for multibyte lead
+    * bytes — while DuckDB's ascii() returns the Unicode code point, so
+    * the two engines diverge (and the hash can go negative) outside
+    * printable ASCII. Normalize or strip non-ASCII first, or use the
+    * code-point-exact CharNGramHashes expression family instead. */
   def rollingHash(text: Column, b: Long, p: Long): Column =
     when(length(text) === 0, lit(0L)).otherwise(
       aggregate(charShingles(text, 1), lit(0L),

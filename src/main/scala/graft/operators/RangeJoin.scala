@@ -48,11 +48,21 @@ object RangeJoin {
       require(integral.contains(dt),
         s"range-join $role column must be integral (epoch-converted), got $dt")
     }
-    val w = lit(bucketWidth)
-    val pts = points.withColumn("_rj_bucket", floor(tCol / w).cast("long"))
+    // Integral floor-div, NOT floor(t / w): Spark's `/` on integrals
+    // divides in double, so epoch-like values past 2^53 would bucket
+    // imprecisely. (t - pmod(t, w)) is an exact multiple of w (pmod is
+    // non-negative), so the truncating IntegralDivide is exact floor
+    // division over the full long range.
+    def floorDiv(c: Column): Column = {
+      val exact = c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(exact),
+          org.apache.spark.sql.catalyst.expressions.Literal(bucketWidth)))
+    }
+    val pts = points.withColumn("_rj_bucket", floorDiv(tCol))
     val ivs = intervals.withColumn("_rj_bucket",
-      explode(sequence(floor(startCol / w).cast("long"),
-        floor(endCol / w).cast("long"))))
+      explode(sequence(floorDiv(startCol), floorDiv(endCol))))
     pts.join(ivs, pts("_rj_bucket") === ivs("_rj_bucket") &&
         tCol >= startCol && tCol <= endCol)
       .drop("_rj_bucket")

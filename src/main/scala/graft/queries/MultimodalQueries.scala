@@ -67,9 +67,17 @@ object MultimodalQueries {
       map().cast("map<string,string>").as("meta")).as[Multimodal.MediaRecord]
     val resized = Multimodal.resizeStub(
       Multimodal.frameSample(media, frameBytes = 64, stride = 2), targetBytes = 16)
-    val feats = Multimodal.featurize(resized.map(f =>
+    val feats = Multimodal.featurize(resized.map { f =>
+      // loud guard, not a silent wrap: frame_idx >= 1000 would alias two
+      // frames onto one packed id and silently corrupt BOTH unpacked
+      // columns downstream (a >128 KB document at 64-byte frames,
+      // stride 2). The fixture's max is ~40; widen the factor (both here
+      // and in the div/% unpack and the oracle) before raising the cap.
+      require(f.frame_idx < 1000L,
+        s"frame packing overflow: media ${f.media_id} frame ${f.frame_idx} >= 1000")
       Multimodal.MediaRecord(f.media_id * 1000L + f.frame_idx, "video", f.frame,
-        Map.empty[String, String])))
+        Map.empty[String, String])
+    })
     feats.toDF().select(
       expr("media_id div 1000").as("media_id"),
       (col("media_id") % 1000).cast("long").as("frame_idx"),
