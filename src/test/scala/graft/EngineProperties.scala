@@ -214,4 +214,44 @@ object EngineProperties extends Properties("engine") {
       hashes.toSeq == Seq(fold(a), fold(b), fold(a + b)) &&
         composed == fold(a + b)
     }
+
+  // Unicode-heavy strings (BMP + supplementary) — CharNGramHashes is
+  // specified over CODE POINTS, so astral chars must hash as one unit
+  private val genUnicode: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.choose(32.toChar, 126.toChar).map(_.toString),
+      1 -> Gen.oneOf("é", "∑", "中", "ß").map(identity[String]),
+      1 -> Gen.oneOf("𝕊", "😀").map(identity[String]))).map(_.mkString)
+
+  property("charNGramHashes ≡ per-window code-point fold, any n, any unicode") =
+    Prop.forAll(genUnicode, Gen.choose(1, 7)) { (s, n) =>
+      import graft.functions.TextFunctions.{NGramHashB, NGramHashP}
+      val cps = s.codePoints().toArray
+      val want = (0 to cps.length - n).map(i =>
+        cps.slice(i, i + n).foldLeft(0L)((h, c) => (h * NGramHashB + c) % NGramHashP))
+      val got = Seq(s).toDF("t")
+        .select(TextFunctions.charNGramHashes($"t", n).as("hs"))
+        .as[Seq[Long]].head()
+      got == want
+    }
+
+  // Random near-dup corpora: a few base token strings plus 1-2 token
+  // mutations — dense enough that hamming<=3 pairs exist
+  private val genCorpus: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(6, 20)
+    docs <- Gen.listOfN(n, for {
+      base <- Gen.choose(0, 2)
+      mut <- Gen.choose(0, 5)
+    } yield s"alpha beta gamma delta w$base x$mut extra tokens here")
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("64-bit banded SimHash ≡ quadratic scan on random corpora") =
+    Prop.forAll(genCorpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      def run(banded: Boolean) =
+        graft.operators.DedupOps.simHashNearPairs64(df, $"doc_id", $"text",
+            maxDist = 3, bands = 4, banded = banded)
+          .as[(Long, Long, Long)].collect().toSet
+      run(banded = true) == run(banded = false)
+    }
 }

@@ -95,6 +95,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join"), s"band-bucket equi-join missing:\n$p")
   }
 
+  test("simhash64_near_pairs_banded: 4-band candidates via equi-join, never all-pairs") {
+    val p = plan("simhash64_near_pairs_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"banded 64-bit SimHash must never plan the quadratic pair scan:\n$p")
+    assert(p.contains("Join"), s"band-bucket equi-join missing:\n$p")
+  }
+
+  test("ngram_jaccard_pairs: row-local hashing, equi-join candidates only") {
+    val p = plan("ngram_jaccard_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH pipeline must never plan an all-pairs product:\n$p")
+    assert(p.contains("char_ngram_hashes"),
+      "codegen'd window-hash expression missing — per-window digest regression")
+    // exactly one Generate: the 4-band explode. A second one means the
+    // corpus-wide shingle explode came back.
+    val generates = p.split("\n").count(_.trim.startsWith("Generate "))
+    assert(generates <= 1, s"corpus shingles exploded again ($generates Generate nodes):\n$p")
+  }
+
   test("range_join_orders: time-range-only join plans as a bucket equi-join") {
     val p = plan("range_join_orders")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
