@@ -451,6 +451,35 @@ object DedupOps {
     labels
   }
 
+  /** Benchmark decontamination: per train doc, the number of DISTINCT
+    * word n-gram features it shares with a probe (benchmark/test-set)
+    * corpus — the standard pre-training contamination check.
+    *
+    * Scale shape: the probe side (a benchmark: 10⁴–10⁶ n-grams) reduces
+    * to a distinct hash relation and is BROADCAST; the train corpus
+    * streams through one explode + hash + broadcast-semi-join, and only
+    * MATCHED rows reach the per-doc distinct-count aggregate — shuffle
+    * volume ∝ contamination, not corpus size. Docs with zero overlap are
+    * recovered by a left join against the doc list (no wide scan: ids
+    * only). Same md5-derived 40-bit feature hash as the MinHash family,
+    * so the DuckDB oracle reproduces it bit-for-bit. */
+  def ngramOverlap(train: DataFrame, probe: DataFrame,
+                   idCol: Column, textCol: Column, n: Int): DataFrame = {
+    val probeHashes = broadcast(
+      shingleBag(probe, idCol, textCol, n)
+        .select(shingleHash40(col("g")).as("h")).distinct())
+    val matched = shingleBag(train, idCol, textCol, n)
+      .select(col("doc_id"), shingleHash40(col("g")).as("h"))
+      .join(probeHashes, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("h")).as("n_overlap"))
+    train.select(idCol.as("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** 64-bit SimHash over the distinct token set: bit b votes +1/-1 by
     * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token) — i.e. the low 64
     * bits of the digest drive the 64 votes; bit set iff the vote sum is

@@ -945,6 +945,44 @@ object TextQueries {
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab""".stripMargin
 
+  // ── benchmark decontamination (train/probe n-gram overlap) ─────────────
+  // Probe set = every 10th doc (a stand-in benchmark), train = the rest;
+  // per train doc, the count of distinct word-8-gram hashes shared with
+  // the probe set and a contaminated flag. 8-grams, not the MinHash
+  // family's 3-grams: decontamination needs long-enough spans that shared
+  // VOCABULARY doesn't flag (at 3-grams the template corpus marks 95% of
+  // docs; at 8-grams only genuine shared passages — the planted near-dups
+  // — fire). Oracle: the same split and hash over an 8-lead window chain.
+  private val DecontamN = 8
+  private val decontaminateNgrams: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    DedupOps.ngramOverlap(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      col("doc_id"), col("text"), DecontamN)
+  }
+
+  private val decontaminateNgramsSql =
+    s"""WITH toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, w, i FROM
+       |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+       |        WHERE w <> ''),
+       |sh AS (SELECT doc_id,
+       |              ${(1 until DecontamN).map(k => s"lead(w,$k) OVER win").mkString("w || '_' || ", " || '_' || ", "")} AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |dh AS (SELECT DISTINCT doc_id,
+       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
+       |       FROM sh WHERE g IS NOT NULL),
+       |probe AS (SELECT DISTINCT h FROM dh WHERE doc_id % 10 = 0),
+       |matched AS (SELECT doc_id, count(DISTINCT dh.h) AS n_overlap
+       |            FROM dh JOIN probe ON dh.h = probe.h
+       |            WHERE doc_id % 10 <> 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |       coalesce(m.n_overlap, 0) > 0 AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+       |LEFT JOIN matched m ON m.doc_id = d.doc_id""".stripMargin
+
   // ── SimHash ────────────────────────────────────────────────────────────
   private val simhashDocs: Q = (s, dir) =>
     DedupOps.simHash16(Tables.documents(s, dir), col("doc_id"), col("text"))
@@ -996,6 +1034,7 @@ object TextQueries {
     "bm25_scores"         -> bm25Scores,
     "rolling_hash_fingerprint" -> rollingHashFingerprint,
     "dedup_clusters"      -> dedupClusters,
+    "decontaminate_ngrams" -> decontaminateNgrams,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -1030,6 +1069,7 @@ object TextQueries {
     "bm25_scores"         -> bm25ScoresSql,
     "rolling_hash_fingerprint" -> rollingHashFingerprintSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "decontaminate_ngrams" -> decontaminateNgramsSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }

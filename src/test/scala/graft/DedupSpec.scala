@@ -116,6 +116,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("ngramOverlap flags planted contamination, not shared vocabulary") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a quick brown cat sits under the lazy dog again and naps quietly"),
+      // docs 3 and 10 share an exact 9-word passage → two 8-grams
+      (3L, "prefix words then the secret shared nine word passage appears right here"),
+      (10L, "benchmark holds the secret shared nine word passage appears right here"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.ngramOverlap(
+        corpus.filter($"doc_id" < 10), corpus.filter($"doc_id" >= 10),
+        $"doc_id", $"text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(3L)._2, "doc sharing an 8-word passage must be flagged")
+    assert(got(3L)._1 >= 1)
+    assert(!got(1L)._2 && !got(2L)._2,
+      "vocabulary-only overlap must NOT flag at 8-grams")
+    assert(got.keySet == Set(1L, 2L, 3L), "zero-overlap docs must still appear")
+  }
+
   test("lsh finds the planted near-dup pairs in testdata documents") {
     val n = Queries.all("minhash_lsh_pairs")(spark, sf001).count()
     assert(n >= 25, s"expected the ~28 planted near-dup pairs, got $n")
