@@ -877,12 +877,13 @@ object TextQueries {
   // DuckDB's ascii() (which returns the code point), so both engines
   // produce identical hashes. lead() past the doc end is NULL, which
   // nulls the whole fold — exactly the "no window starts here" rows.
-  private def charWindowHashSql: String = {
+  private def charWindowHashSqlN(n: Int): String = {
     import graft.functions.TextFunctions.{NGramHashB => B, NGramHashP => P}
-    (1 until CharShingleN).foldLeft("CAST(ascii(c) AS BIGINT)") { (acc, k) =>
+    (1 until n).foldLeft("CAST(ascii(c) AS BIGINT)") { (acc, k) =>
       s"((($acc) * $B + ascii(lead(c, $k) OVER win)) % $P)"
     }
   }
+  private def charWindowHashSql: String = charWindowHashSqlN(CharShingleN)
 
   private def charShingleCtes: String =
     s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
@@ -944,6 +945,36 @@ object TextQueries {
        |       CAST(cluster_id AS BIGINT) AS cluster_id,
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab""".stripMargin
+
+  // ── content-defined chunking (rolling-hash cut points) ─────────────────
+  // CDC with an 8-char window hash, cut where hash % 64 == 0 (avg chunk
+  // ≈ 64 chars): boundaries stay stable under edits, so chunk_fp makes
+  // chunk-level dedup a plain groupBy. Oracle recomputes the identical
+  // fold + cut rule with window functions.
+  private val CdcW = 8
+  private val CdcM = 64
+  private val cdcChunks: Q = (s, dir) =>
+    graft.operators.Chunking.cdcChunks(
+      Tables.documents(s, dir), col("doc_id"), col("text"), CdcW, CdcM)
+
+  private val cdcChunksSql =
+    s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
+       |                   generate_subscripts(str_split(text, ''), 1) AS i
+       |            FROM documents),
+       |wh AS (SELECT doc_id, i, ${charWindowHashSqlN(CdcW)} AS g
+       |       FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |cuts AS (SELECT doc_id, i + ${CdcW - 1} AS c FROM wh
+       |         WHERE g IS NOT NULL AND g % $CdcM = 0
+       |         UNION
+       |         SELECT doc_id, length(text) FROM documents WHERE length(text) > 0),
+       |chunks AS (SELECT doc_id, row_number() OVER win AS chunk_idx,
+       |                  coalesce(lag(c) OVER win, 0) + 1 AS s, c AS e
+       |           FROM cuts WINDOW win AS (PARTITION BY doc_id ORDER BY c))
+       |SELECT k.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |       CAST(s AS BIGINT) AS start_pos,
+       |       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       |       md5(substring(d.text, s, e - s + 1)) AS chunk_fp
+       |FROM chunks k JOIN documents d ON d.doc_id = k.doc_id""".stripMargin
 
   // ── benchmark decontamination (train/probe n-gram overlap) ─────────────
   // Probe set = every 10th doc (a stand-in benchmark), train = the rest;
@@ -1035,6 +1066,7 @@ object TextQueries {
     "rolling_hash_fingerprint" -> rollingHashFingerprint,
     "dedup_clusters"      -> dedupClusters,
     "decontaminate_ngrams" -> decontaminateNgrams,
+    "cdc_chunks"          -> cdcChunks,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -1070,6 +1102,7 @@ object TextQueries {
     "rolling_hash_fingerprint" -> rollingHashFingerprintSql,
     "dedup_clusters"      -> dedupClustersSql,
     "decontaminate_ngrams" -> decontaminateNgramsSql,
+    "cdc_chunks"          -> cdcChunksSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }

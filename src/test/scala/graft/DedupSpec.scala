@@ -116,6 +116,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: spans tile the doc exactly; boundaries stable under a prefix edit") {
+    val rnd = new scala.util.Random(7)
+    val textA = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar.toString +rnd.nextInt(10))
+      .mkString(" ")
+    val textB = "INSERTED PREFIX " + textA
+    val docs = Seq((1L, textA), (2L, textB), (3L, "")).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking.cdcChunks(docs, $"doc_id", $"text", 8, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // empty doc contributes nothing
+    assert(!chunks.exists(_._1 == 3L))
+    // chunks tile each doc: start at 1, contiguous, end at len
+    for ((id, text) <- Seq(1L -> textA, 2L -> textB)) {
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      assert(cs.head._3 == 1L)
+      assert(cs.map(c => c._3 + c._4).zip(cs.tail.map(_._3)).forall { case (e, s) => e == s })
+      assert(cs.last._3 + cs.last._4 - 1 == text.length)
+      assert(cs.map(_._2).toSeq == (1L to cs.length).toSeq)
+    }
+    // content-defined stability: a prefix insertion may perturb chunks near
+    // the edit, but the rest of A's chunk fingerprints survive verbatim in B
+    val fpA = chunks.filter(_._1 == 1L).map(_._5).toSet
+    val fpB = chunks.filter(_._1 == 2L).map(_._5).toSet
+    assert(fpA.size >= 10, s"fixture too short to test stability (${fpA.size} chunks)")
+    val lost = fpA -- fpB
+    assert(lost.size <= 2,
+      s"CDC boundaries not edit-stable: ${lost.size} of ${fpA.size} chunks lost")
+  }
+
   test("ngramOverlap flags planted contamination, not shared vocabulary") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
