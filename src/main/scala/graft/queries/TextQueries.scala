@@ -976,6 +976,31 @@ object TextQueries {
        |       md5(substring(d.text, s, e - s + 1)) AS chunk_fp
        |FROM chunks k JOIN documents d ON d.doc_id = k.doc_id""".stripMargin
 
+  // ── chunk-level dedup (the CDC payoff) ─────────────────────────────────
+  // Near-duplicate docs defeat whole-doc fingerprints; their SHARED
+  // passages produce identical CDC chunks. One hash groupBy over chunk
+  // fingerprints (map-side combinable) finds every cross-doc repeated
+  // chunk; ≥ 2 docs filter keeps the output the interesting set.
+  private val chunkDedup: Q = (s, dir) =>
+    graft.operators.Chunking.cdcChunks(
+        Tables.documents(s, dir), col("doc_id"), col("text"), CdcW, CdcM)
+      .groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        min(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_docs") >= 2)
+
+  private val chunkDedupSql =
+    s"""WITH chunks AS (
+       |  ${cdcChunksSql.replace("\n", "\n  ")}
+       |)
+       |SELECT chunk_fp, CAST(count(*) AS BIGINT) AS n_copies,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+       |       CAST(min(chunk_len) AS BIGINT) AS chunk_len
+       |FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+
   // ── benchmark decontamination (train/probe n-gram overlap) ─────────────
   // Probe set = every 10th doc (a stand-in benchmark), train = the rest;
   // per train doc, the count of distinct word-8-gram hashes shared with
@@ -1067,6 +1092,7 @@ object TextQueries {
     "dedup_clusters"      -> dedupClusters,
     "decontaminate_ngrams" -> decontaminateNgrams,
     "cdc_chunks"          -> cdcChunks,
+    "chunk_dedup"         -> chunkDedup,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -1103,6 +1129,7 @@ object TextQueries {
     "dedup_clusters"      -> dedupClustersSql,
     "decontaminate_ngrams" -> decontaminateNgramsSql,
     "cdc_chunks"          -> cdcChunksSql,
+    "chunk_dedup"         -> chunkDedupSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }
