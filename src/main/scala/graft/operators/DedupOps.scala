@@ -484,26 +484,15 @@ object DedupOps {
     * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token) — i.e. the low 64
     * bits of the digest drive the 64 votes; bit set iff the vote sum is
     * positive. Engine-portable: the oracle recomputes the identical
-    * digit/bit extraction from DuckDB's md5 hex string. */
-  def simHash64(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val exploded = docs.select(idCol.as("doc_id"),
-        explode(TextFunctions.distinctTokens(textCol)).as("w"))
-      .withColumn("h", md5(col("w")))
-    // one conv per hex digit (16), shared by that digit's 4 bit votes
-    val withDigits = exploded.select(col("doc_id") +:
-      (0 until 16).map(d => conv(substring(col("h"), d + 1, 1), 16, 10)
-        .cast("int").as(s"d$d")): _*)
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
-        .otherwise(-1)).as(s"s$b")
-    }
-    withDigits.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ bitwiseOR _).as("simhash"))
-  }
+    * digit/bit extraction from DuckDB's md5 hex string.
+    *
+    * One row-local codegen'd pass (SimHash64Expr) — a PROJECTION. The
+    * exploded alternative (token explode → 64 sum-when buffers →
+    * hash aggregate) costs a Generate plus a 64-column shuffle per call
+    * site; measured 2.2× slower on the sf0.1 banded gate. */
+  def simHash64(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      graft.functions.SimHashExpr.simhash64(textCol).as("simhash"))
 
   /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the
     * b-th hex digit of md5(token); bit set iff the vote sum is positive.

@@ -86,6 +86,29 @@ class BitOpsSpec extends SparkSpec {
     assert(nulls(0).isNullAt(0) && !nulls(1).isNullAt(0))
   }
 
+  test("simhash64 expression matches an independent fold, order/dup-invariant") {
+    // independent reference: BigInteger digit arithmetic over the hex md5
+    def ref(text: String): Long = {
+      val votes = new Array[Int](64)
+      text.split(" ").filter(_.nonEmpty).distinct.foreach { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (b <- 0 until 64) {
+          val digit = Integer.parseInt(hex(b / 4).toString, 16)
+          votes(b) += (if (((digit >> (b % 4)) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L)((h, b) => if (votes(b) > 0) h | (1L << b) else h)
+    }
+    val texts = Seq("alpha beta gamma", "gamma  beta alpha alpha", "", "solo",
+      "many words here to fill more than a couple of digest votes")
+    val got = texts.toDF("t")
+      .select(graft.functions.SimHashExpr.simhash64($"t")).as[Long].collect().toSeq
+    assert(got == texts.map(ref))
+    // permutation + duplication invariance (set semantics)
+    assert(ref("alpha beta gamma") == ref("gamma  beta alpha alpha"))
+  }
+
   test("salted aggregation is bit-identical to the plain aggregate") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val salted = SkewOps.saltedCountSum(ev, $"event_type", $"value", $"event_id", 16)
