@@ -110,6 +110,82 @@ object RelationalQueries {
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
+  // ── TPC-H Q5: local supplier volume (6-table join) ─────────────────────
+  // The canonical join-order stress: two big fact tables (lineitem,
+  // orders) plus three dims and a co-nation equi-condition between the
+  // customer and supplier legs. Declared flat; Catalyst orders the joins
+  // and broadcasts the dims — exactly the "let the optimizer do it"
+  // stance the brief mandates.
+  private val q5LocalSupplierVolume: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("n_name"), col("revenue"))
+  }
+
+  private val q5LocalSupplierVolumeSql =
+    """SELECT n_name,
+      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  // ── TPC-H Q18: large-volume customers (agg-filtered semi-join) ─────────
+  // A HAVING-filtered aggregate feeding a semi-join back into the fact
+  // table — the "find the whales first, then expand" shape. The qualifying
+  // set is tiny (quantity > 300 ≈ top 0.5% of orders), so the second pass
+  // joins against a near-empty relation; AQE broadcasts it at runtime.
+  private val q18LargeOrders: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val qualifying = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("tot_qty"))
+      .filter(col("tot_qty") > 300)
+      .select(col("l_orderkey").as("qok"))
+    Tables.orders(s, dir)
+      .join(qualifying, col("o_orderkey") === col("qok"), "leftsemi")
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+  }
+
+  private val q18LargeOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |       CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
+      |       round(CAST(o_totalprice AS DOUBLE), 2) AS o_totalprice,
+      |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS total_qty
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -356,6 +432,8 @@ object RelationalQueries {
   val all: Map[String, Q] = Map(
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "q18_large_orders"    -> q18LargeOrders,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
     "cube_orders"         -> cubeOrders,
@@ -375,6 +453,8 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
+    "q18_large_orders"    -> q18LargeOrdersSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,
     "cube_orders"         -> cubeOrdersSql,
