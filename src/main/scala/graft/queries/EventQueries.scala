@@ -295,6 +295,69 @@ object EventQueries {
       |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** `KeyValueGroupedDataset.cogroup` — the typed two-sided grouped
+    * primitive (the general form of a full-outer grouped join): views
+    * and purchases grouped per user, both iterators visited in ONE
+    * co-partitioned task. The funnel metrics (counts + conversion flag +
+    * first-purchase-value) need user-local logic over BOTH sides, which
+    * is exactly what cogroup gives without materializing a join. One
+    * shuffle per side on the key — same cost as the equivalent
+    * aggregate-then-outer-join, but one pass. */
+  private val cogroupUserFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      col("value"), unix_micros(col("ts")).as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("uid"), col("tsu")).as[(Long, Long)]
+      .groupByKey(_._1)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("value"), col("tsu"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+    // (ts, value) min makes the "first purchase" pick iterator-order-
+    // independent; rounding stays in the DataFrame layer where the
+    // round() semantics are the ones the oracle's round() mirrors
+    views.cogroup(purchases) { (uid, vs, ps) =>
+      var nViews = 0L
+      vs.foreach(_ => nViews += 1)
+      var nPurch = 0L; var firstTs = Long.MaxValue
+      var firstVal = Double.MaxValue
+      ps.foreach { p =>
+        nPurch += 1
+        if (p._3 < firstTs || (p._3 == firstTs && p._2 < firstVal)) {
+          firstTs = p._3; firstVal = p._2
+        }
+      }
+      Iterator.single((uid, nViews, nPurch, nPurch > 0, firstVal))
+    }.toDF("user_id", "n_views", "n_purchases", "converted", "raw_first")
+      .withColumn("first_purchase_value",
+        when(col("converted"), round(col("raw_first"), 4)).otherwise(lit(-1.0)))
+      .drop("raw_first")
+  }
+
+  // µs-truncated ordering mirrors unix_micros on the Spark side; the
+  // row_number window reproduces the kernel's (ts, value) min exactly
+  private val cogroupUserFunnelSql =
+    """WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |p0 AS (SELECT user_id, value,
+      |              row_number() OVER (PARTITION BY user_id
+      |                ORDER BY date_trunc('microseconds', ts), value) AS rn,
+      |              count(*) OVER (PARTITION BY user_id) AS n_purchases
+      |       FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, n_purchases,
+      |             round(CAST(value AS DOUBLE), 4) AS first_val
+      |      FROM p0 WHERE rn = 1),
+      |u AS (SELECT DISTINCT user_id FROM events
+      |      WHERE event_type IN ('view', 'purchase'))
+      |SELECT u.user_id,
+      |       CAST(coalesce(v.n_views, 0) AS BIGINT) AS n_views,
+      |       CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+      |       coalesce(p.n_purchases, 0) > 0 AS converted,
+      |       coalesce(p.first_val, -1.0) AS first_purchase_value
+      |FROM u LEFT JOIN v ON v.user_id = u.user_id
+      |       LEFT JOIN p ON p.user_id = u.user_id""".stripMargin
+
   /** Per-window top-k (leaderboard): the most active user in each minute —
     * windowed aggregation composed with rank-within-group, the shape of
     * every "top N per time bucket" dashboard query. Deterministic ties:
@@ -349,6 +412,7 @@ object EventQueries {
     "session_window_stats"    -> sessionWindowStats,
     "user_set_per_minute"     -> userSetPerMinute,
     "typed_event_stats"       -> typedEventStats,
+    "cogroup_user_funnel"     -> cogroupUserFunnel,
     "conditional_agg"         -> conditionalAgg,
     "inter_event_gaps"        -> interEventGaps,
     "top_user_per_minute"     -> topUserPerMinute,
@@ -369,6 +433,7 @@ object EventQueries {
     "session_window_stats"    -> sessionWindowStatsSql,
     "user_set_per_minute"     -> userSetPerMinuteSql,
     "typed_event_stats"       -> typedEventStatsSql,
+    "cogroup_user_funnel"     -> cogroupUserFunnelSql,
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
