@@ -184,6 +184,58 @@ object EventQueries {
         sum(col("p.k")).as("sum_k"))
   }
 
+  /** `Dataset.observe` — the engine-native form of the reference's peek
+    * logging (UniqueUsersApp.java:124, :225–227), made ORACLE-CHECKED:
+    * observation metrics ride the existing pass as accumulator-style
+    * aggregates (zero extra jobs, zero extra scans, zero rows to the
+    * driver — the contract that makes observability free at 100 TB).
+    * Harvest is the batch pattern: a QueryExecutionListener reads
+    * `observedMetrics` off the ACTION'S QueryExecution (an action builds
+    * its own QE, so the dataset's own handle never sees the values; the
+    * listener bus is async, hence the bounded poll). The gate compares
+    * the harvested row against DuckDB recomputing the same aggregates. */
+  private val observeMetrics: Q = (s, dir) => {
+    val obs = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase", "click"))
+      // DISTINCT aggregates are rejected by observe (metrics must merge
+      // accumulator-style without a shuffle) — everything here is a
+      // plain mergeable aggregate
+      .observe("gate_metrics",
+        count(lit(1)).as("n_rows"),
+        max(col("user_id")).as("max_user"),
+        round(sum(col("value")), 2).as("sum_value"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+    val delivered =
+      new java.util.concurrent.LinkedBlockingQueue[org.apache.spark.sql.Row](1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("gate_metrics").foreach(delivered.offer)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    val m = try {
+      obs.write.mode("overwrite").format("noop").save() // one scan, no rows moved
+      val row = delivered.poll(60, java.util.concurrent.TimeUnit.SECONDS)
+      require(row != null, "observed metrics were not delivered")
+      row
+    } finally s.listenerManager.unregister(listener)
+    import s.implicits._
+    Seq((m.getAs[Long]("n_rows"), m.getAs[Long]("max_user"),
+        m.getAs[Double]("sum_value"), m.getAs[Long]("n_purchases")))
+      .toDF("n_rows", "max_user", "sum_value", "n_purchases")
+  }
+
+  private val observeMetricsSql =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(max(user_id) AS BIGINT) AS max_user,
+      |       round(CAST(sum(value) AS DOUBLE), 2) AS sum_value,
+      |       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_purchases
+      |FROM events WHERE event_type IN ('view', 'purchase', 'click')""".stripMargin
+
   private val jsonRejectPolicySql =
     """WITH r AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
       |                  CASE WHEN event_id % 10 = 0 THEN 'CORRUPT' || props
@@ -413,6 +465,7 @@ object EventQueries {
     "user_set_per_minute"     -> userSetPerMinute,
     "typed_event_stats"       -> typedEventStats,
     "cogroup_user_funnel"     -> cogroupUserFunnel,
+    "observe_metrics"         -> observeMetrics,
     "conditional_agg"         -> conditionalAgg,
     "inter_event_gaps"        -> interEventGaps,
     "top_user_per_minute"     -> topUserPerMinute,
@@ -434,6 +487,7 @@ object EventQueries {
     "user_set_per_minute"     -> userSetPerMinuteSql,
     "typed_event_stats"       -> typedEventStatsSql,
     "cogroup_user_funnel"     -> cogroupUserFunnelSql,
+    "observe_metrics"         -> observeMetricsSql,
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
