@@ -481,6 +481,34 @@ object StreamingQueries {
       |WHERE epoch(date_trunc('minute', ts)) >= m0.m + 600
       |GROUP BY 1""".stripMargin
 
+  /** The reference's SINK EDGE (§2.1 #14–15): counts → (key, value)
+    * Kafka records — key = window-start epoch seconds as STRING (the
+    * reference's key shape, UniqueUsersApp.java:125–130), value = the
+    * JSON metric (README.md:194 "Produce the metrics as json"). The
+    * exact wire text is the contract, so the oracle rebuilds the same
+    * strings character-for-character (to_json emits no whitespace,
+    * struct field order). Only the broker handoff itself stays
+    * environment-bound (no broker in the sandbox); the record
+    * construction is now hash-gated. */
+  private val kafkaSinkProjection: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val counts = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("user_id").cast("string").as("uid"))
+      .groupBy(window(col("eventTime"), "1 minute").as("w"))
+      .agg(count_distinct(col("uid")).as("unique_users"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("unique_users"))
+    UniqueUsersStream.toKafkaRecords(counts)
+  }
+
+  private val kafkaSinkProjectionSql =
+    """SELECT CAST(CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS VARCHAR) AS key,
+      |       '{"windowStart":' || CAST(epoch(date_trunc('minute', ts)) AS BIGINT)
+      |         || ',"uniqueUsers":' || CAST(count(DISTINCT user_id) AS BIGINT)
+      |         || '}' AS value
+      |FROM events GROUP BY date_trunc('minute', ts)""".stripMargin
+
   val all: Map[String, Q] = Map(
     "streaming_unique_users" -> streamingUniqueUsers,
     "streaming_unique_users_append" -> streamingUniqueUsersAppend,
@@ -489,6 +517,7 @@ object StreamingQueries {
     "streaming_late_data_drop" -> streamingLateDataDrop,
     "streaming_sessions" -> streamingSessions,
     "streaming_stream_join" -> streamingStreamJoin,
+    "kafka_sink_projection" -> kafkaSinkProjection,
     "state_store_dump" -> stateStoreDump)
 
   val oracles: Map[String, String] = Map(
@@ -500,5 +529,6 @@ object StreamingQueries {
     // same oracle as the batch session query — THE parity statement
     "streaming_sessions" -> EventQueries.sessionWindowStatsSql,
     "streaming_stream_join" -> streamingStreamJoinSql,
+    "kafka_sink_projection" -> kafkaSinkProjectionSql,
     "state_store_dump" -> stateStoreDumpSql)
 }
