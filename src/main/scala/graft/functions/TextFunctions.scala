@@ -74,6 +74,15 @@ object TextFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
         n, NGramHashB, NGramHashP))
 
+  /** 1-based char positions where a width-n window hash ≡ 0 (mod m) ends
+    * — the CDC cut rule, fused hash+filter in one codegen'd pass (see
+    * CdcCutPositions). */
+  def cdcCutPositions(text: Column, n: Int, m: Long): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      CdcCutPositions(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        n, NGramHashB, NGramHashP, m))
+
   /** Rabin–Karp polynomial rolling hash h = (h·b + code(c)) mod p left-
     * folded over the char stream — the incremental-fingerprint primitive.
     * One codegen'd `aggregate`; empty text hashes to 0. Composable:
