@@ -154,3 +154,117 @@ case class CdcCutPositions(child: Expression, n: Int, b: Long, p: Long, m: Long)
   override protected def withNewChildInternal(newChild: Expression): CdcCutPositions =
     copy(child = newChild)
 }
+
+/** LSH band keys in one codegen'd pass: `array<long> feature hashes →
+  * array<long> of `bands` band keys`. Computes all `as.length` MinHash
+  * permutation minima min((a_i·h + b_i) mod p) in a single loop over the
+  * feature array, then folds each band's `rowsPerBand` minima with
+  * ((k·foldB + min) mod foldP) into a numeric band key.
+  *
+  * Why: the HOF composition (16 × array_min(transform(hs, …)) followed
+  * by md5-of-concat band hashes) evaluates its lambdas INTERPRETED —
+  * ~23 M lambda evals on the sf0.1 corpus, the dominant stage of the
+  * array-local LSH pipeline — and shuffles 32-char digest strings as
+  * join keys. This kernel is O(|hs|·perms) primitive ops inside codegen
+  * and the join key is 8 bytes. Band-key equality replaces digest
+  * equality — a different (but engine-portable, arithmetic) hash with
+  * the same collision-negligible contract, reproduced verbatim in the
+  * oracle SQL's fold over the sig columns.
+  *
+  * All intermediates < 2⁶³: a_i < 2²⁰, h < 2⁴⁰ ⇒ a·h + b < 2⁶¹; minima
+  * < p ≤ 2³⁰, foldB ≤ 2²⁰ ⇒ k·foldB + min < 2⁵¹. */
+case class MinHashBandKeys(child: Expression, as: Seq[Long], bs: Seq[Long],
+                           p: Long, bands: Int, foldB: Long, foldP: Long)
+    extends UnaryExpression {
+  require(as.nonEmpty && as.length == bs.length, "permutation a/b lists must align")
+  require(as.length % bands == 0, "bands must divide the permutation count")
+  require(foldB <= (1L << 20) && foldP <= (1L << 30) && p <= (1L << 30),
+    "fold/permutation moduli out of the overflow-safe range")
+
+  private def rowsPerBand: Int = as.length / bands
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_band_keys requires array<long>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < hs.length) {
+      val h = hs(j)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        key = (key * foldB + mins(b * rowsPerBand + r)) % foldP
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val k = as.length
+      val aLit = as.mkString("new long[]{", "L,", "L}")
+      val bLit = bs.mkString("new long[]{", "L,", "L}")
+      val hs = ctx.freshName("hs")
+      val aArr = ctx.freshName("aArr")
+      val bArr = ctx.freshName("bArr")
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val key = ctx.freshName("key")
+      s"""
+         |long[] $hs = $c.toLongArray();
+         |long[] $aArr = $aLit;
+         |long[] $bArr = $bLit;
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $hs.length; $j++) {
+         |  long $h = $hs[$j];
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = ($aArr[$i] * $h + $bArr[$i]) % ${p}L;
+         |    if ($v < $mins[$i]) $mins[$i] = $v;
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $key = 0L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $key = ($key * ${foldB}L + $mins[$b * $rowsPerBand + $r]) % ${foldP}L;
+         |  }
+         |  $out[$b] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}

@@ -224,18 +224,6 @@ object DedupOps {
     docs.select(idCol.as("doc_id"),
       TextFunctions.charNGramHashes(textCol, n).as("hs"))
 
-  /** MinHash signatures as a pure PROJECTION over row-local feature
-    * arrays: mh_i = array_min(transform(hs, h → perm_i(h))). Zero
-    * shuffles — compare `minHashSignatures`, whose exploded bag needs a
-    * groupBy. Docs with no features (shorter than the shingle width) are
-    * dropped, matching the exploded form where they emit no rows. */
-  def minHashSignaturesFromArrays(hashed: DataFrame, numHashes: Int): DataFrame =
-    hashed.filter(size(col("hs")) > 0)
-      .select(col("doc_id") +: (0 until numHashes).map { i =>
-        array_min(transform(col("hs"),
-          h => (lit(mhA(i)) * h + lit(mhB(i))) % lit(MinHashP))).as(s"mh$i")
-      }: _*)
-
   /** Exact Jaccard over candidate pairs with SET-VALUED doc rows: two
     * joins pull each side's distinct feature array onto the pair, then
     * size(array_intersect) computes the overlap row-locally. Shuffle
@@ -256,18 +244,28 @@ object DedupOps {
 
   /** LSH near-dup pipeline over row-local hashed feature arrays — the
     * dense-feature (char-n-gram) counterpart of `lshPairsOverShingles`.
-    * Signatures and per-doc sets are projections (no corpus shuffle at
-    * all); the only shuffles are the band-bucket candidate self-join and
-    * the two verify joins, each bounded by candidate volume. The
-    * candidate relation feeds both the doc filter and the verify join →
-    * persisted here (≤ pairs-count rows). Callers should persist
-    * `hashed` (it feeds signatures and verification). */
+    * Band keys come from ONE codegen'd kernel pass (MinHashBandKeys: all
+    * permutation minima + per-band arithmetic fold, 8-byte numeric join
+    * keys — see its scaladoc for why this beats the HOF + md5 band
+    * composition); per-doc sets are projections. The only shuffles are
+    * the band-bucket candidate self-join and the two verify joins, each
+    * bounded by candidate volume. The candidate relation feeds both the
+    * doc filter and the verify join → persisted here (≤ pairs-count
+    * rows). Callers should persist `hashed` only if it is expensive to
+    * rebuild (the CharNGramHashes pass usually isn't). */
   def lshPairsArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int,
                          threshold: Double,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
-    val sig = minHashSignaturesFromArrays(hashed, numHashes)
-    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
+    import graft.functions.TextFunctions.{NGramHashB, NGramHashP}
+    val bandKeys = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("hs")),
+        (0 until numHashes).map(mhA), (0 until numHashes).map(mhB),
+        MinHashP, bands, NGramHashB, NGramHashP))
+    val byBand = hashed.filter(size(col("hs")) > 0)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
+    val cand = lshCandidates(byBand, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()

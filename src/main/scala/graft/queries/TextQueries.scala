@@ -826,12 +826,20 @@ object TextQueries {
   /** The band→candidate→exact-Jaccard oracle tail, shared by the word-
     * shingle and char-n-gram variants: works over any CTE prefix defining
     * `dt` (distinct (doc_id, g) features) and `sig` (minhash columns). */
-  private def lshPairsSqlOver(ctes: String, bands: Int = Bands): String = {
+  private def lshPairsSqlOver(ctes: String, bands: Int = Bands,
+                              arithBandKeys: Boolean = false): String = {
     val rowsPerBand = NumHashes / bands
     val bandSelects = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand)
-        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($rows) AS band_hash FROM sig"
+      val cols = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      // arithmetic band keys mirror MinHashBandKeys' fold (the array-
+      // local pipeline); the md5 concat form mirrors lshBands (exploded)
+      val key =
+        if (arithBandKeys) {
+          import graft.functions.TextFunctions.{NGramHashB => FB, NGramHashP => FP}
+          cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
+            s"((($acc) * $FB + $c) % $FP)")
+        } else s"md5(${cols.mkString(" || '|' || ")})"
+      s"SELECT doc_id, $b AS band, $key AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""$ctes,
        |bands AS (
@@ -901,16 +909,17 @@ object TextQueries {
     // char shingles are ~10× denser than word shingles (one per character),
     // so this query takes the row-local array path: per-doc hashed window
     // arrays from the codegen'd rolling-hash expression (SAME fold in the
-    // oracle over ascii()), signatures as an array_min projection, Jaccard
-    // via array_intersect on the joined pairs — the corpus is never
-    // exploded or shuffled. The hashed relation feeds signatures AND
-    // verification → persist.
+    // oracle over ascii()), band keys from the fused MinHashBandKeys
+    // kernel, Jaccard via array_intersect on the joined pairs — the
+    // corpus is never exploded or shuffled. No persist: the hash pass is
+    // a cheap codegen projection, and an InMemoryRelation would pin its
+    // partitioning against AQE for no win (measured a wash).
     val hashed = DedupOps.charShingleHashes(docs, col("doc_id"), col("text"), CharShingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupOps.lshPairsArrayLocal(hashed, NumHashes, CharLshBands, Threshold)
   }
 
-  private val ngramJaccardPairsSql = lshPairsSqlOver(charShingleCtes, CharLshBands)
+  private val ngramJaccardPairsSql =
+    lshPairsSqlOver(charShingleCtes, CharLshBands, arithBandKeys = true)
 
   // ── dedup clusters (pairs → connected components) ──────────────────────
   // The step after near-dup pair mining: label every involved doc with the
