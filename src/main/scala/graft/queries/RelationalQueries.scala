@@ -319,14 +319,21 @@ object RelationalQueries {
     """SELECT c_custkey, c_name FROM customer
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
+  // customers with no HIGH-VALUE order: the right side is filtered so the
+  // anti-join's positive path is actually exercised (every customer has
+  // SOME order in the fixture, so the unfiltered form passes vacuously
+  // on zero rows — r3's hash match proved nothing about matched-row
+  // elimination; 202 of 1500 customers qualify at sf0.01)
   private val antiJoinCustomers: Q = (s, dir) =>
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
   private val antiJoinCustomersSql =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin
 
   // ── Outer join with null-handling ──────────────────────────────────────
   private val outerJoinOrders: Q = (s, dir) =>

@@ -206,7 +206,7 @@ object SimilarityQueries {
     corpus(s, dir).select(col("id"),
       VectorOps.lshBucket(col("vec"), planes).as("bucket"))
 
-  private lazy val annLshBucketsSql = {
+  private def lshBucketsSqlFrom(rel: String): String = {
     val terms = planes.zipWithIndex.map { case (p, i) =>
       // Double.toString is locale-independent ('.' decimal always);
       // f"%.1f" would emit ',' decimals under comma-decimal locales and
@@ -216,24 +216,40 @@ object SimilarityQueries {
     }.mkString("\n       + ")
     s"""SELECT vec_id AS id,
        |       CAST($terms AS BIGINT) AS bucket
-       |FROM embeddings""".stripMargin
+       |FROM $rel""".stripMargin
   }
+
+  private lazy val annLshBucketsSql = lshBucketsSqlFrom("embeddings")
 
   // ── embedding-cosine near-dup (LSH-bucketed candidates + exact verify) ─
   private val CosDupThreshold = 0.7
 
-  private val dedupEmbeddingCosine: Q = (s, dir) =>
-    VectorOps.cosineDupPairs(corpus(s, dir), planes, CosDupThreshold)
+  // No embedding pair in the fixture clears the 0.7 threshold, so the
+  // plain form passed vacuously on zero rows (r3 review finding) — the
+  // gate plants exact copies of every 100th vector under a shifted id
+  // (cosine exactly 1.0, same sign-LSH bucket by construction, mirrored
+  // in the oracle) so bucketing + candidate join + exact verification
+  // are value-checked on a NON-empty result.
+  private val dedupEmbeddingCosine: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val planted = c.filter(col("id") % 100 === 0)
+      .select((col("id") + 1000000L).as("id"), col("vec"))
+    VectorOps.cosineDupPairs(c.unionByName(planted), planes, CosDupThreshold)
+  }
 
   private lazy val dedupEmbeddingCosineSql = {
     // candidates share a sign-LSH bucket (same literal planes as
     // ann_lsh_buckets), then exact cosine ≥ threshold
-    s"""WITH buckets AS ($annLshBucketsSql),
+    s"""WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |             UNION ALL
+       |             SELECT vec_id + 1000000, embedding FROM embeddings
+       |             WHERE vec_id % 100 = 0),
+       |buckets AS (${lshBucketsSqlFrom("emb2").replace("\n", "\n")}),
        |cand AS (SELECT a.id AS d1, b.id AS d2
        |         FROM buckets a JOIN buckets b
        |           ON a.bucket = b.bucket AND a.id < b.id),
        |ce AS (SELECT vec_id AS vid, CAST(unnest(embedding) AS DOUBLE) AS v,
-       |              generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |              generate_subscripts(embedding, 1) AS i FROM emb2),
        |norms AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
        |dots AS (SELECT d1, d2, sum(a.v * b.v) AS dot
        |         FROM cand JOIN ce a ON a.vid = d1

@@ -766,15 +766,28 @@ object TextQueries {
   }
 
   // ── exact + word-set dedup ─────────────────────────────────────────────
-  private val dedupDocsExact: Q = (s, dir) =>
-    DedupOps.exactGroups(Tables.documents(s, dir), col("doc_id"), col("text"))
+  // The fixture has near-dups but no byte-exact dups, so the plain form
+  // passed vacuously on zero rows (r3 review finding) — the gate plants
+  // deterministic exact copies (every 50th doc re-ingested under a
+  // shifted id, mirrored in the oracle) so grouping, canonical-min and
+  // multiplicity are all value-checked on a NON-empty result.
+  private val dedupDocsExact: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    DedupOps.exactGroups(docs.unionByName(planted), col("doc_id"), col("text"))
       .filter(col("n_docs") > 1)
+  }
 
   private val dedupDocsExactSql =
-    """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+    """WITH corpus AS (SELECT doc_id, text FROM documents
+      |                UNION ALL
+      |                SELECT doc_id + 1000000, text FROM documents
+      |                WHERE doc_id % 50 = 0)
+      |SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
       |       CAST(min(doc_id) AS BIGINT) AS canonical_id,
       |       CAST(count(*) AS BIGINT) AS n_docs
-      |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin
+      |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin
 
   private val dedupDocsWordset: Q = (s, dir) =>
     DedupOps.wordSetGroups(Tables.documents(s, dir), col("doc_id"), col("text"))

@@ -38,11 +38,17 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("semi + anti join partition the customer set") {
-    val semi = Queries.all("semi_join_customers")(spark, sf001).count()
+  test("anti join complements the matching semi join; both sides non-empty") {
     val anti = Queries.all("anti_join_customers")(spark, sf001).count()
+    // complement of the gate's condition: customers WITH a >400k order
+    val withBig = graft.sources.Tables.customer(spark, sf001)
+      .join(graft.sources.Tables.orders(spark, sf001)
+          .filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
     val all = graft.sources.Tables.customer(spark, sf001).count()
-    assert(semi + anti == all)
+    assert(anti + withBig == all)
+    assert(anti > 0 && withBig > 0, "vacuous on one side — threshold drifted")
   }
 
   test("rollup has per-group, per-flag-subtotal and grand-total rows") {

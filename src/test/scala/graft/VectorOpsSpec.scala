@@ -65,8 +65,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
-  test("dedup_embedding_cosine on testdata: no false positives (all pairs < 0.7)") {
-    assert(Queries.all("dedup_embedding_cosine")(spark, sf001).count() == 0)
+  test("dedup_embedding_cosine on testdata: exactly the planted copies, no false positives") {
+    // the gate plants exact copies of every 100th vector (id + 1000000);
+    // natural fixture pairs all sit below the 0.7 threshold, so the result
+    // must be precisely the planted (original, copy) pairs at sim 1.0
+    val got = Queries.all("dedup_embedding_cosine")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val nVecs = graft.sources.Tables.embeddings(spark, sf001).count()
+    val expected = (0L until nVecs by 100L).map(i => (i, i + 1000000L, 1.0)).toSet
+    assert(got == expected, s"got $got")
   }
 
   test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
