@@ -45,6 +45,72 @@ object SimHashKernel {
   }
 }
 
+/** JVM kernel for word-shingle feature hashing: whitespace-tokenize,
+  * join each n-token window with '_', md5, take the first 10 hex digits
+  * as a 40-bit long — bit-identical to
+  * `shingleHash40(md5(concat_ws("_", …)))` over the exploded bag, but
+  * one row-local pass with no Generate and no interpreted lambdas. */
+object WordShingleKernel {
+  def hashes(text: UTF8String, n: Int): Array[Long] = {
+    val raw = text.toString.split(' ')
+    var m = 0
+    var t = 0
+    while (t < raw.length) { if (raw(t).nonEmpty) { raw(m) = raw(t); m += 1 }; t += 1 }
+    val cnt = m - n + 1
+    if (cnt <= 0) return Array.emptyLongArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](cnt)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < cnt) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append('_')
+        sb.append(raw(i + k))
+        k += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 10 hex digits = first 5 bytes, big-endian
+      var h = 0L
+      var b = 0
+      while (b < 5) { h = (h << 8) | (d(b) & 0xFFL); b += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+}
+
+/** Native expression: `text → array<long>` of 40-bit word-n-gram shingle
+  * hashes (see WordShingleKernel) — the word-feature counterpart of
+  * CharNGramHashes, feeding the same row-local LSH pipeline. */
+case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingle_hashes requires a string column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      WordShingleKernel.hashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WordShingleKernel.hashes($c, $n));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** Native expression form: `text → simhash64(long)` with no explode and
   * no 64-column aggregate — the whole vote loop runs inside the row
   * (preference order (b) of the build brief). The exploded composition

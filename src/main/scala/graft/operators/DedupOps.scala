@@ -214,6 +214,18 @@ object DedupOps {
     jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Per-doc hashed word-n-gram shingle arrays (doc_id, hs: array<long>)
+    * — the word-feature counterpart of `charShingleHashes`: one codegen'd
+    * kernel pass (WordShingleHashes, bit-identical to the exploded
+    * `shingleHash40(md5(g))`), no Generate, no shuffle. Feeds
+    * `lshPairsArrayLocal` for the word-shingle MinHash pipeline. */
+  def wordShingleHashes(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.WordShingleHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol), n))
+        .as("hs"))
+
   /** Per-doc hashed char-n-gram arrays (doc_id, hs: array<long>) — the
     * ROW-LOCAL feature representation: one codegen'd rolling-hash pass
     * per doc (CharNGramHashes), no explode, no shuffle, no per-window

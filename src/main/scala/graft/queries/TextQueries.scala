@@ -832,9 +832,34 @@ object TextQueries {
 
   private val minhashSignaturesSql = s"$shingleCtes\nSELECT * FROM sig"
 
+  // Same CTE family with dt = DISTINCT HASHED shingles: the oracle for
+  // the row-local array pipeline, where Jaccard is over hash sets (both
+  // engines see identical — possibly collided — sets, so 40-bit
+  // collisions can never diverge the gate).
+  private def shingleCtesHashed: String =
+    s"""WITH toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, w, i FROM
+       |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+       |        WHERE w <> ''),
+       |sh AS (SELECT doc_id,
+       |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |dt AS (SELECT DISTINCT doc_id,
+       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
+       |       FROM sh WHERE g IS NOT NULL),
+       |sig AS (SELECT doc_id,
+       |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
+       |        FROM dt GROUP BY doc_id)""".stripMargin
+
+  // Row-local array pipeline (WordShingleHashes kernel + MinHashBandKeys
+  // band keys): the corpus is never exploded; same verified output as the
+  // exploded `minHashLshPairs` (kept for the signature gate and the
+  // hot-bucket spec), ~3× faster end-to-end.
   private val minhashLshPairs: Q = (s, dir) =>
-    DedupOps.minHashLshPairs(Tables.documents(s, dir), col("doc_id"), col("text"),
-      ShingleN, NumHashes, Bands, Threshold)
+    DedupOps.lshPairsArrayLocal(
+      DedupOps.wordShingleHashes(Tables.documents(s, dir),
+        col("doc_id"), col("text"), ShingleN),
+      NumHashes, Bands, Threshold)
 
   /** The band→candidate→exact-Jaccard oracle tail, shared by the word-
     * shingle and char-n-gram variants: works over any CTE prefix defining
@@ -875,7 +900,8 @@ object TextQueries {
        |WHERE round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) >= $Threshold""".stripMargin
   }
 
-  private val minhashLshPairsSql = lshPairsSqlOver(shingleCtes)
+  private val minhashLshPairsSql =
+    lshPairsSqlOver(shingleCtesHashed, Bands, arithBandKeys = true)
 
   // ── char-n-gram Jaccard near-dup pairs ─────────────────────────────────
   // Same MinHash+LSH skeleton over character 5-grams instead of word
@@ -941,8 +967,10 @@ object TextQueries {
   // per cluster. Oracle: recursive-CTE reachability closure over the SAME
   // pair relation, min label per node.
   private val dedupClusters: Q = (s, dir) => {
-    val pairs = DedupOps.minHashLshPairs(Tables.documents(s, dir),
-      col("doc_id"), col("text"), ShingleN, NumHashes, Bands, Threshold)
+    val pairs = DedupOps.lshPairsArrayLocal(
+      DedupOps.wordShingleHashes(Tables.documents(s, dir),
+        col("doc_id"), col("text"), ShingleN),
+      NumHashes, Bands, Threshold)
     DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
