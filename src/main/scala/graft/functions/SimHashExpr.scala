@@ -6,14 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** JVM kernel for the 64-bit SimHash: whitespace-tokenize, de-duplicate
-  * tokens, md5 each, vote bit b by bit (b mod 4) of hex digit ⌊b/4⌋,
-  * emit the sign vector — bit-identical to the exploded
-  * `DedupOps.simHash64` aggregate and to the DuckDB oracle's digit
-  * arithmetic, but computed in ONE row-local pass. */
+/** JVM kernel for SimHash over the distinct whitespace-token set, in ONE
+  * row-local pass — bit-identical to the exploded aggregates and to the
+  * DuckDB oracles' hex-digit arithmetic.
+  *  - 64-bit: bit b votes by bit (b mod 4) of hex digit ⌊b/4⌋ of
+  *    md5(token) (DedupOps.simHash64's layout);
+  *  - 16-bit: bit b votes by the TOP bit of hex digit b (the oracle's
+  *    `substr(h, b+1, 1) >= '8'` test, DedupOps.simHash16's layout). */
 object SimHashKernel {
-  def simhash64(text: UTF8String): Long = {
-    val votes = new Array[Int](64)
+  def simhash(text: UTF8String, bits: Int): Long = {
+    val votes = new Array[Int](bits)
     val seen = new java.util.HashSet[String]()
     val md = java.security.MessageDigest.getInstance("MD5")
     val it = text.toString.split(' ')
@@ -24,12 +26,13 @@ object SimHashKernel {
         md.reset()
         val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var b = 0
-        while (b < 64) {
-          // hex digit b/4 = high nibble of byte (b/4)/2 when (b/4) even
-          val digitIdx = b >> 2
+        while (b < bits) {
+          val digitIdx = if (bits == 64) b >> 2 else b
+          // hex digit d = high nibble of byte d/2 when d even, else low
           val byte0 = d(digitIdx >> 1) & 0xFF
           val digit = if ((digitIdx & 1) == 0) byte0 >> 4 else byte0 & 0xF
-          votes(b) += (if (((digit >> (b & 3)) & 1) == 1) 1 else -1)
+          val bit = if (bits == 64) (digit >> (b & 3)) & 1 else digit >> 3
+          votes(b) += (if (bit == 1) 1 else -1)
           b += 1
         }
       }
@@ -37,12 +40,14 @@ object SimHashKernel {
     }
     var h = 0L
     var b = 0
-    while (b < 64) {
+    while (b < bits) {
       if (votes(b) > 0) h |= (1L << b)
       b += 1
     }
     h
   }
+
+  def simhash64(text: UTF8String): Long = simhash(text, 64)
 }
 
 /** JVM kernel for word-shingle feature hashing: whitespace-tokenize,
@@ -116,31 +121,36 @@ case class WordShingleHashes(child: Expression, n: Int) extends UnaryExpression 
   * (preference order (b) of the build brief). The exploded composition
   * costs a Generate + a 64-buffer hash aggregate + one shuffle per call
   * site; this is a projection. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression, bits: Int = 64) extends UnaryExpression {
+  require(bits == 16 || bits == 64, "supported widths: 16, 64")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"simhash64 requires a string column, got ${other.simpleString}")
+      s"simhash requires a string column, got ${other.simpleString}")
   }
 
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = s"simhash$bits"
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHashKernel.simhash64(input.asInstanceOf[UTF8String])
+    SimHashKernel.simhash(input.asInstanceOf[UTF8String], bits)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHashKernel.simhash64($c)")
+      s"graft.functions.SimHashKernel.simhash($c, $bits)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
 
 object SimHashExpr {
-  /** Column API: row-local 64-bit SimHash of whitespace-tokenized text. */
+  /** Column API: row-local SimHash of whitespace-tokenized text. */
   def simhash64(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftbridge.ColumnBridge.column(SimHash64Expr(
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 64))
+
+  def simhash16(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(SimHash64Expr(
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), 16))
 }

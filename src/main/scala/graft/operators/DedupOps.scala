@@ -505,21 +505,12 @@ object DedupOps {
       graft.functions.SimHashExpr.simhash64(textCol).as("simhash"))
 
   /** 16-bit SimHash over the distinct token set: bit b votes +1/-1 by the
-    * b-th hex digit of md5(token); bit set iff the vote sum is positive.
-    * 16 bits keeps the oracle SQL finite while exercising the real
-    * structure; widen by swapping the digit source for more md5 hexes. */
-  def simHash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val exploded = docs.select(idCol.as("doc_id"),
-        explode(TextFunctions.distinctTokens(textCol)).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitSums = (0 until 16).map { b =>
-      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
-    }
-    exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 16).map(b =>
-          when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
+    * top bit of hex digit b of md5(token); bit set iff the vote sum is
+    * positive. 16 bits keeps the oracle SQL finite while exercising the
+    * real structure (`simHash64` is the production width). Same
+    * row-local kernel as simHash64 — one projection, no explode, no
+    * 16-column aggregate. */
+  def simHash16(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(idCol.as("doc_id"),
+      graft.functions.SimHashExpr.simhash16(textCol).as("simhash"))
 }
