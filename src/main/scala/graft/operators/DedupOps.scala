@@ -414,19 +414,36 @@ object DedupOps {
     * unconverged labeling would be WRONG (two docs of one cluster left
     * with different labels), never just slow. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val session = pairs.sparkSession
     // materialize the edge relation ONCE before looping: `sym` is joined in
     // every round, and without this the upstream pair-mining pipeline
     // (often a full LSH run) re-executes per round — measured 3× the total
     // runtime on the gate query. Eager localCheckpoint, same rationale as
     // the per-round label checkpoint below.
+    val symRaw = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // ADAPTIVE loop parallelism: every round's relations are ≤ |E| rows,
+    // and AQE cannot re-plan an iterative driver loop — on a small graph,
+    // the configured shuffle-partition count (sized for the CORPUS) turns
+    // each of the ~2·rounds tiny stages into pure task-launch overhead
+    // (the gate graph's loop: 1.4 s at 32 partitions → 0.7 s sized to
+    // its 256 edges). Size the loop to the edge
+    // count (≥ 50 k edges/partition), capped at the session setting so a
+    // genuinely large graph keeps its full parallelism.
+    val confParts = session.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(1,
+      math.min(confParts, math.ceil(symRaw.count() / 50000.0).toInt))
+    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
+    session.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
     // hash-partition the edges by the per-round join key BEFORE the
     // checkpoint: Dataset.localCheckpoint preserves outputPartitioning,
     // so every round's sym⋈labels reuses it and only the (smaller) label
     // relation moves — the edge relation is shuffled once, not per round
-    val sym = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct()
-      .repartition(col("src"))
+    val sym = symRaw
+      .repartition(loopParts, col("src"))
       .localCheckpoint()
     // seed = min(own, min neighbor) — round 1 fused into the node-listing
     // aggregate (same shuffle the plain distinct would cost, one fewer
@@ -459,6 +476,7 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Benchmark decontamination: per train doc, the number of DISTINCT
