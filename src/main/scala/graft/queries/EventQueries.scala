@@ -184,6 +184,35 @@ object EventQueries {
         sum(col("p.k")).as("sum_k"))
   }
 
+  /** Spark 4 VARIANT — the modern semi-structured path the reference's
+    * ad-hoc JSON parsing (UniqueUsersApp.java:206–216) maps onto when the
+    * schema is open-ended: `try_parse_json` decodes each props payload
+    * ONCE into the binary variant encoding (malformed → null, the same
+    * total-function reject stance as the rest of the JSON surface), and
+    * typed `variant_get` paths extract without re-parsing. Oracle:
+    * DuckDB json_extract over the raw strings. */
+  private val variantExtract: Q = (s, dir) => {
+    val v = try_parse_json(col("props"))
+    Tables.events(s, dir)
+      .select(col("event_type"), variant_get(v, "$.k", "long").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+  }
+
+  private val variantExtractSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_with_k,
+      |       CAST(sum(k) AS BIGINT) AS sum_k,
+      |       CAST(min(k) AS BIGINT) AS min_k,
+      |       CAST(max(k) AS BIGINT) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k IS NOT NULL GROUP BY 1""".stripMargin
+
   /** `Dataset.observe` — the engine-native form of the reference's peek
     * logging (UniqueUsersApp.java:124, :225–227), made ORACLE-CHECKED:
     * observation metrics ride the existing pass as accumulator-style
@@ -466,6 +495,7 @@ object EventQueries {
     "typed_event_stats"       -> typedEventStats,
     "cogroup_user_funnel"     -> cogroupUserFunnel,
     "observe_metrics"         -> observeMetrics,
+    "variant_extract"         -> variantExtract,
     "conditional_agg"         -> conditionalAgg,
     "inter_event_gaps"        -> interEventGaps,
     "top_user_per_minute"     -> topUserPerMinute,
@@ -488,6 +518,7 @@ object EventQueries {
     "typed_event_stats"       -> typedEventStatsSql,
     "cogroup_user_funnel"     -> cogroupUserFunnelSql,
     "observe_metrics"         -> observeMetricsSql,
+    "variant_extract"         -> variantExtractSql,
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
