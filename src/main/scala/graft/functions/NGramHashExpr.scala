@@ -137,7 +137,7 @@ case class CdcCutPositions(child: Expression, n: Int, b: Long, p: Long, m: Long)
       s"""
          |int[] $cps = $c.toString().codePoints().toArray();
          |int $last = $cps.length - $n;
-         |int[] $cuts = new int[$last > 0 ? $last + 1 : 0];
+         |int[] $cuts = new int[$last >= 0 ? $last + 1 : 0];
          |int $nCuts = 0;
          |for (int $i = 0; $i <= $last; $i++) {
          |  long $h = 0L;
@@ -180,11 +180,23 @@ case class MinHashBandKeys(child: Expression, as: Seq[Long], bs: Seq[Long],
   require(as.length % bands == 0, "bands must divide the permutation count")
   require(foldB <= (1L << 20) && foldP <= (1L << 30) && p <= (1L << 30),
     "fold/permutation moduli out of the overflow-safe range")
+  // The overflow argument above (a·h + b < 2⁶¹) needs EVERY multiplier in
+  // (0, 2²⁰] and offset in [0, p) — not just the moduli. Callers must also
+  // feed hashes < 2⁴⁰ (the CharNGramHashes/WordShingleHashes contract,
+  // whose outputs are < p ≤ 2³⁰); a raw 63-bit hash would silently
+  // overflow the product, so the domain is part of this expression's API.
+  require(as.forall(a => a > 0 && a <= (1L << 20)),
+    "every permutation multiplier a_i must be in (0, 2^20]")
+  require(bs.forall(b => b >= 0 && b < p),
+    "every permutation offset b_i must be in [0, p)")
 
   private def rowsPerBand: Int = as.length / bands
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      "minhash_band_keys requires array<long> with containsNull=false " +
+        "(toLongArray cannot represent null elements)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_band_keys requires array<long>, got ${other.simpleString}")
   }

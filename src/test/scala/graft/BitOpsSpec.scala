@@ -109,6 +109,59 @@ class BitOpsSpec extends SparkSpec {
     assert(ref("alpha beta gamma") == ref("gamma  beta alpha alpha"))
   }
 
+  test("cdcCutPositions codegen handles a doc of exactly n code points") {
+    import graft.functions.TextFunctions.{cdcCutPositions, NGramHashB, NGramHashP}
+    // m=1 makes EVERY window a cut, so a text of exactly n code points
+    // (one window, last == 0) must yield [n]. The codegen path used to
+    // allocate a zero-length cuts buffer for last == 0 and throw
+    // ArrayIndexOutOfBoundsException where the interpreted path succeeded.
+    val n = 8
+    val texts = Seq("abcdefgh", "abcdefg", "abcdefghi", "")
+    val got = texts.toDF("t")
+      .select(cdcCutPositions($"t", n, 1L).as("cuts"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got == Seq(Seq(8), Seq(), Seq(8, 9), Seq()))
+    // interpreted eval agrees with codegen on the boundary case
+    val interp = texts.map { t =>
+      graft.functions.CdcCutPositions(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t)),
+        n, NGramHashB, NGramHashP, 1L)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+    }
+    assert(got == interp)
+  }
+
+  test("minhash_band_keys rejects out-of-range permutation params and nullable arrays") {
+    import graft.functions.TextFunctions.{NGramHashB, NGramHashP}
+    val p = 1000000007L
+    // multiplier above 2^20 breaks the overflow-safety argument → reject
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)),
+        Seq((1L << 20) + 1), Seq(0L), p, 1, NGramHashB, NGramHashP)
+    }
+    // offset outside [0, p) → reject
+    intercept[IllegalArgumentException] {
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array(1L, 2L), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false)),
+        Seq(3L), Seq(p), p, 1, NGramHashB, NGramHashP)
+    }
+    // array<long> with containsNull=true fails analysis (toLongArray
+    // cannot represent null elements)
+    val nullable = Seq(Seq[java.lang.Long](1L, null)).toDF("hs")
+    val expr = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinHashBandKeys(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"hs"),
+        Seq(3L), Seq(5L), p, 1, NGramHashB, NGramHashP))
+    intercept[Exception] { nullable.select(expr).collect() }
+  }
+
   test("salted aggregation is bit-identical to the plain aggregate") {
     val ev = graft.sources.Tables.events(spark, sf001)
     val salted = SkewOps.saltedCountSum(ev, $"event_type", $"value", $"event_id", 16)
