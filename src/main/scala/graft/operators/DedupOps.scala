@@ -211,7 +211,12 @@ object DedupOps {
       set.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else set
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
-    jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
+    val out = jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
+    // when the set WAS pinned, materialize the pair result and release
+    // the pin before returning — no operator leaves a cache behind on a
+    // shared long-lived session
+    if (persistSet) { try out.localCheckpoint() finally sh.unpersist() }
+    else out
   }
 
   /** Per-doc hashed word-n-gram shingle arrays (doc_id, hs: array<long>)
@@ -286,7 +291,13 @@ object DedupOps {
     // to a shuffle semi-join instead of OOMing a forced broadcast
     val docSets = hashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
       .join(candDocs, Seq("doc_id"), "leftsemi")
-    jaccardOverPairsArrays(cand, docSets).filter(col("jaccard") >= threshold)
+    val pairs = jaccardOverPairsArrays(cand, docSets)
+      .filter(col("jaccard") >= threshold)
+    // materialize the verified pairs eagerly, then RELEASE the candidate
+    // pin — otherwise every invocation on a shared session leaks a
+    // MEMORY_AND_DISK cache for the session's lifetime
+    try pairs.localCheckpoint()
+    finally cand.unpersist()
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, via
@@ -357,13 +368,20 @@ object DedupOps {
     val earlierBandAlsoMatches = (0 until bands - 1).map(j =>
         col("band") > j && bv(col("h1"), j) === bv(col("h2"), j))
       .reduceOption(_ || _).getOrElse(lit(false))
-    a.join(b, Seq("band", "bv"))
+    val pairs = a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
       .filter(!earlierBandAlsoMatches)
       .select(col("d1"), col("d2"),
         graft.functions.BitOps.hamming64(col("h1"), col("h2"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
+    // materialize the (candidate-bounded, tiny) pair result eagerly so
+    // the hash-relation pin can be RELEASED before returning — a
+    // long-lived shared session must not accumulate this operator's
+    // caches for its lifetime (on a real cluster swap in reliable
+    // `checkpoint`, as elsewhere)
+    try pairs.localCheckpoint()
+    finally shP.unpersist()
   }
 
   /** 64-bit SimHash near-pairs at Hamming ≤ `maxDist` — the production
@@ -435,19 +453,22 @@ object DedupOps {
     val confParts = session.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1,
       math.min(confParts, math.ceil(symRaw.count() / 50000.0).toInt))
-    val prevParts = session.conf.get("spark.sql.shuffle.partitions")
-    session.conf.set("spark.sql.shuffle.partitions", loopParts)
-    try {
     // hash-partition the edges by the per-round join key BEFORE the
     // checkpoint: Dataset.localCheckpoint preserves outputPartitioning,
     // so every round's sym⋈labels reuses it and only the (smaller) label
     // relation moves — the edge relation is shuffled once, not per round
+    // Loop parallelism is applied OPERATOR-LOCALLY via explicit
+    // repartition(loopParts, key) on every per-round shuffle input —
+    // never by mutating spark.sql.shuffle.partitions, which would leak
+    // the loop's (tiny) partition count into any query another thread
+    // plans on the shared session while the loop runs.
     val sym = symRaw
       .repartition(loopParts, col("src"))
       .localCheckpoint()
     // seed = min(own, min neighbor) — round 1 fused into the node-listing
-    // aggregate (same shuffle the plain distinct would cost, one fewer
-    // push round overall; a clique converges at the seed itself)
+    // aggregate (sym is already hash(src, loopParts), so this aggregate
+    // reuses that partitioning: no exchange, no session-conf dependence;
+    // a clique converges at the seed itself)
     var labels = sym.groupBy(col("src"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id"))
       .select(col("src").as("node"), col("cluster_id"))
@@ -464,7 +485,11 @@ object DedupOps {
     while (!converged && round < maxIter) {
       val pushed = sym.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("cluster_id"))
+      // the explicit repartition pins this round's aggregate to
+      // loopParts (the union discards child partitioning, and the
+      // implicit exchange would otherwise be sized by the session conf)
       val next = labels.union(pushed)
+        .repartition(loopParts, col("node"))
         .groupBy(col("node")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
       val s = labelSum(next)
@@ -476,7 +501,6 @@ object DedupOps {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds")
     labels
-    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Benchmark decontamination: per train doc, the number of DISTINCT

@@ -205,6 +205,45 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents leaves a concurrent query's session conf and plans untouched") {
+    // regression: the loop used to mutate spark.sql.shuffle.partitions
+    // session-wide for its duration, so any query another thread planned
+    // on the SHARED session silently ran at the loop's (tiny) partition
+    // count. The loop must now size itself operator-locally only.
+    val confBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    // a 25-node path has diameter 24 → ~24 propagation rounds, keeping
+    // the loop alive long enough for the concurrent probes to overlap it
+    val path = (1L until 25L).map(i => (i, i + 1)).toDF("d1", "d2")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cc = Future(DedupOps.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    var probes = 0
+    while (!cc.isCompleted) {
+      // the shared-session invariant: the loop never changes the conf...
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore,
+        "connectedComponents mutated the session's shuffle-partition conf")
+      // ...and a query planned RIGHT NOW still shuffles at the session
+      // setting (exchange partition count read from the executed plan,
+      // pre-AQE-coalesce: "Exchange hashpartitioning(x#N, <parts>)")
+      val probe = Seq(1, 2, 3, 2).toDF("x").groupBy($"x").count()
+      assert(probe.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        == Map(1 -> 1L, 2 -> 2L, 3 -> 1L))
+      val planned = "hashpartitioning\\(x#\\d+, (\\d+)\\)".r
+        .findAllMatchIn(probe.queryExecution.executedPlan.toString())
+        .map(_.group(1)).toSeq
+      assert(planned.nonEmpty && planned.forall(_ == confBefore),
+        s"concurrent query shuffled at $planned instead of $confBefore")
+      probes += 1
+      Thread.sleep(20)
+    }
+    val labels = Await.result(cc, 1.minute)
+    assert(labels.values.toSet == Set(1L), s"path must be one cluster: $labels")
+    assert(probes > 0, "loop finished before any concurrent probe ran")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
+  }
+
   test("dedup_clusters groups the planted lsh pairs consistently") {
     val rows = Queries.all("dedup_clusters")(spark, sf001).collect()
     assert(rows.nonEmpty)
