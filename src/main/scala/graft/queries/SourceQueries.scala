@@ -83,6 +83,44 @@ object SourceQueries {
       |       'avro' AS fmt
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Complex-typed Avro round-trip: array<double>, a timestamp-micros
+    * logical-type column, and a nested record, written and read back
+    * through AvroIO's recursive converters. Built from the embeddings
+    * table (vec_id, embedding: array<float>, label) with a
+    * deterministically derived timestamp, so the DuckDB oracle can
+    * recompute the post-roundtrip aggregate parquet-direct:
+    *  - `e1_scaled_sum` pins element values exactly (first element
+    *    scaled to an integer — float→double widening is IEEE-exact and
+    *    identical in both engines, no float-sum ordering drift);
+    *  - `total_dims` pins array lengths through the nested record path
+    *    (meta.n travels as a record field);
+    *  - `max_ts` pins the micros logical type end-to-end. */
+  private val avroComplexRoundtrip: Q = (s, dir) => {
+    val avroDir = s"${scratchPath("fmt", dir)}/avro_complex"
+    val base = Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"),
+      timestamp_micros(col("vec_id") * lit(1000000L)).as("ts"),
+      struct(col("label").cast("long").as("a"),
+        size(col("embedding")).as("n")).as("meta"))
+    graft.sources.AvroIO.write(base, avroDir)
+    val back = graft.sources.AvroIO.read(s, avroDir, base.schema)
+    back.groupBy((col("vec_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(element_at(col("emb"), 1) * 1e6).cast("long")).as("e1_scaled_sum"),
+        max(col("ts")).as("max_ts"),
+        sum(col("meta.n").cast("long")).as("total_dims"),
+        sum(col("meta.a")).as("label_sum"))
+  }
+
+  private val avroComplexRoundtripSql =
+    """SELECT vec_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT) AS e1_scaled_sum,
+      |       make_timestamp(max(vec_id) * 1000000) AS max_ts,
+      |       CAST(sum(len(embedding)) AS BIGINT) AS total_dims,
+      |       CAST(sum(label) AS BIGINT) AS label_sum
+      |FROM embeddings GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned layout: write orders partitioned by
     * o_orderstatus (one directory per value — the physical layout that
     * lets a reader skip whole partitions), read it back filtered to one
@@ -111,10 +149,12 @@ object SourceQueries {
   val all: Map[String, Q] = Map(
     "format_roundtrip" -> formatRoundtrip,
     "avro_roundtrip" -> avroRoundtrip,
+    "avro_complex_roundtrip" -> avroComplexRoundtrip,
     "partitioned_roundtrip" -> partitionedRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "format_roundtrip" -> formatRoundtripSql,
     "avro_roundtrip" -> avroRoundtripSql,
+    "avro_complex_roundtrip" -> avroComplexRoundtripSql,
     "partitioned_roundtrip" -> partitionedRoundtripSql)
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.avro.Schema
+import org.apache.avro.{LogicalTypes, Schema}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
@@ -10,8 +10,8 @@ import org.apache.spark.sql.types._
 
 import scala.jdk.CollectionConverters._
 
-/** Minimal Avro source/sink on the PUBLIC avro-core + Hadoop FS APIs —
-  * the container ships `avro-1.12.1` but not the `spark-avro` datasource
+/** Avro source/sink on the PUBLIC avro-core + Hadoop FS APIs — the
+  * container ships `avro-1.12.1` but not the `spark-avro` datasource
   * module, so the write→read path is built directly: the reference
   * declares (dead) Avro serdes in its pom (pom.xml:79–93), and this
   * closes that last named format without smuggling in a dependency.
@@ -24,34 +24,121 @@ import scala.jdk.CollectionConverters._
   *  - `read` parallelizes the part-file listing and each task streams
   *    its files through `DataFileStream` — schema-on-read against an
   *    explicit StructType (no inference pass), so the scan is one
-  *    distributed map over files.
+  *    distributed map over files. Fields resolve BY NAME against each
+  *    file's writer schema (never by position — a schema evolution that
+  *    reorders columns must not silently transpose values), and the
+  *    stream is closed by a task-completion listener even when the
+  *    consumer stops early (limit/take).
   *
-  * Type surface: the scalar subset the engine's gates exchange (long,
-  * int, double, float, boolean, string), nullable via avro unions —
-  * extend the two converters to grow it. Not supported: nested records,
-  * arrays, maps, logical types.
+  * Type surface: scalars (long, int, double, float, boolean, string,
+  * binary), timestamps (Avro `timestamp-micros` logical type — Spark's
+  * native micros precision), arrays, nested records, and string-keyed
+  * maps, all nullable via [null, T] unions mirroring Spark's universal
+  * nullability. Not supported (throws at schema build): decimal,
+  * calendar-interval, and non-string map keys.
   */
 object AvroIO {
 
-  /** Avro record schema for a (scalar) StructType; every field is a
-    * [null, T] union mirroring Spark's universal nullability. */
-  def avroSchemaFor(schema: StructType, recordName: String): Schema = {
-    def prim(dt: DataType): Schema.Type = dt match {
-      case LongType    => Schema.Type.LONG
-      case IntegerType => Schema.Type.INT
-      case DoubleType  => Schema.Type.DOUBLE
-      case FloatType   => Schema.Type.FLOAT
-      case BooleanType => Schema.Type.BOOLEAN
-      case StringType  => Schema.Type.STRING
-      case other => throw new IllegalArgumentException(
-        s"AvroIO supports scalar columns only, got ${other.simpleString}")
-    }
+  /** Avro schema for a Spark DataType. Nested record types need unique
+    * Avro names — derived from the enclosing field path. */
+  private def avroTypeFor(dt: DataType, path: String): Schema = dt match {
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(et, containsNull) =>
+      val elem = avroTypeFor(et, s"${path}_item")
+      Schema.createArray(if (containsNull) nullable(elem) else elem)
+    case st: StructType => recordFor(st, path)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = avroTypeFor(vt, s"${path}_value")
+      Schema.createMap(if (valueContainsNull) nullable(v) else v)
+    case other => throw new IllegalArgumentException(
+      s"AvroIO cannot encode ${other.simpleString} (field path: $path)")
+  }
+
+  private def nullable(s: Schema): Schema =
+    Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
+
+  private def recordFor(schema: StructType, recordName: String): Schema = {
     val fields = schema.fields.map { f =>
-      val u = Schema.createUnion(
-        List(Schema.create(Schema.Type.NULL), Schema.create(prim(f.dataType))).asJava)
-      new Schema.Field(f.name, u, null, Schema.Field.NULL_DEFAULT_VALUE)
+      new Schema.Field(f.name, nullable(avroTypeFor(f.dataType, s"${recordName}_${f.name}")),
+        null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(recordName, null, "graft.avro", false, fields.toList.asJava)
+  }
+
+  /** Avro record schema for a StructType; every field is a [null, T]
+    * union mirroring Spark's universal nullability. */
+  def avroSchemaFor(schema: StructType, recordName: String): Schema =
+    recordFor(schema, recordName)
+
+  /** Non-null union branch of a field schema (fields are [null, T]). */
+  private def branch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** Spark external value → Avro datum, recursively. `target` is the
+    * (possibly union) Avro schema of the destination field. */
+  private def toAvro(v: Any, dt: DataType, target: Schema): Any = (v, dt) match {
+    case (null, _) => null
+    case (ts: java.sql.Timestamp, TimestampType) =>
+      // epoch micros; getTime's millis already include nanos/10⁶, so
+      // rebuild from (floorDiv seconds, nanos) to stay exact pre-1970
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    case (i: java.time.Instant, TimestampType) =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      val elemSchema = branch(branch(target).getElementType)
+      seq.map(toAvro(_, et, elemSchema)).asJava
+    case (row: Row, st: StructType) =>
+      val recSchema = branch(target)
+      val rec = new GenericData.Record(recSchema)
+      var i = 0
+      while (i < st.length) {
+        rec.put(st.fields(i).name,
+          toAvro(row.get(i), st.fields(i).dataType,
+            recSchema.getField(st.fields(i).name).schema()))
+        i += 1
+      }
+      rec
+    case (m: scala.collection.Map[_, _], MapType(StringType, vt, _)) =>
+      val valSchema = branch(branch(target).getValueType)
+      m.map { case (k, mv) => k.toString -> toAvro(mv, vt, valSchema) }.asJava
+    case (other, _) => other // scalar types map 1:1
+  }
+
+  /** Avro datum → Spark external value, recursively. Record fields
+    * resolve BY NAME against the datum's own (writer) schema. */
+  private def fromAvro(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (s, StringType) => s.toString // Utf8 → String
+    case (micros: java.lang.Long, TimestampType) =>
+      val m = micros.longValue()
+      val ts = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      ts
+    case (bb: java.nio.ByteBuffer, BinaryType) =>
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+    case (l: java.util.Collection[_], ArrayType(et, _)) =>
+      l.asScala.toSeq.map(fromAvro(_, et))
+    case (rec: GenericRecord, st: StructType) =>
+      Row.fromSeq(st.fields.toSeq.map { f =>
+        val wf = rec.getSchema.getField(f.name)
+        require(wf != null,
+          s"Avro record is missing field '${f.name}' (writer schema: ${rec.getSchema.getFields.asScala.map(_.name).mkString(", ")})")
+        fromAvro(rec.get(wf.pos()), f.dataType)
+      })
+    case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      m.asScala.map { case (k, mv) => k.toString -> fromAvro(mv, vt) }.toMap
+    case (other, _) => other
   }
 
   /** Write `df` as sharded Avro part files under `path` (overwrite). */
@@ -70,11 +157,16 @@ object AvroIO {
         val os = out.getFileSystem(new Configuration()).create(out, true)
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
         w.create(avroSchema, os)
+        // self-authored schema: field i of the record IS spark field i,
+        // so the row loop is positional; schemas hoisted out of the loop
+        val fieldSchemas = sparkSchema.fields.map(f =>
+          avroSchema.getField(f.name).schema())
         try rows.foreach { row =>
           val rec = new GenericData.Record(avroSchema)
           var i = 0
           while (i < sparkSchema.length) {
-            rec.put(i, row.get(i)) // scalar types map 1:1; null passes through
+            rec.put(i,
+              toAvro(row.get(i), sparkSchema.fields(i).dataType, fieldSchemas(i)))
             i += 1
           }
           w.append(rec)
@@ -83,7 +175,10 @@ object AvroIO {
     }
   }
 
-  /** Read Avro part files under `path` against an explicit schema. */
+  /** Read Avro part files under `path` against an explicit schema.
+    * Requested fields are resolved by NAME against each file's writer
+    * schema (missing field → loud error, never positional transposition);
+    * extra writer fields are ignored (projection). */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
@@ -94,27 +189,36 @@ object AvroIO {
       spark.sparkContext.defaultParallelism))
     val fileDs = spark.createDataset(files)(Encoders.STRING)
       .repartition(parallelism)
-    val fieldTypes = schema.fields.map(_.dataType)
+    val fields = schema.fields
     val rows = fileDs.flatMap { file =>
       val p = new Path(file)
       val in = p.getFileSystem(new Configuration()).open(p)
       val reader = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
-      // iterator is consumed lazily per task; wrap to close at exhaustion
+      var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+      // a limit/take may abandon the iterator before exhaustion — the
+      // completion listener closes the HDFS stream either way
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
+      // resolve each requested field ONCE per file against the writer
+      // schema — by name, failing loudly on a missing column
+      val writerSchema = reader.getSchema
+      val positions = fields.map { f =>
+        val wf = writerSchema.getField(f.name)
+        require(wf != null,
+          s"$file has no field '${f.name}' (writer schema: ${writerSchema.getFields.asScala.map(_.name).mkString(", ")})")
+        wf.pos()
+      }
       new Iterator[Row] {
-        private var closed = false
         def hasNext: Boolean = {
           val h = !closed && reader.hasNext
-          if (!h && !closed) { reader.close(); closed = true }
+          if (!h) closeOnce()
           h
         }
         def next(): Row = {
           val rec = reader.next()
-          Row.fromSeq(fieldTypes.indices.map { i =>
-            (rec.get(i), fieldTypes(i)) match {
-              case (null, _) => null
-              case (v, StringType) => v.toString // Utf8 → String
-              case (v, _) => v
-            }
+          Row.fromSeq(fields.indices.map { i =>
+            fromAvro(rec.get(positions(i)), fields(i).dataType)
           })
         }
       }
