@@ -184,7 +184,18 @@ object StreamingQueries {
         .format("memory").queryName(sink)
         .outputMode("update")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // the changelog-shape oracle below derives n_emissions from the
+        // two parity classes arriving as exactly two data micro-batches
+        // (maxFilesPerTrigger=1 + mtime ordering). If a FileStreamSource
+        // batching change ever merges or splits them, fail HERE, loudly,
+        // instead of hash-mismatching obscurely at the driver compare.
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 2,
+          s"changelog-shape oracle assumes exactly 2 data micro-batches " +
+            s"(one per parity class), but the source delivered $dataBatches")
+      } finally q.stop()
     }
     s.table(sink)
       .groupBy(col("window_start"))
@@ -509,7 +520,58 @@ object StreamingQueries {
       |         || '}' AS value
       |FROM events GROUP BY date_trunc('minute', ts)""".stripMargin
 
+  /** `dropDuplicatesWithinWatermark` gated end-to-end — the canonical
+    * Spark translation of the reference's dedup store (SURVEY §2.1 #7:
+    * DeduplicateValueTransformer keeps a key in a windowed store and
+    * drops re-deliveries while it lives). Harness: the full event set
+    * arrives as micro-batch 1, then every third event is RE-DELIVERED in
+    * a later micro-batch (at-least-once source semantics, forced by file
+    * mtimes + maxFilesPerTrigger=1). The re-deliveries land within the
+    * watermark (2-day delay ≫ the data's time span), so the operator
+    * must drop every one of them: the appended output equals the batch
+    * per-minute aggregate of the ORIGINAL set — event counts prove no
+    * duplicate survived, distinct-user counts prove no original was lost
+    * (event_id is unique in the source, making the oracle exact). */
+  private val streamingDedupWithinWatermark: Q = (s, dir) => {
+    import java.nio.file.Paths
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Paths.get(scratchPath("streaming_ddww", dir))
+    freshDir(tmp)
+    val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+    val now = System.currentTimeMillis()
+    writeOneFile(events, tmp, "batch1_all.parquet", now - 120000L)
+    writeOneFile(events.filter(col("event_id") % 3 === 0), tmp,
+      "batch2_redelivered.parquet", now)
+    val deduped = s.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$tmp/*.parquet")
+      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        col("event_id"), col("user_id"))
+      .withWatermark("eventTime", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val sink = s"streaming_ddww_${runSeq.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = deduped.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink)
+      .groupBy(unix_timestamp(date_trunc("minute", col("eventTime"))).as("minute"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"))
+  }
+
+  private val streamingDedupWithinWatermarkSql =
+    """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS minute,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
     "streaming_unique_users" -> streamingUniqueUsers,
     "streaming_unique_users_append" -> streamingUniqueUsersAppend,
     "streaming_update_changelog" -> streamingUpdateChangelog,
@@ -521,6 +583,7 @@ object StreamingQueries {
     "state_store_dump" -> stateStoreDump)
 
   val oracles: Map[String, String] = Map(
+    "streaming_dedup_within_watermark" -> streamingDedupWithinWatermarkSql,
     "streaming_unique_users" -> streamingUniqueUsersSql,
     "streaming_unique_users_append" -> streamingUniqueUsersSql,
     "streaming_update_changelog" -> streamingUpdateChangelogSql,
