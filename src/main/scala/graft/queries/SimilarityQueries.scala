@@ -136,12 +136,15 @@ object SimilarityQueries {
       .select(col("qid"),
         coalesce(col("h1"), lit(0L)).as("hits_probe1"),
         coalesce(col("h2"), lit(0L)).as("hits_probe2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    // corpus-average recall bound via a broadcast single-row aggregate —
+    // the codebase's convention for global stats (TextQueries's idf),
+    // NOT a single-partition global window, which at scale funnels the
+    // whole relation through one task
+    val avgHits = perQuery.agg(avg(col("hits_probe2")).as("avg_h2"))
     perQuery
+      .crossJoin(broadcast(avgHits))
       .withColumn("monotone_ok", col("hits_probe2") >= col("hits_probe1"))
-      .withColumn("avg_recall_ok",
-        (avg(col("hits_probe2")).over(w) / KBrute) >= AvgRecallBound)
+      .withColumn("avg_recall_ok", (col("avg_h2") / KBrute) >= AvgRecallBound)
       .select(col("qid"), col("hits_probe1"), col("hits_probe2"),
         col("monotone_ok"), col("avg_recall_ok"))
   }
