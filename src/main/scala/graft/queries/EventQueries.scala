@@ -213,6 +213,54 @@ object EventQueries {
       |      FROM events)
       |WHERE k IS NOT NULL GROUP BY 1""".stripMargin
 
+  /** VARIANT depth: nested-object and array-element paths plus schema
+    * inference — the open-schema surface a real semi-structured column
+    * needs beyond top-level field access. The corpus's props are flat,
+    * so the nested document is BUILT deterministically from typed
+    * columns (`{"a":[{"b":⟨uid+10¹²⟩},{"b":⟨eid+10¹²⟩}],"t":"⟨type⟩"}`)
+    * and both engines parse the same strings: Spark through one
+    * `try_parse_json` + typed `variant_get` array/nested paths, DuckDB
+    * through `json_extract` with the same `$.a[i].b` paths. The +10¹²
+    * offset pins `schema_of_variant`'s integer-width inference to BIGINT
+    * on every row, so the inferred-schema sanity columns are exact:
+    * every row must infer `OBJECT<a: ARRAY<OBJECT<b: BIGINT>>, t:
+    * STRING>` (one distinct schema corpus-wide, value hard-pinned in the
+    * oracle). */
+  private val variantNestedExtract: Q = (s, dir) => {
+    val big = 1000000000000L
+    val j = format_string("""{"a":[{"b":%d},{"b":%d}],"t":"%s"}""",
+      col("user_id") + lit(big), col("event_id") + lit(big), col("event_type"))
+    val v = try_parse_json(j)
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        variant_get(v, "$.a[0].b", "long").as("b0"),
+        variant_get(v, "$.a[1].b", "long").as("b1"),
+        variant_get(v, "$.t", "string").as("t"),
+        schema_of_variant(v).as("vschema"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("b0")).as("sum_b0"),
+        sum(col("b1")).as("sum_b1"),
+        count(when(col("t") === col("event_type"), 1)).as("n_t_match"),
+        count_distinct(col("vschema")).as("n_schemas"),
+        max(col("vschema")).as("vschema"))
+  }
+
+  private val variantNestedExtractSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(json_extract(j, '$.a[0].b') AS BIGINT)) AS BIGINT) AS sum_b0,
+      |       CAST(sum(CAST(json_extract(j, '$.a[1].b') AS BIGINT)) AS BIGINT) AS sum_b1,
+      |       CAST(count(CASE WHEN json_extract_string(j, '$.t') = event_type
+      |                       THEN 1 END) AS BIGINT) AS n_t_match,
+      |       CAST(1 AS BIGINT) AS n_schemas,
+      |       'OBJECT<a: ARRAY<OBJECT<b: BIGINT>>, t: STRING>' AS vschema
+      |FROM (SELECT event_type,
+      |             '{"a":[{"b":' || (user_id + 1000000000000)
+      |               || '},{"b":' || (event_id + 1000000000000)
+      |               || '}],"t":"' || event_type || '"}' AS j
+      |      FROM events)
+      |GROUP BY 1""".stripMargin
+
   /** `Dataset.observe` — the engine-native form of the reference's peek
     * logging (UniqueUsersApp.java:124, :225–227), made ORACLE-CHECKED:
     * observation metrics ride the existing pass as accumulator-style
@@ -496,6 +544,7 @@ object EventQueries {
     "cogroup_user_funnel"     -> cogroupUserFunnel,
     "observe_metrics"         -> observeMetrics,
     "variant_extract"         -> variantExtract,
+    "variant_nested_extract"  -> variantNestedExtract,
     "conditional_agg"         -> conditionalAgg,
     "inter_event_gaps"        -> interEventGaps,
     "top_user_per_minute"     -> topUserPerMinute,
@@ -519,6 +568,7 @@ object EventQueries {
     "cogroup_user_funnel"     -> cogroupUserFunnelSql,
     "observe_metrics"         -> observeMetricsSql,
     "variant_extract"         -> variantExtractSql,
+    "variant_nested_extract"  -> variantNestedExtractSql,
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
