@@ -58,6 +58,26 @@ object Multimodal {
         height = 16 + ((checksum / 64) % 64).toInt,
         frames = if (tpe == "video") 1 + (bytes.length % 30) else 1)
     }
+
+    /** Second, independent decoder: byte-HISTOGRAM features (distinct
+      * byte count, modal frequency, smallest byte present) instead of
+      * the byte-sum family — different feature semantics through the
+      * IDENTICAL chain, proving `featurize` and the pipeline around it
+      * are decoder-agnostic, not shaped around one fixture. Still
+      * deterministic on the bytes, so the SQL oracle reproduces it. */
+    val byteHistogram: Decoder = (id, tpe, bytes) => {
+      val hist = new Array[Int](256)
+      bytes.foreach(b => hist(b & 0xff) += 1)
+      val distinct = hist.count(_ > 0)
+      val maxFreq = if (bytes.isEmpty) 0 else hist.max
+      val minByte = hist.indexWhere(_ > 0) // -1 when empty
+      MediaFeatures(id, tpe,
+        n_bytes = bytes.length.toLong,
+        checksum = distinct.toLong,
+        width = 16 + (maxFreq % 64),
+        height = 16 + (if (minByte < 0) 0 else minByte % 64),
+        frames = if (tpe == "video") 1 + (distinct % 30) else 1)
+    }
   }
 
   /** Partition-wise decode/featurize: iterator-in, iterator-out — no

@@ -59,7 +59,7 @@ object MultimodalQueries {
   // Frame identity survives featurize (whose contract is one id per
   // media object) by packing media_id·1000 + frame_idx — safe here,
   // frame counts are ≤ ~40 per document.
-  private val multimodalPipeline: Q = (s, dir) => {
+  private def pipelineWith(decoder: Multimodal.Decoder): Q = (s, dir) => {
     import s.implicits._
     val media = Tables.documents(s, dir).select(
       col("doc_id").as("media_id"), lit("video").as("media_type"),
@@ -77,7 +77,7 @@ object MultimodalQueries {
         s"frame packing overflow: media ${f.media_id} frame ${f.frame_idx} >= 1000")
       Multimodal.MediaRecord(f.media_id * 1000L + f.frame_idx, "video", f.frame,
         Map.empty[String, String])
-    })
+    }, decoder)
     feats.toDF().select(
       expr("media_id div 1000").as("media_id"),
       (col("media_id") % 1000).cast("long").as("frame_idx"),
@@ -86,6 +86,15 @@ object MultimodalQueries {
       col("height").cast("long").as("height"),
       col("frames").cast("long").as("frames"))
   }
+
+  private val multimodalPipeline: Q = pipelineWith(Multimodal.Decoder.fake)
+
+  /** The same chain under the SECOND decoder (byte histogram) — only the
+    * decoder argument differs, proving the pipeline is decoder-agnostic;
+    * the oracle recomputes histogram features (distinct byte values,
+    * modal frequency, smallest byte) over the same resized frames. */
+  private val multimodalPipelineHist: Q =
+    pipelineWith(Multimodal.Decoder.byteHistogram)
 
   private val multimodalPipelineSql =
     """WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx
@@ -117,12 +126,50 @@ object MultimodalQueries {
       |       CAST(1 + n_bytes % 30 AS BIGINT) AS frames
       |FROM cs""".stripMargin
 
+  private val multimodalPipelineHistSql =
+    """WITH h AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx
+      |           FROM documents),
+      |i AS (SELECT media_id, hx,
+      |             unnest(range(0, CAST(ceil(length(hx) / 128.0) AS INT))) AS idx
+      |      FROM h),
+      |fr AS (SELECT media_id, idx AS frame_idx, substring(hx, idx * 128 + 1, 128) AS fhex
+      |       FROM i WHERE idx % 2 = 0),
+      |rz AS (SELECT media_id, frame_idx,
+      |              string_agg(substring(fhex, j * step * 2 + 1, 2), '' ORDER BY j) AS rhex
+      |       FROM (SELECT media_id, frame_idx, fhex,
+      |                    CAST(ceil((length(fhex) // 2) / 16.0) AS INT) AS step,
+      |                    unnest(range(0, CAST(ceil((length(fhex) // 2)
+      |                      / ceil((length(fhex) // 2) / 16.0)) AS INT))) AS j
+      |             FROM fr)
+      |       GROUP BY 1, 2),
+      |freq AS (SELECT media_id, frame_idx, sub, count(*) AS cnt
+      |         FROM (SELECT media_id, frame_idx,
+      |                      substring(rhex, k * 2 + 1, 2) AS sub
+      |               FROM (SELECT media_id, frame_idx, rhex,
+      |                            unnest(range(0, CAST(length(rhex) // 2 AS INT))) AS k
+      |                     FROM rz))
+      |         GROUP BY 1, 2, 3),
+      |bh AS (SELECT media_id, frame_idx,
+      |              sum(cnt) AS n_bytes, count(*) AS distinct_bytes,
+      |              max(cnt) AS max_freq,
+      |              min(CAST(('0x' || sub) AS BIGINT)) AS min_byte
+      |       FROM freq GROUP BY 1, 2)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |       CAST(n_bytes AS BIGINT) AS n_bytes,
+      |       CAST(distinct_bytes AS BIGINT) AS checksum,
+      |       CAST(16 + max_freq % 64 AS BIGINT) AS width,
+      |       CAST(16 + min_byte % 64 AS BIGINT) AS height,
+      |       CAST(1 + distinct_bytes % 30 AS BIGINT) AS frames
+      |FROM bh""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "multimodal_meta"     -> multimodalMeta,
-    "multimodal_frames"   -> multimodalFrames,
-    "multimodal_pipeline" -> multimodalPipeline)
+    "multimodal_meta"          -> multimodalMeta,
+    "multimodal_frames"        -> multimodalFrames,
+    "multimodal_pipeline"      -> multimodalPipeline,
+    "multimodal_pipeline_hist" -> multimodalPipelineHist)
   val oracles: Map[String, String] = Map(
-    "multimodal_meta"     -> multimodalMetaSql,
-    "multimodal_frames"   -> multimodalFramesSql,
-    "multimodal_pipeline" -> multimodalPipelineSql)
+    "multimodal_meta"          -> multimodalMetaSql,
+    "multimodal_frames"        -> multimodalFramesSql,
+    "multimodal_pipeline"      -> multimodalPipelineSql,
+    "multimodal_pipeline_hist" -> multimodalPipelineHistSql)
 }

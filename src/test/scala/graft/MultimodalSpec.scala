@@ -28,6 +28,25 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(f => f.n_bytes == -1L && f.checksum == -1L))
   }
 
+  test("byteHistogram decoder derives histogram features, not byte sums") {
+    // bytes {1,1,2}: 2 distinct values, modal freq 2, min byte 1
+    val hist = Multimodal.Decoder.byteHistogram(
+      7L, "video", Array[Byte](1, 1, 2))
+    assert(hist.n_bytes == 3 && hist.checksum == 2)
+    assert(hist.width == 16 + 2 && hist.height == 16 + 1)
+    assert(hist.frames == 1 + 2)
+    // empty payload: all-zero features, no crash on the empty histogram
+    val empty = Multimodal.Decoder.byteHistogram(8L, "image", Array.emptyByteArray)
+    assert(empty.n_bytes == 0 && empty.checksum == 0
+      && empty.width == 16 && empty.height == 16 && empty.frames == 1)
+    // the two decoders genuinely disagree through the same chain
+    val viaFake = Multimodal.featurize(media).collect().sortBy(_.media_id)
+    val viaHist = Multimodal.featurize(media, Multimodal.Decoder.byteHistogram)
+      .collect().sortBy(_.media_id)
+    assert(viaFake.map(_.media_id).toSeq == viaHist.map(_.media_id).toSeq)
+    assert(viaFake.map(_.checksum).toSeq != viaHist.map(_.checksum).toSeq)
+  }
+
   test("frameSample chunks payloads and keeps every stride-th frame") {
     val frames = Multimodal.frameSample(media, frameBytes = 32, stride = 2)
       .collect().groupBy(_.media_id)
