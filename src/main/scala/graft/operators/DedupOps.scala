@@ -207,16 +207,13 @@ object DedupOps {
     val sig = if (preHashed)
       minHashSignaturesFromHashes(bag.select(col("doc_id"), col("g").as("h")), numHashes)
     else minHashSignatures(bag, numHashes)
-    val sh = if (persistSet)
-      set.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else set
+    // opt-in one-pass materialization of the distinct set via eager
+    // local checkpoint — unlike Dataset.persist, checkpoint blocks hold
+    // no CacheManager entry and are released by the ContextCleaner once
+    // the result is unreachable, so the opt-in cannot leak session-wide
+    val sh = if (persistSet) set.localCheckpoint() else set
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucket)
-    val out = jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
-    // when the set WAS pinned, materialize the pair result and release
-    // the pin before returning — no operator leaves a cache behind on a
-    // shared long-lived session
-    if (persistSet) { try out.localCheckpoint() finally sh.unpersist() }
-    else out
+    jaccardOverPairs(cand, sh).filter(col("jaccard") >= threshold)
   }
 
   /** Per-doc hashed word-n-gram shingle arrays (doc_id, hs: array<long>)
@@ -267,9 +264,10 @@ object DedupOps {
     * composition); per-doc sets are projections. The only shuffles are
     * the band-bucket candidate self-join and the two verify joins, each
     * bounded by candidate volume. The candidate relation feeds both the
-    * doc filter and the verify join → persisted here (≤ pairs-count
-    * rows). Callers should persist `hashed` only if it is expensive to
-    * rebuild (the CharNGramHashes pass usually isn't). */
+    * doc filter and the verify join → eagerly local-checkpointed here
+    * (≤ pairs-count rows; ContextCleaner-released, never a session-wide
+    * cache pin). Callers should materialize `hashed` only if it is
+    * expensive to rebuild (the CharNGramHashes pass usually isn't). */
   def lshPairsArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int,
                          threshold: Double,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -282,8 +280,12 @@ object DedupOps {
         MinHashP, bands, NGramHashB, NGramHashP))
     val byBand = hashed.filter(size(col("hs")) > 0)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
-    val cand = lshCandidates(byBand, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate relation (≤ pairs-count rows) feeds the doc filter AND
+    // the verify join: eager local checkpoint materializes it once
+    // WITHOUT a CacheManager pin — blocks are RDD-level, released by
+    // the ContextCleaner when the result goes unreachable, so repeated
+    // calls on a long-lived shared session leak nothing
+    val cand = lshCandidates(byBand, maxBucket).localCheckpoint()
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
     // AQE broadcasts the semi-join side at runtime when candDocs is small;
@@ -291,13 +293,7 @@ object DedupOps {
     // to a shuffle semi-join instead of OOMing a forced broadcast
     val docSets = hashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
       .join(candDocs, Seq("doc_id"), "leftsemi")
-    val pairs = jaccardOverPairsArrays(cand, docSets)
-      .filter(col("jaccard") >= threshold)
-    // materialize the verified pairs eagerly, then RELEASE the candidate
-    // pin — otherwise every invocation on a shared session leaks a
-    // MEMORY_AND_DISK cache for the session's lifetime
-    try pairs.localCheckpoint()
-    finally cand.unpersist()
+    jaccardOverPairsArrays(cand, docSets).filter(col("jaccard") >= threshold)
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, via
@@ -345,7 +341,8 @@ object DedupOps {
     *
     * The hash relation is tiny (8 bytes/doc) but costs a full
     * token-explode + aggregate to compute, and it feeds BOTH sides of
-    * the band self-join — persisted here so the corpus is hashed once. */
+    * the band self-join — local-checkpointed here so the corpus is
+    * hashed once (and released by GC, never a session-wide cache pin). */
   def simHashBandedPairs(sh: DataFrame, bands: Int, maxDist: Int,
                          bits: Int = 64): DataFrame = {
     require(bands > maxDist,
@@ -355,7 +352,14 @@ object DedupOps {
     val mask = (1L << w) - 1
     def bv(h: Column, k: Int): Column =
       shiftrightunsigned(h, k * w).bitwiseAND(lit(mask))
-    val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER local checkpoint, not Dataset.persist: the hash relation is
+    // tiny (8 bytes/doc) and feeds both sides of the band self-join, so
+    // it must materialize once — but a CacheManager pin would outlive
+    // the call (never-released cache on a shared session). Checkpoint
+    // blocks are RDD-level: the ContextCleaner releases them as soon as
+    // the result becomes unreachable. (On a real cluster swap in
+    // reliable `checkpoint`, as elsewhere.)
+    val shP = sh.localCheckpoint()
     val byBand = shP.select(col("doc_id"), col("simhash"),
         explode(array((0 until bands).map(k =>
           struct(lit(k).as("band"), bv(col("simhash"), k).as("bv"))): _*)).as("bb"))
@@ -368,20 +372,13 @@ object DedupOps {
     val earlierBandAlsoMatches = (0 until bands - 1).map(j =>
         col("band") > j && bv(col("h1"), j) === bv(col("h2"), j))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val pairs = a.join(b, Seq("band", "bv"))
+    a.join(b, Seq("band", "bv"))
       .filter(col("d1") < col("d2"))
       .filter(!earlierBandAlsoMatches)
       .select(col("d1"), col("d2"),
         graft.functions.BitOps.hamming64(col("h1"), col("h2"))
           .cast("long").as("hamming"))
       .filter(col("hamming") <= maxDist)
-    // materialize the (candidate-bounded, tiny) pair result eagerly so
-    // the hash-relation pin can be RELEASED before returning — a
-    // long-lived shared session must not accumulate this operator's
-    // caches for its lifetime (on a real cluster swap in reliable
-    // `checkpoint`, as elsewhere)
-    try pairs.localCheckpoint()
-    finally shP.unpersist()
   }
 
   /** 64-bit SimHash near-pairs at Hamming ≤ `maxDist` — the production
