@@ -117,6 +117,46 @@ object VectorOps {
     ivfAssignN(corpus, centroids, 1)
       .select(col("id"), col("vec"), col("cell"))
 
+  /** Lloyd's spherical k-means over `corpus` (id, vec) — the missing
+    * training step for IVF: `ivfKnn` quantizes against whatever centroid
+    * table it is given, and trained centroids tighten cells (higher
+    * recall at the same nProbe) vs the pick-first-K baseline.
+    *
+    * Each of the `iters` rounds is (a) cosine assignment against the
+    * BROADCAST centroid table (one linear corpus pass — `ivfAssign`, the
+    * exact operator the index build would run), then (b) per-cell
+    * elementwise mean via posexplode + groupBy(cell, pos) with map-side
+    * partial aggregation: shuffle volume per round is ≤ tasks × K × dim
+    * partial rows, never the corpus. Centroids are localCheckpoint'ed
+    * per round (ContextCleaner-released; reliable `checkpoint` on a real
+    * cluster) so plans stay O(1) deep across rounds.
+    *
+    * Determinism/engine-portability: assignment uses the 6-dp-rounded
+    * cosine with centroid-id tiebreak (the `ivfAssign` contract), and
+    * each new centroid coordinate is rounded to 6 dp — so the whole
+    * iteration is reproducible in the SQL oracle. Spherical variant:
+    * cosine assignment needs no mean renormalization (the norm divides
+    * out). A cell that captures no vectors disappears (both engines drop
+    * it identically); K stays ≥ 1 because every vector lands somewhere. */
+  def kmeans(corpus: DataFrame, initCentroids: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one iteration")
+    var cents = initCentroids.select(col("cent_id"), col("cvec"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(corpus, cents) // (id, vec, cell)
+      cents = assigned
+        .select(col("cell").as("cent_id"), posexplode(col("vec")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cvec"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
   /** Approximate top-k: each query probes its `nProbe` nearest IVF cells
     * (corpus vectors live in exactly one). nProbe = 1 is classic IVF;
     * higher nProbe is THE standard recall lever — quantization error

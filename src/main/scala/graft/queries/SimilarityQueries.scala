@@ -288,6 +288,42 @@ object SimilarityQueries {
   // One shuffle: explode to (lang, dim, v), partial-aggregated avg per
   // (lang, dim) — the map-side-combinable formulation of vector mean,
   // which is how centroid updates stay linear at corpus scale.
+  // ── k-means centroid training (the IVF index-build step) ───────────────
+  // Two Lloyd's rounds from the same deterministic init the IVF gates use
+  // (vec_id < NCentroids): round = cosine assignment (6-dp rounded, id
+  // tiebreak — the ivfAssign contract) + per-cell elementwise mean
+  // (6-dp rounded), so the oracle replays both rounds exactly as CTEs.
+  private val KmeansIters = 2
+  private val kmeansCentroids: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val init = c.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    VectorOps.kmeans(c, init, KmeansIters)
+      .select(col("cent_id"), posexplode(col("cvec")))
+      .select(col("cent_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("centroid"))
+  }
+
+  private val kmeansCentroidsSql =
+    s"""$ivfCtes,
+       |c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
+       |       FROM ce JOIN cells ON ce.cid = cells.id GROUP BY 1, 2),
+       |c1n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c1 GROUP BY 1),
+       |a2dots AS (SELECT ce.cid AS id, c1.kid, sum(ce.v * c1.v) AS dot
+       |           FROM ce JOIN c1 ON ce.i = c1.i GROUP BY 1, 2),
+       |a2sims AS (SELECT id, a2dots.kid,
+       |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
+       |           FROM a2dots JOIN norms nv ON nv.vid = id
+       |                       JOIN c1n ck ON ck.kid = a2dots.kid),
+       |cells2 AS (SELECT id, kid AS cell
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                           ORDER BY csim DESC, kid) AS rn FROM a2sims)
+       |           WHERE rn = 1)
+       |SELECT cells2.cell AS cent_id, CAST(ce.i AS BIGINT) AS dim,
+       |       round(avg(ce.v), 6) AS centroid
+       |FROM ce JOIN cells2 ON ce.cid = cells2.id
+       |GROUP BY 1, 2""".stripMargin
+
   private val embeddingCentroids: Q = (s, dir) =>
     Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -311,6 +347,7 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "embedding_normalize"    -> embeddingNormalize,
     "embedding_centroids"    -> embeddingCentroids,
+    "kmeans_centroids"       -> kmeansCentroids,
   )
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +359,6 @@ object SimilarityQueries {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "embedding_normalize"    -> embeddingNormalizeSql,
     "embedding_centroids"    -> embeddingCentroidsSql,
+    "kmeans_centroids"       -> kmeansCentroidsSql,
   )
 }

@@ -76,6 +76,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("kmeans recovers well-separated clusters from a one-per-cluster init") {
+    // two angular clusters: near the x axis (ids 0,2,4) and near the y
+    // axis (ids 1,3,5); init = ids 0 and 1, one seed per true cluster
+    val data = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(1.0f, 0.2f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.2f, 1.0f, 0.0f))).toDF("id", "vec")
+    val init = data.filter($"id" < 2).select($"id".as("cent_id"), $"vec".as("cvec"))
+    val trained = VectorOps.kmeans(data, init, iters = 2)
+    val cents = trained.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cents.keySet == Set(0L, 1L))
+    // centroid 0 points x-ward (mean of the x cluster), 1 points y-ward
+    assert(cents(0L)(0) > cents(0L)(1) && cents(1L)(1) > cents(1L)(0))
+    // every member assigns to its own cluster's centroid after training
+    val assign = VectorOps.ivfAssign(data, trained)
+      .select($"id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.filterKeys(Set(0L, 2L, 4L)).values.toSet == Set(0L))
+    assert(assign.filterKeys(Set(1L, 3L, 5L)).values.toSet == Set(1L))
+    // and the trained centroid IS the 6-dp-rounded cluster mean
+    assert(cents(0L)(0) == math.rint((1.0f + 0.9f + 1.0f) / 3 * 1e6) / 1e6)
+  }
+
   test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
     val brute = Queries.all("knn_bruteforce")(spark, sf001)
       .filter($"rank" === 1).collect()
