@@ -186,6 +186,46 @@ object RelationalQueries {
       |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin
 
+  // ── TPC-H Q10: returned-item customer ranking ──────────────────────────
+  // The classic "who returned the most revenue this quarter" report:
+  // quarter + returnflag filters PUSHED to both fact scans, the nation
+  // dim broadcast, and the top-20 via TakeOrderedAndProject (k rows per
+  // partition, never a global sort). Ties on rounded revenue broken by
+  // c_custkey in BOTH engines so the limit is deterministic.
+  private val q10ReturnedItems: Q = (s, dir) => {
+    val q = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01")
+        && col("o_orderdate") < lit("1997-01-01"))
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    Tables.customer(s, dir)
+      .join(q, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10ReturnedItemsSql =
+    """SELECT c_custkey, c_name,
+      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+      |       round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -441,6 +481,7 @@ object RelationalQueries {
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "q18_large_orders"    -> q18LargeOrders,
+    "q10_returned_items"  -> q10ReturnedItems,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
     "cube_orders"         -> cubeOrders,
@@ -462,6 +503,7 @@ object RelationalQueries {
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
     "q18_large_orders"    -> q18LargeOrdersSql,
+    "q10_returned_items"  -> q10ReturnedItemsSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,
     "cube_orders"         -> cubeOrdersSql,
