@@ -556,7 +556,16 @@ object StreamingQueries {
         .format("memory").queryName(sink)
         .outputMode("append")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // the gate only proves cross-batch dedup if the re-delivery
+        // really arrived as a SECOND data micro-batch — fail loudly on
+        // source-batching drift rather than silently testing less
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 2,
+          s"redelivery must arrive as its own micro-batch " +
+            s"(expected 2 data batches, source delivered $dataBatches)")
+      } finally q.stop()
     }
     s.table(sink)
       .groupBy(unix_timestamp(date_trunc("minute", col("eventTime"))).as("minute"))
