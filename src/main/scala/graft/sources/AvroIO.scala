@@ -32,10 +32,11 @@ import scala.jdk.CollectionConverters._
   *
   * Type surface: scalars (long, int, double, float, boolean, string,
   * binary), timestamps (Avro `timestamp-micros` logical type — Spark's
-  * native micros precision), arrays, nested records, and string-keyed
-  * maps, all nullable via [null, T] unions mirroring Spark's universal
-  * nullability. Not supported (throws at schema build): decimal,
-  * calendar-interval, and non-string map keys.
+  * native micros precision), dates (`date` logical type, epoch days),
+  * arrays, nested records, and string-keyed maps, all nullable via
+  * [null, T] unions mirroring Spark's universal nullability. Not
+  * supported (throws at schema build): decimal, calendar-interval, and
+  * non-string map keys.
   */
 object AvroIO {
 
@@ -51,6 +52,8 @@ object AvroIO {
     case BinaryType  => Schema.create(Schema.Type.BYTES)
     case TimestampType =>
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case ArrayType(et, containsNull) =>
       val elem = avroTypeFor(et, s"${path}_item")
       Schema.createArray(if (containsNull) nullable(elem) else elem)
@@ -94,6 +97,8 @@ object AvroIO {
       Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
     case (i: java.time.Instant, TimestampType) =>
       i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
+    case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
       val elemSchema = branch(branch(target).getElementType)
@@ -125,6 +130,8 @@ object AvroIO {
       val ts = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
       ts.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
       ts
+    case (days: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
     case (l: java.util.Collection[_], ArrayType(et, _)) =>

@@ -111,19 +111,22 @@ class SourcesSpec extends SparkSpec {
       StructField("k", LongType),
       StructField("emb", ArrayType(DoubleType)),
       StructField("ts", TimestampType),
+      StructField("d", DateType),
       StructField("meta", StructType(Seq(
         StructField("a", LongType), StructField("n", IntegerType)))),
       StructField("m", MapType(StringType, LongType)),
       StructField("bin", BinaryType)))
     val t1 = java.sql.Timestamp.valueOf("2024-05-01 12:34:56.123456")
     val t0 = java.sql.Timestamp.valueOf("1969-12-31 23:59:59.000001") // pre-epoch micros
+    val d1 = java.sql.Date.valueOf("2024-05-01")
+    val d0 = java.sql.Date.valueOf("1969-06-15") // pre-epoch days
     val rows = Seq(
-      org.apache.spark.sql.Row(1L, Seq(1.5, -2.5, 0.0), t1,
+      org.apache.spark.sql.Row(1L, Seq(1.5, -2.5, 0.0), t1, d1,
         org.apache.spark.sql.Row(7L, 3), Map("x" -> 1L, "y" -> 2L),
         Array[Byte](1, 2, 3)),
-      org.apache.spark.sql.Row(2L, Seq.empty[Double], t0,
+      org.apache.spark.sql.Row(2L, Seq.empty[Double], t0, d0,
         org.apache.spark.sql.Row(null, null), Map.empty[String, Long], null),
-      org.apache.spark.sql.Row(3L, null, null, null, null, Array[Byte]()))
+      org.apache.spark.sql.Row(3L, null, null, null, null, null, Array[Byte]()))
     val df = spark.createDataFrame(
       new java.util.ArrayList(rows.asJava), schema).repartition(2)
     val dir = java.nio.file.Files.createTempDirectory("avro_cpx_").toString
@@ -133,9 +136,8 @@ class SourcesSpec extends SparkSpec {
     val got = back.collect().sortBy(_.getLong(0))
     // binary compares by reference inside Row — check fields explicitly
     got.zip(rows).foreach { case (g, w) =>
-      assert(g.get(0) == w.get(0) && g.get(1) == w.get(1)
-        && g.get(2) == w.get(2) && g.get(3) == w.get(3) && g.get(4) == w.get(4))
-      (g.get(5), w.get(5)) match {
+      (0 to 5).foreach(i => assert(g.get(i) == w.get(i), s"field $i"))
+      (g.get(6), w.get(6)) match {
         case (null, null) =>
         case (gb: Array[Byte], wb: Array[Byte]) => assert(gb.sameElements(wb))
         case other => fail(s"binary mismatch: $other")
