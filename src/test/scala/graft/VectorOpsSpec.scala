@@ -101,6 +101,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(cents(0L)(0) == math.rint((1.0f + 0.9f + 1.0f) / 3 * 1e6) / 1e6)
   }
 
+  test("kmeans-trained centroids compose with ivfKnn (and report recall vs init)") {
+    val c = graft.sources.Tables.embeddings(spark, sf001)
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val init = c.filter($"id" < 8).select($"id".as("cent_id"), $"vec".as("cvec"))
+    val trained = VectorOps.kmeans(c, init, iters = 2)
+    assert(trained.count() == 8, "no cell may vanish on this corpus")
+    val isQuery = $"id" % 50 === 0
+    val bf = VectorOps.bruteForceKnn(c.filter(isQuery), c, 5)
+      .select($"qid", $"cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(cents: org.apache.spark.sql.DataFrame): Int =
+      (VectorOps.ivfKnn(c, cents, isQuery, 5, nProbe = 2)
+        .select($"qid", $"cid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet intersect bf).size
+    val (hInit, hTrained) = (hits(init), hits(trained))
+    info(s"recall@5 hits at nProbe=2 — init: $hInit, kmeans-trained: $hTrained of ${bf.size}")
+    // trained centroids must remain a WORKING quantizer (the win over
+    // arbitrary init is corpus-dependent; on this fixture it must at
+    // least stay in the same recall class, not collapse)
+    assert(hTrained > 0)
+    assert(hTrained * 2 >= hInit, s"training collapsed recall: $hInit -> $hTrained")
+  }
+
   test("ivf knn is a valid approximation: never beats exact, ranks well-formed") {
     val brute = Queries.all("knn_bruteforce")(spark, sf001)
       .filter($"rank" === 1).collect()
