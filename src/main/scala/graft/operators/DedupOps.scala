@@ -500,6 +500,33 @@ object DedupOps {
     labels
   }
 
+  /** Canonical-document selection — the step that makes near-dup
+    * clustering ACTIONABLE: every document gets a keep/drop verdict,
+    * keeping exactly one member per duplicate cluster (the
+    * highest-`quality` one, doc-id tiebreak) and every unclustered
+    * document (its own singleton cluster).
+    *
+    * `labels` is `connectedComponents` output (node, cluster_id); `docs`
+    * supplies the id and quality columns. The join is a LEFT join from
+    * docs (labels only cover clustered nodes — typically a small
+    * fraction of the corpus), and the per-cluster argmax is a window
+    * partitioned by cluster_id: clusters are near-dup families, so
+    * partitions are tiny and the shuffle is one hash exchange on
+    * cluster_id — no global sort, no driver involvement. */
+  def canonicalPerCluster(labels: DataFrame, docs: DataFrame,
+                          idCol: Column, quality: Column): DataFrame = {
+    val scored = docs.select(idCol.as("doc_id"), quality.as("quality"))
+    val lab = scored.join(
+        labels.select(col("node").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    lab.withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+  }
+
   /** Benchmark decontamination: per train doc, the number of DISTINCT
     * word n-gram features it shares with a probe (benchmark/test-set)
     * corpus — the standard pre-training contamination check.

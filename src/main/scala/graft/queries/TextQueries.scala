@@ -996,6 +996,44 @@ object TextQueries {
        |       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
        |FROM lab""".stripMargin
 
+  /** Canonical-doc selection over the LSH near-dup clusters: every doc
+    * keep/drop-labeled, keeping the byte-longest member per cluster
+    * (doc-id tiebreak) and every singleton. The pipeline verdict the
+    * cluster labels exist to produce; oracle = the recursive-closure
+    * cluster CTE + the same length ranking (byte length on both sides:
+    * Spark octet_length ≡ DuckDB strlen). */
+  private val canonicalDocs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupOps.lshPairsArrayLocal(
+      DedupOps.wordShingleHashes(docs, col("doc_id"), col("text"), ShingleN),
+      NumHashes, Bands, Threshold)
+    val labels = DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+    DedupOps.canonicalPerCluster(labels, docs,
+      col("doc_id"), octet_length(col("text")).cast("long"))
+  }
+
+  private val canonicalDocsSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${minhashLshPairsSql.replace("\n", "\n  ")}
+       |),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |      UNION SELECT d2, d1 FROM pairs),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.src, reach.lbl FROM e JOIN reach ON reach.node = e.dst),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |scored AS (SELECT d.doc_id,
+       |                  coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+       |                  strlen(d.text) AS q
+       |           FROM documents d LEFT JOIN lab ON lab.node = d.doc_id)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(cluster_id AS BIGINT) AS cluster_id,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY q DESC, doc_id) = 1) AS is_canonical
+       |FROM scored""".stripMargin
+
   // ── content-defined chunking (rolling-hash cut points) ─────────────────
   // CDC with an 8-char window hash, cut where hash % 64 == 0 (avg chunk
   // ≈ 64 chars): boundaries stay stable under edits, so chunk_fp makes
@@ -1140,6 +1178,7 @@ object TextQueries {
     "bm25_scores"         -> bm25Scores,
     "rolling_hash_fingerprint" -> rollingHashFingerprint,
     "dedup_clusters"      -> dedupClusters,
+    "canonical_docs"      -> canonicalDocs,
     "decontaminate_ngrams" -> decontaminateNgrams,
     "cdc_chunks"          -> cdcChunks,
     "chunk_dedup"         -> chunkDedup,
@@ -1177,6 +1216,7 @@ object TextQueries {
     "bm25_scores"         -> bm25ScoresSql,
     "rolling_hash_fingerprint" -> rollingHashFingerprintSql,
     "dedup_clusters"      -> dedupClustersSql,
+    "canonical_docs"      -> canonicalDocsSql,
     "decontaminate_ngrams" -> decontaminateNgramsSql,
     "cdc_chunks"          -> cdcChunksSql,
     "chunk_dedup"         -> chunkDedupSql,

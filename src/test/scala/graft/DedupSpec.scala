@@ -244,6 +244,23 @@ class DedupSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == confBefore)
   }
 
+  test("canonicalPerCluster keeps one best doc per cluster, all singletons") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("node", "cluster_id")
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (20L, 4L), (21L, 7L))
+      .toDF("id", "q")
+    val got = DedupOps.canonicalPerCluster(labels, docs, $"id", $"q")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // cluster 1: docs 2 and 3 tie on quality 9 → min doc_id (2) wins
+    assert(got(1L) == ((1L, false)) && got(2L) == ((1L, true)) && got(3L) == ((1L, false)))
+    // cluster 20: doc 21 has higher quality
+    assert(got(20L) == ((20L, false)) && got(21L) == ((20L, true)))
+    // unclustered doc 10 is its own canonical singleton
+    assert(got(10L) == ((10L, true)))
+    // exactly one canonical per cluster
+    assert(got.values.groupBy(_._1).forall(_._2.count(_._2) == 1))
+  }
+
   test("dedup_clusters groups the planted lsh pairs consistently") {
     val rows = Queries.all("dedup_clusters")(spark, sf001).collect()
     assert(rows.nonEmpty)
