@@ -324,6 +324,63 @@ object SimilarityQueries {
        |FROM ce JOIN cells2 ON ce.cid = cells2.id
        |GROUP BY 1, 2""".stripMargin
 
+  /** IVF search over the TRAINED quantizer — kmeans_centroids' output
+    * dropped straight into ivfKnn (cell assignment + cell-bucketed
+    * probe join), the full index-build→search composition as one gated
+    * query. Oracle: the two Lloyd's rounds as CTEs (same as
+    * kmeans_centroids) feeding the same probe-join/rank SQL as knn_ivf. */
+  private val knnIvfTrained: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val init = c.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    val trained = VectorOps.kmeans(c, init, KmeansIters)
+    VectorOps.ivfKnn(c, trained, col("id") % QueryMod === 0, KIvf)
+  }
+
+  private val knnIvfTrainedSql =
+    s"""$ivfCtes,
+       |c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
+       |       FROM ce JOIN cells ON ce.cid = cells.id GROUP BY 1, 2),
+       |c1n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c1 GROUP BY 1),
+       |a2dots AS (SELECT ce.cid AS id, c1.kid, sum(ce.v * c1.v) AS dot
+       |           FROM ce JOIN c1 ON ce.i = c1.i GROUP BY 1, 2),
+       |a2sims AS (SELECT id, a2dots.kid,
+       |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
+       |           FROM a2dots JOIN norms nv ON nv.vid = id
+       |                       JOIN c1n ck ON ck.kid = a2dots.kid),
+       |cells2 AS (SELECT id, kid AS cell
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                           ORDER BY csim DESC, kid) AS rn FROM a2sims)
+       |           WHERE rn = 1),
+       |c2 AS (SELECT cells2.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
+       |       FROM ce JOIN cells2 ON ce.cid = cells2.id GROUP BY 1, 2),
+       |c2n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c2 GROUP BY 1),
+       |a3dots AS (SELECT ce.cid AS id, c2.kid, sum(ce.v * c2.v) AS dot
+       |           FROM ce JOIN c2 ON ce.i = c2.i GROUP BY 1, 2),
+       |a3sims AS (SELECT id, a3dots.kid,
+       |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
+       |           FROM a3dots JOIN norms nv ON nv.vid = id
+       |                       JOIN c2n ck ON ck.kid = a3dots.kid),
+       |cells3 AS (SELECT id, kid AS cell
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                           ORDER BY csim DESC, kid) AS rn FROM a3sims)
+       |           WHERE rn = 1),
+       |qs AS (SELECT id AS qid, cell FROM cells3 WHERE id % $QueryMod = 0),
+       |tpairs AS (SELECT qid, c3.id AS cid
+       |           FROM qs JOIN cells3 c3 ON c3.cell = qs.cell AND c3.id <> qs.qid),
+       |tdots AS (SELECT qid, tpairs.cid AS cid, sum(a.v * b.v) AS dot
+       |          FROM tpairs JOIN ce a ON a.cid = qid
+       |                      JOIN ce b ON b.cid = tpairs.cid AND b.i = a.i
+       |          GROUP BY 1, 2),
+       |tsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM tdots JOIN norms nq ON nq.vid = qid
+       |                     JOIN norms nc ON nc.vid = cid)
+       |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY sim DESC, cid) AS rnk
+       |      FROM tsims)
+       |WHERE rnk <= $KIvf""".stripMargin
+
   private val embeddingCentroids: Q = (s, dir) =>
     Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -348,6 +405,7 @@ object SimilarityQueries {
     "embedding_normalize"    -> embeddingNormalize,
     "embedding_centroids"    -> embeddingCentroids,
     "kmeans_centroids"       -> kmeansCentroids,
+    "knn_ivf_trained"        -> knnIvfTrained,
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,5 +418,6 @@ object SimilarityQueries {
     "embedding_normalize"    -> embeddingNormalizeSql,
     "embedding_centroids"    -> embeddingCentroidsSql,
     "kmeans_centroids"       -> kmeansCentroidsSql,
+    "knn_ivf_trained"        -> knnIvfTrainedSql,
   )
 }
