@@ -606,6 +606,46 @@ object TextQueries {
        |       CAST((cum_tokens - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): docs laid end-to-end in id
+    * order, the token stream cut into ShardBudget-token sequences, one
+    * span row per (doc, sequence) overlap — docs SPLIT across sequence
+    * boundaries, the real pretraining packing shape (`shard_packing`
+    * bins whole docs). Oracle recomputes the running total as a global
+    * window + a range unnest per doc, so the gate again proves the
+    * PrefixSum decomposition + row-local span fan-out value-identical
+    * to the single-partition form. */
+  private val packSequences: Q = (s, dir) => {
+    val weighted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Packing
+      .packSequences(weighted, "doc_id", "n_tokens", ShardBudget)
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (SELECT doc_id, count(*) FILTER (WHERE w <> '') AS n_tokens
+       |           FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w
+       |                 FROM documents)
+       |           GROUP BY doc_id),
+       |a AS (SELECT d.doc_id, coalesce(t.n_tokens, 0) AS n_tokens
+       |      FROM documents d LEFT JOIN t ON d.doc_id = t.doc_id),
+       |c AS (SELECT doc_id, n_tokens,
+       |             sum(n_tokens) OVER (ORDER BY doc_id
+       |                                 ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM a WHERE n_tokens > 0),
+       |sp AS (SELECT doc_id, n_tokens, cum - n_tokens AS s, cum AS e,
+       |              unnest(range(CAST((cum - n_tokens) // $ShardBudget AS BIGINT),
+       |                           CAST((cum - 1) // $ShardBudget + 1 AS BIGINT))) AS seq_id
+       |       FROM c)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(seq_id AS BIGINT) AS seq_id,
+       |       CAST(greatest(s, seq_id * $ShardBudget) - s AS BIGINT) AS doc_offset,
+       |       CAST(greatest(s, seq_id * $ShardBudget)
+       |            - seq_id * $ShardBudget AS BIGINT) AS seq_offset,
+       |       CAST(least(e, (seq_id + 1) * $ShardBudget)
+       |            - greatest(s, seq_id * $ShardBudget) AS BIGINT) AS span_len
+       |FROM sp""".stripMargin
+
   // ── end-to-end training-data pipeline composition ──────────────────────
   // The capstone "library composes" query: quality-filter → exact dedup
   // (keep min doc_id per canonical fingerprint) → token count → pack the
@@ -1153,6 +1193,7 @@ object TextQueries {
     "repetition_score"    -> repetitionScore,
     "pii_scrub"           -> piiScrub,
     "shard_packing"       -> shardPacking,
+    "pack_sequences"      -> packSequences,
     "cms_topk_terms"      -> cmsTopkTerms,
     "pipeline_end_to_end" -> pipelineEndToEnd,
     "hof_funcs"           -> hofFuncs,
@@ -1191,6 +1232,7 @@ object TextQueries {
     "repetition_score"    -> repetitionScoreSql,
     "pii_scrub"           -> piiScrubSql,
     "shard_packing"       -> shardPackingSql,
+    "pack_sequences"      -> packSequencesSql,
     "cms_topk_terms"      -> cmsTopkTermsSql,
     "pipeline_end_to_end" -> pipelineEndToEndSql,
     "hof_funcs"           -> hofFuncsSql,

@@ -141,6 +141,31 @@ object EngineProperties extends Properties("engine") {
       got == ws.scanLeft(0L)(_ + _).tail
     }
 
+  property("packSequences spans equal the sequential concat-and-chunk layout") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.choose(1L, 37L)) { (ws, budget) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val got = graft.operators.Packing.packSequences(df, "id", "w", budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      // reference: lay positive-weight docs end-to-end, chunk at budget
+      var cum = 0L
+      val want = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+      ws.zipWithIndex.foreach { case (w, i) =>
+        if (w > 0) {
+          val s = cum; val e = cum + w; cum = e
+          var k = s / budget
+          while (k <= (e - 1) / budget) {
+            val st = math.max(s, k * budget)
+            want += ((i.toLong, k, st - s, st - k * budget,
+              math.min(e, (k + 1) * budget) - st))
+            k += 1
+          }
+        }
+      }
+      got == want
+    }
+
   property("connectedComponents equals reference union-find on random graphs") =
     Prop.forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
       val edges = es.filter { case (a, b) => a != b }
