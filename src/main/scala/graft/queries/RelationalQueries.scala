@@ -186,6 +186,51 @@ object RelationalQueries {
       |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin
 
+  // ── Bloom-prefiltered semi-join (explicit runtime-filter pattern) ──────
+  // The 100 TB shape when the build side is too big to broadcast EXACTLY
+  // but its key set fits a few MB of bloom bits: aggregate the qualifying
+  // keys into one bloom filter (bloom_filter_agg — a mergeable, map-side-
+  // combinable sketch), broadcast THAT, and drop non-matching fact rows
+  // with might_contain BEFORE the shuffle semi-join; the exact semi-join
+  // then removes the bloom's false positives. Semantically transparent —
+  // the oracle is the plain semi-join aggregate — so the gate proves the
+  // prefilter admits every true match and the exact join kills the rest.
+  private val bloomPrefilterJoin: Q = (s, dir) => {
+    val hot = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 200000)
+    // bloom_filter_agg / might_contain are internal (runtime-filter)
+    // expressions, not SQL-resolvable — constructed directly, the same
+    // bridge every custom expression in functions/ uses. might_contain
+    // requires a CONSTANT bloom, so the (few-KB) filter is materialized
+    // once on the driver and inlined as a binary literal — one scalar,
+    // not a data collect; at cluster scale this is the runtime-filter
+    // build side (a distributed, map-side-combinable sketch aggregate).
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val bfBytes = hot.agg(column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          expression(xxhash64(col("o_orderkey"))), 5000L)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .filter(column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          expression(lit(bfBytes)), expression(xxhash64(col("l_orderkey"))))))
+      .join(hot.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+  }
+
+  private val bloomPrefilterJoinSql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |                     WHERE o_totalprice > 200000)
+      |GROUP BY 1""".stripMargin
+
   // ── TPC-H Q10: returned-item customer ranking ──────────────────────────
   // The classic "who returned the most revenue this quarter" report:
   // quarter + returnflag filters PUSHED to both fact scans, the nation
@@ -482,6 +527,7 @@ object RelationalQueries {
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "q18_large_orders"    -> q18LargeOrders,
     "q10_returned_items"  -> q10ReturnedItems,
+    "bloom_prefilter_join" -> bloomPrefilterJoin,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
     "cube_orders"         -> cubeOrders,
@@ -504,6 +550,7 @@ object RelationalQueries {
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
     "q18_large_orders"    -> q18LargeOrdersSql,
     "q10_returned_items"  -> q10ReturnedItemsSql,
+    "bloom_prefilter_join" -> bloomPrefilterJoinSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,
     "cube_orders"         -> cubeOrdersSql,
