@@ -44,7 +44,9 @@ object Bench {
     "range_join_orders", "asof_native_attribution", "broadcast_dim_join",
     "join_sort_merge", "salted_agg_by_type", "window_analytics",
     "session_window_stats", "json_extract", "variant_extract",
-    "variant_nested_extract", "observe_metrics", "shard_packing")
+    "variant_nested_extract", "observe_metrics", "shard_packing",
+    "q10_returned_items", "bloom_prefilter_join", "kmeans_centroids",
+    "knn_ivf_trained", "canonical_docs", "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
