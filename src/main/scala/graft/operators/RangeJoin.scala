@@ -67,4 +67,49 @@ object RangeJoin {
         tCol >= startCol && tCol <= endCol)
       .drop("_rj_bucket")
   }
+
+  /** Interval-OVERLAP join: all (left, right) pairs whose closed
+    * intervals intersect (`ls ≤ re && rs ≤ le`) — the temporal-overlap
+    * shape (concurrent sessions, co-occurring windows) that a naive
+    * theta-join also plans as a nested loop.
+    *
+    * Same bucket decomposition as `pointInInterval`, except BOTH sides
+    * explode to their overlapped buckets, so an intersecting pair can
+    * meet in every shared bucket. Exactly-once output without a distinct
+    * pass comes from the RESPONSIBILITY-BUCKET rule: a pair is kept only
+    * in the first bucket both occupy, which is the bucket of
+    * `max(ls, rs)` (the overlap's left edge — always inside both
+    * intervals, so always a shared bucket). The predicate is computable
+    * from the joined row alone: no second shuffle, no dedup state.
+    *
+    * Same integral-column and distinct-plan contracts as
+    * `pointInInterval`; fan-out per row is ceil(span/w)+1, so pick `w`
+    * near the typical interval span. */
+  def intervalOverlap(left: DataFrame, lsCol: Column, leCol: Column,
+                      right: DataFrame, rsCol: Column, reCol: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def dtype(df: DataFrame, c: Column) = df.select(c).schema.head.dataType
+    Seq("left start" -> dtype(left, lsCol), "left end" -> dtype(left, leCol),
+        "right start" -> dtype(right, rsCol), "right end" -> dtype(right, reCol))
+      .foreach { case (role, dt) =>
+        require(integral.contains(dt),
+          s"overlap-join $role column must be integral (epoch-converted), got $dt")
+      }
+    def floorDiv(c: Column): Column = {
+      val exact = c.cast("long") - pmod(c.cast("long"), lit(bucketWidth))
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(exact),
+          org.apache.spark.sql.catalyst.expressions.Literal(bucketWidth)))
+    }
+    val l = left.withColumn("_rj_bucket",
+      explode(sequence(floorDiv(lsCol), floorDiv(leCol))))
+    val r = right.withColumn("_rj_bucket",
+      explode(sequence(floorDiv(rsCol), floorDiv(reCol))))
+    l.join(r, l("_rj_bucket") === r("_rj_bucket") &&
+        lsCol <= reCol && rsCol <= leCol &&
+        l("_rj_bucket") === floorDiv(greatest(lsCol, rsCol)))
+      .drop("_rj_bucket")
+  }
 }

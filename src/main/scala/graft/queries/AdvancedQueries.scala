@@ -191,6 +191,46 @@ object AdvancedQueries {
       |FROM lineitem l JOIN iv
       |  ON CAST(epoch(l.l_shipdate) AS BIGINT) BETWEEN iv.s AND iv.s + 604800""".stripMargin
 
+  // ── bucketed interval-OVERLAP join (no shared key, both sides ranges) ──
+  // Two interval relations joined on intersection alone — the
+  // concurrent-windows shape. RangeJoin.intervalOverlap explodes BOTH
+  // sides to buckets and keeps each pair only in its responsibility
+  // bucket (the overlap's left edge), so output is exactly-once with no
+  // distinct pass. Fixture: 7-day windows of the 50 priciest orders vs
+  // 7-day windows of the 50 lowest-key 'F' orders; overlap length keys
+  // the value check.
+  private val intervalOverlapJoin: Q = (s, dir) => {
+    val week = 7L * 86400L
+    val a = Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(50)
+      .select(col("o_orderkey").as("a_order"),
+        unix_timestamp(col("o_orderdate")).as("a_s"))
+      .withColumn("a_e", col("a_s") + lit(week))
+    val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .orderBy(col("o_orderkey")).limit(50)
+      .select(col("o_orderkey").as("b_order"),
+        unix_timestamp(col("o_orderdate")).as("b_s"))
+      .withColumn("b_e", col("b_s") + lit(week))
+    graft.operators.RangeJoin.intervalOverlap(
+        a, col("a_s"), col("a_e"), b, col("b_s"), col("b_e"), bucketWidth = week)
+      .select(col("a_order"), col("b_order"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_s"))
+  }
+
+  private val intervalOverlapJoinSql =
+    """WITH a AS (SELECT o_orderkey AS a_order,
+      |                  CAST(epoch(o_orderdate) AS BIGINT) AS s
+      |           FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50),
+      |b AS (SELECT o_orderkey AS b_order,
+      |             CAST(epoch(o_orderdate) AS BIGINT) AS s
+      |      FROM orders WHERE o_orderstatus = 'F'
+      |      ORDER BY o_orderkey LIMIT 50)
+      |SELECT a.a_order, b.b_order,
+      |       CAST(least(a.s + 604800, b.s + 604800)
+      |            - greatest(a.s, b.s) AS BIGINT) AS overlap_s
+      |FROM a JOIN b ON a.s <= b.s + 604800 AND b.s <= a.s + 604800""".stripMargin
+
   // ── skew-salted two-phase aggregation (result ≡ plain aggregate) ───────
   private val saltedAggByType: Q = (s, dir) =>
     SkewOps.saltedCountSum(Tables.events(s, dir),
@@ -413,6 +453,7 @@ object AdvancedQueries {
     "scalar_subquery"      -> scalarSubquery,
     "ship_lag_join"        -> shipLagJoin,
     "range_join_orders"    -> rangeJoinOrders,
+    "interval_overlap_join" -> intervalOverlapJoin,
     "salted_agg_by_type"   -> saltedAggByType,
     "simhash_near_pairs"   -> simhashNearPairs,
     "simhash_near_pairs_banded" -> simhashNearPairsBanded,
@@ -434,6 +475,7 @@ object AdvancedQueries {
     "scalar_subquery"      -> scalarSubquerySql,
     "ship_lag_join"        -> shipLagJoinSql,
     "range_join_orders"    -> rangeJoinOrdersSql,
+    "interval_overlap_join" -> intervalOverlapJoinSql,
     "salted_agg_by_type"   -> saltedAggByTypeSql,
     "simhash_near_pairs"   -> simhashNearPairsSql,
     "simhash_near_pairs_banded" -> simhashNearPairsSql, // same oracle: banded ≡ quadratic

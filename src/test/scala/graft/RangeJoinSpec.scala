@@ -58,6 +58,33 @@ class RangeJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval overlap equals the naive theta-join, exactly once per pair") {
+    // mixed spans so pairs share 1..4 buckets — the responsibility rule
+    // must still emit each overlapping pair exactly once
+    val a = (0L until 60L).map { i =>
+      val s = i * 53L % 900L; (i, s, s + (i % 4L) * 75L)
+    }.toDF("aid", "as", "ae")
+    val b = (0L until 50L).map { j =>
+      val s = j * 67L % 880L; (j, s, s + (j % 3L) * 120L)
+    }.toDF("bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, col("as"), col("ae"),
+        b, col("bs"), col("be"), bucketWidth = 100L)
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect()
+    val want = a.join(b, col("as") <= col("be") && col("bs") <= col("ae"))
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSet
+    assert(got.toSet == want && want.nonEmpty)
+    // multi-shared-bucket pairs must NOT duplicate
+    assert(got.length == got.toSet.size,
+      s"${got.length - got.toSet.size} duplicate pairs emitted")
+    // and the plan is a bucket equi-join, not a product
+    val joined = RangeJoin.intervalOverlap(a, col("as"), col("ae"),
+      b, col("bs"), col("be"), bucketWidth = 100L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("non-integral time columns fail fast at call time") {
     val points = Seq((1L, "x")).toDF("pid", "t")
     val intervals = Seq((1L, 0L, 10L)).toDF("iid", "s", "e")
