@@ -46,7 +46,8 @@ object Bench {
     "session_window_stats", "json_extract", "variant_extract",
     "variant_nested_extract", "observe_metrics", "shard_packing",
     "q10_returned_items", "bloom_prefilter_join", "kmeans_centroids",
-    "knn_ivf_trained", "canonical_docs", "pack_sequences")
+    "knn_ivf_trained", "canonical_docs", "pack_sequences",
+    "interval_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
