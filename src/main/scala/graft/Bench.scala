@@ -140,10 +140,16 @@ object Bench {
     // total/value still cover every benched query, and the complete
     // min/med/max spread is in BENCH_DETAIL.json either way.
     val full = line(qsJson(byQuery), "")
-    val out = if (full.length <= 1900) full else {
+    val headline = {
       val hs = byQuery.filter(q => Headline(q._1))
       line(qsJson(hs), "\"queries_note\":\"headline subset of n_queries; full spread in BENCH_DETAIL.json\",")
     }
+    // last-ditch: Headline growth or a large errors map can push even the
+    // fallback past the budget — drop the per-query map entirely rather
+    // than emit a head-truncated (parses-as-null) line
+    val minimal =
+      line("{}", "\"queries_note\":\"omitted (line budget); see BENCH_DETAIL.json\",")
+    val out = Seq(full, headline, minimal).find(_.length <= 1900).getOrElse(minimal)
     println(out)
     spark.stop()
   }

@@ -189,7 +189,13 @@ object DedupOps {
   /** The shingle-source-agnostic core of the MinHash+LSH pipeline: any
     * (doc_id, g) feature relation works — word shingles, char n-grams,
     * hashed tokens. `bag` may carry duplicates (signatures are min-based);
-    * `set` must be distinct (it defines the Jaccard). */
+    * `set` must be distinct (it defines the Jaccard).
+    *
+    * `persistSet = true` EAGERLY materializes the distinct set at call
+    * time (localCheckpoint computes immediately, unlike the lazy cache
+    * hint `persist` gave) — the blocks are GC/ContextCleaner-released
+    * but not recoverable on executor loss, so it is a local-mode /
+    * reliable-storage-backed optimization, not a lazy hint. */
   def lshPairsOverShingles(bag: DataFrame, set: DataFrame,
                            numHashes: Int, bands: Int, threshold: Double,
                            persistSet: Boolean = false,

@@ -28,20 +28,24 @@ object Packing {
   def packSequences(weighted: DataFrame, idCol: String, weightCol: String,
                     budget: Long): DataFrame = {
     require(budget > 0, "sequence budget must be positive")
+    // internal scratch columns carry a _pk_ prefix (the RangeJoin
+    // _rj_bucket convention) so a caller frame already holding `s`/`cum`
+    // is neither clobbered nor mis-bound by name resolution; `seq_id` is
+    // part of the OUTPUT contract and intentionally unprefixed
     val withCum = PrefixSum.withRunningTotal(
-      weighted.filter(col(weightCol) > 0), idCol, weightCol, "cum")
+      weighted.filter(col(weightCol) > 0), idCol, weightCol, "_pk_cum")
     // the doc occupies token interval [s, e) of the concatenated stream
     val spans = withCum
-      .withColumn("s", col("cum") - col(weightCol))
+      .withColumn("_pk_s", col("_pk_cum") - col(weightCol))
       .withColumn("seq_id",
-        explode(sequence(expr(s"s div $budget"), expr(s"(cum - 1) div $budget"))))
-      .withColumn("seq_start", col("seq_id") * budget)
+        explode(sequence(expr(s"_pk_s div $budget"), expr(s"(_pk_cum - 1) div $budget"))))
+      .withColumn("_pk_seq_start", col("seq_id") * budget)
     spans.select(
       col(idCol), col(weightCol),
       col("seq_id"),
-      (greatest(col("s"), col("seq_start")) - col("s")).as("doc_offset"),
-      (greatest(col("s"), col("seq_start")) - col("seq_start")).as("seq_offset"),
-      (least(col("cum"), col("seq_start") + budget)
-        - greatest(col("s"), col("seq_start"))).as("span_len"))
+      (greatest(col("_pk_s"), col("_pk_seq_start")) - col("_pk_s")).as("doc_offset"),
+      (greatest(col("_pk_s"), col("_pk_seq_start")) - col("_pk_seq_start")).as("seq_offset"),
+      (least(col("_pk_cum"), col("_pk_seq_start") + budget)
+        - greatest(col("_pk_s"), col("_pk_seq_start"))).as("span_len"))
   }
 }

@@ -137,7 +137,11 @@ object VectorOps {
     * iteration is reproducible in the SQL oracle. Spherical variant:
     * cosine assignment needs no mean renormalization (the norm divides
     * out). A cell that captures no vectors disappears (both engines drop
-    * it identically); K stays ≥ 1 because every vector lands somewhere. */
+    * it identically); K stays ≥ 1 because every vector lands somewhere.
+    * Consequently the returned centroid count can be < the initial K —
+    * callers comparing against a fixed NCentroids (e.g. recall gates over
+    * a trained index) must read K from the RESULT (`cents.count()` /
+    * distinct cent_id), not from the init table. */
   def kmeans(corpus: DataFrame, initCentroids: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one iteration")
     var cents = initCentroids.select(col("cent_id"), col("cvec"))

@@ -206,9 +206,14 @@ object RelationalQueries {
     // not a data collect; at cluster scale this is the runtime-filter
     // build side (a distributed, map-side-combinable sketch aggregate).
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // NDV estimate comes from the build side itself (count is a cheap
+    // metadata-ish agg over the already-filtered orders) — a hard-coded
+    // constant saturates the bloom (FPP→1, prefilter becomes a no-op) as
+    // soon as the qualifying key count outgrows it at larger SFs
+    val ndv = math.max(5000L, hot.count())
     val bfBytes = hot.agg(column(
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          expression(xxhash64(col("o_orderkey"))), 5000L)
+          expression(xxhash64(col("o_orderkey"))), ndv)
           .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
     Tables.lineitem(s, dir)
