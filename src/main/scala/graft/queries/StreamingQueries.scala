@@ -21,19 +21,33 @@ object StreamingQueries {
 
   private val runSeq = new AtomicInteger(0)
 
-  /** Run `f` with a reduced shuffle-partition count. A streaming query
-    * pins its STATE partitioning to `spark.sql.shuffle.partitions` at
-    * start, and every micro-batch then pays one state-store instance
-    * (for RocksDB: one native DB open/commit) per partition — at the
-    * gate's data scale, 32 partitions is pure overhead (measured 8.6 s →
-    * ~2 s). State partition count is a per-deployment sizing knob, not a
-    * semantic: at cluster scale you size it to executors × cores. */
-  private def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
-                                     n: Int)(f: => T): T = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
+  /** Every streaming gate runs on `SparkSession.newSession()` — same
+    * SparkContext (executors, block manager), but an ISOLATED SessionState:
+    * its own SQLConf, temp views, and listener wiring. The gates mutate
+    * session conf by necessity (`nanosAsLong` for the nanos parquet
+    * reader, state-partition sizing, the RocksDB provider class), and on a
+    * shared session those sets are a thread-safety hazard (a concurrent
+    * query on the same session would observe them mid-flight). On the
+    * child session they are free: the mutations die with the gate, no
+    * restore protocol needed. The memory-sink temp table and the returned
+    * DataFrame are both bound to the child, which stays fully usable after
+    * the gate returns (a child session is never "closed" — only the
+    * SparkContext owns lifecycle). Applied centrally in `all`, so every
+    * gate body may treat its `s` as private. */
+  private def isolated(f: Q): Q = (s, dir) => f(s.newSession(), dir)
+
+  /** Set a reduced shuffle-partition count on the gate's (child) session.
+    * A streaming query pins its STATE partitioning to
+    * `spark.sql.shuffle.partitions` at start, and every micro-batch then
+    * pays one state-store instance (for RocksDB: one native DB
+    * open/commit) per partition — at the gate's data scale, 32 partitions
+    * is pure overhead (measured 8.6 s → ~2 s). State partition count is a
+    * per-deployment sizing knob, not a semantic: at cluster scale you size
+    * it to executors × cores. No restore: the conf lives on the isolated
+    * child session (`isolated`), which no other query shares. */
+  private def setStatePartitions(s: org.apache.spark.sql.SparkSession,
+                                 n: Int): Unit =
     s.conf.set("spark.sql.shuffle.partitions", n)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
 
   // events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw
   // int64 nanos (nanosAsLong) and floor-converts in-plan via the shared
@@ -52,7 +66,8 @@ object StreamingQueries {
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
     val sink = s"streaming_unique_users_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("complete")
@@ -77,10 +92,10 @@ object StreamingQueries {
     * store provider (set per-run, restored after). */
   private val streamingRunningDistinct: Q = (s, dir) => {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // provider set on the gate's isolated child session — no restore
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       import s.implicits._
       val frames = s.readStream
         .schema(eventsRawSchema)
@@ -93,18 +108,14 @@ object StreamingQueries {
         .as[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)
       val sink = s"streaming_running_distinct_${runSeq.incrementAndGet()}"
-      withStatePartitions(s, 4) {
+      setStatePartitions(s, 4)
+      locally {
         val q = out.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("update").start()
         try q.processAllAvailable() finally q.stop()
       }
       s.table(sink).select(col("bucket").as("minute"),
         col("uniqueUsers").as("unique_users"))
-    } finally {
-      prev match {
-        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -179,7 +190,8 @@ object StreamingQueries {
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
     val sink = s"streaming_uu_update_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("update")
@@ -244,7 +256,8 @@ object StreamingQueries {
       .parquet(s"$tmp/*.parquet")
     val out = build(frames)
     val sink = s"${tag}_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = out.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
@@ -346,7 +359,8 @@ object StreamingQueries {
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
     val sink = s"state_dump_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = counts.writeStream
         .format("memory").queryName(sink)
         .option("checkpointLocation", ckpt.toString)
@@ -390,7 +404,8 @@ object StreamingQueries {
       side("view"), side("purchase"),
       watermark = "0 seconds", lookback = "60 minutes")
     val sink = s"streaming_stream_join_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = joined.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
@@ -458,7 +473,8 @@ object StreamingQueries {
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = Some("1 minute"))
     val sink = s"streaming_late_drop_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = counts.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
@@ -551,7 +567,8 @@ object StreamingQueries {
       .withWatermark("eventTime", "2 days")
       .dropDuplicatesWithinWatermark("event_id")
     val sink = s"streaming_ddww_${runSeq.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    setStatePartitions(s, 4)
+    locally {
       val q = deduped.writeStream
         .format("memory").queryName(sink)
         .outputMode("append")
@@ -579,6 +596,7 @@ object StreamingQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM events GROUP BY 1""".stripMargin
 
+  // every gate session-isolated at the registry edge (see `isolated`)
   val all: Map[String, Q] = Map(
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
     "streaming_unique_users" -> streamingUniqueUsers,
@@ -589,7 +607,8 @@ object StreamingQueries {
     "streaming_sessions" -> streamingSessions,
     "streaming_stream_join" -> streamingStreamJoin,
     "kafka_sink_projection" -> kafkaSinkProjection,
-    "state_store_dump" -> stateStoreDump)
+    "state_store_dump" -> stateStoreDump
+  ).map { case (n, f) => n -> isolated(f) }
 
   val oracles: Map[String, String] = Map(
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermarkSql,
