@@ -132,11 +132,13 @@ object StreamingQueries {
     Files.createDirectories(tmp)
   }
 
-  /** Write `df` as a single parquet file at `target` with an explicit
-    * mtime (FileStreamSource orders pending files by modification time —
-    * the mtime is what makes multi-batch tests deterministic). */
+  /** Write `df` as a single parquet file at `target`. Multi-batch gates
+    * get their batch boundaries from PROGRESSIVE DELIVERY (each file is
+    * written only after the previous `processAllAvailable` commits), so
+    * file mtimes — FileStreamSource's pending-file order — never decide
+    * anything and the gates carry no wall-clock coupling. */
   private def writeOneFile(df: org.apache.spark.sql.DataFrame,
-      tmp: java.nio.file.Path, target: String, mtimeMs: Long): Unit = {
+      tmp: java.nio.file.Path, target: String): Unit = {
     import java.nio.file.Files
     val scratch = tmp.resolve(s"_stage_$target")
     df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
@@ -145,10 +147,7 @@ object StreamingQueries {
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .findFirst().get()
     finally list.close()
-    val dest = tmp.resolve(target)
-    Files.move(part, dest)
-    Files.setLastModifiedTime(dest,
-      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    Files.move(part, tmp.resolve(target))
   }
 
   /** The reference's OBSERVED output semantics gated end-to-end: with its
@@ -159,8 +158,9 @@ object StreamingQueries {
     * is re-emitted in every micro-batch where it changed.
     *
     * Harness: events split into two micro-batches by user-id parity (even
-    * users first — file mtimes force the order; maxFilesPerTrigger=1 makes
-    * each file one batch), update-mode flagship plan, memory sink
+    * users first — the odd file is written only after the even batch
+    * commits, so delivery order is explicit, not mtime-derived),
+    * update-mode flagship plan, memory sink
     * accumulating the whole changelog. The gate then checks the changelog
     * SHAPE, not just final state — per window:
     *   unique_users  = max emission  = the batch distinct count,
@@ -176,14 +176,10 @@ object StreamingQueries {
     val tmp = Paths.get(scratchPath("streaming_uu_update", dir))
     freshDir(tmp)
     val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-    val now = System.currentTimeMillis()
     writeOneFile(events.filter(col("user_id") % 2 === 0), tmp,
-      "batch1_even.parquet", now - 120000L)
-    writeOneFile(events.filter(col("user_id") % 2 =!= 0), tmp,
-      "batch2_odd.parquet", now)
+      "batch1_even.parquet")
     val frames = s.readStream
       .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(s"$tmp/*.parquet")
       .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
@@ -197,12 +193,15 @@ object StreamingQueries {
         .outputMode("update")
         .start()
       try {
-        q.processAllAvailable()
+        q.processAllAvailable() // batch 1: even users only
+        writeOneFile(events.filter(col("user_id") % 2 =!= 0), tmp,
+          "batch2_odd.parquet")
+        q.processAllAvailable() // batch 2: odd users
         // the changelog-shape oracle below derives n_emissions from the
         // two parity classes arriving as exactly two data micro-batches
-        // (maxFilesPerTrigger=1 + mtime ordering). If a FileStreamSource
-        // batching change ever merges or splits them, fail HERE, loudly,
-        // instead of hash-mismatching obscurely at the driver compare.
+        // (progressive delivery). If a FileStreamSource batching change
+        // ever merges or splits them, fail HERE, loudly, instead of
+        // hash-mismatching obscurely at the driver compare.
         val dataBatches = q.recentProgress.count(_.numInputRows > 0)
         require(dataBatches == 2,
           s"changelog-shape oracle assumes exactly 2 data micro-batches " +
@@ -272,7 +271,7 @@ object StreamingQueries {
         sentinel.add(org.apache.spark.sql.Row(
           -1L, maxNs + dayNs, -1L, "sentinel", 0.0, null))
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
-          "zz_batch2.parquet", System.currentTimeMillis())
+          "zz_batch2.parquet")
         q.processAllAvailable() // batch 2 + no-data flush batch
       } finally q.stop()
     }
@@ -462,9 +461,8 @@ object StreamingQueries {
     val bounds = events.agg(
       min(minuteCol).as("m0"), max(col("ts")).as("maxNs")).head()
     val (m0, maxNs) = (bounds.getLong(0), bounds.getLong(1))
-    val now = System.currentTimeMillis()
     writeOneFile(events.filter(minuteCol >= m0 + 600), tmp,
-      "batch1_ontime.parquet", now - 240000L)
+      "batch1_ontime.parquet")
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
@@ -482,13 +480,13 @@ object StreamingQueries {
       try {
         q.processAllAvailable() // on-time batch + watermark-commit batch
         writeOneFile(events.filter(minuteCol < m0 + 600), tmp,
-          "batch2_late.parquet", now - 120000L)
+          "batch2_late.parquet")
         q.processAllAvailable() // late batch: every row behind the watermark
         val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
         sentinel.add(org.apache.spark.sql.Row(
           -1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null))
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
-          "zz_batch3_sentinel.parquet", now)
+          "zz_batch3_sentinel.parquet")
         q.processAllAvailable() // flush every real window
       } finally q.stop()
     }
@@ -541,8 +539,9 @@ object StreamingQueries {
     * DeduplicateValueTransformer keeps a key in a windowed store and
     * drops re-deliveries while it lives). Harness: the full event set
     * arrives as micro-batch 1, then every third event is RE-DELIVERED in
-    * a later micro-batch (at-least-once source semantics, forced by file
-    * mtimes + maxFilesPerTrigger=1). The re-deliveries land within the
+    * a later micro-batch (at-least-once source semantics — the redelivery
+    * file is written only after batch 1 commits, so the batch split is
+    * delivery-ordered, not mtime-derived). The re-deliveries land within the
     * watermark (2-day delay ≫ the data's time span), so the operator
     * must drop every one of them: the appended output equals the batch
     * per-minute aggregate of the ORIGINAL set — event counts prove no
@@ -554,13 +553,9 @@ object StreamingQueries {
     val tmp = Paths.get(scratchPath("streaming_ddww", dir))
     freshDir(tmp)
     val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-    val now = System.currentTimeMillis()
-    writeOneFile(events, tmp, "batch1_all.parquet", now - 120000L)
-    writeOneFile(events.filter(col("event_id") % 3 === 0), tmp,
-      "batch2_redelivered.parquet", now)
+    writeOneFile(events, tmp, "batch1_all.parquet")
     val deduped = s.readStream
       .schema(eventsRawSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(s"$tmp/*.parquet")
       .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
         col("event_id"), col("user_id"))
@@ -574,7 +569,10 @@ object StreamingQueries {
         .outputMode("append")
         .start()
       try {
-        q.processAllAvailable()
+        q.processAllAvailable() // batch 1: the full original event set
+        writeOneFile(events.filter(col("event_id") % 3 === 0), tmp,
+          "batch2_redelivered.parquet")
+        q.processAllAvailable() // batch 2: the re-deliveries, all dropped
         // the gate only proves cross-batch dedup if the re-delivery
         // really arrived as a SECOND data micro-batch — fail loudly on
         // source-batching drift rather than silently testing less
