@@ -276,6 +276,66 @@ object RelationalQueries {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ── TPC-H Q21: suppliers who kept orders waiting ───────────────────────
+  // The multi-way semi + anti SELF-join on the fact table at different
+  // aliases (EXISTS another supplier in the order / NOT EXISTS another
+  // LATE supplier) — the one TPC-H shape no other gate exercises. The
+  // synthetic lineitem carries no commit/receipt dates, so "kept the
+  // order waiting" is the deterministic per-line flag l_returnflag = 'R'
+  // (reference semantics preserved: exists + not-exists at two aliases
+  // of the same fact, status-'F' orders only, one nation's suppliers).
+  // Plan shape: both EXISTS aliases shuffle on l_orderkey alongside l1 —
+  // three co-partitioned exchanges of a projected 2-column fact, no
+  // cartesian anywhere; orders reduced via semi-join (only o_orderkey is
+  // consumed); the nation-filtered supplier dim (1/25th of suppliers) is
+  // broadcast; top-100 via TakeOrderedAndProject, never a global sort.
+  private val q21SuppliersWaiting: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val l1 = li.filter(col("l_returnflag") === "R")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = l1.select(col("l_orderkey").as("o3_orderkey"),
+      col("l_suppkey").as("o3_suppkey"))
+    val fOrders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val waited = l1
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "leftsemi")
+      .join(others, col("o2_orderkey") === col("l_orderkey")
+        && col("o2_suppkey") =!= col("l_suppkey"), "leftsemi")
+      .join(lateOthers, col("o3_orderkey") === col("l_orderkey")
+        && col("o3_suppkey") =!= col("l_suppkey"), "leftanti")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    waited.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  private val q21SuppliersWaitingSql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_name = 'NATION_3'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -532,6 +592,7 @@ object RelationalQueries {
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "q18_large_orders"    -> q18LargeOrders,
     "q10_returned_items"  -> q10ReturnedItems,
+    "q21_suppliers_waiting" -> q21SuppliersWaiting,
     "bloom_prefilter_join" -> bloomPrefilterJoin,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
@@ -555,6 +616,7 @@ object RelationalQueries {
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
     "q18_large_orders"    -> q18LargeOrdersSql,
     "q10_returned_items"  -> q10ReturnedItemsSql,
+    "q21_suppliers_waiting" -> q21SuppliersWaitingSql,
     "bloom_prefilter_join" -> bloomPrefilterJoinSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,

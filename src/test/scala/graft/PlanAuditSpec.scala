@@ -121,6 +121,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Join"), s"bucket equi-join missing:\n$p")
   }
 
+  test("q21_suppliers_waiting: semi+anti self-joins, broadcast dim, no product") {
+    val p = plan("q21_suppliers_waiting")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"exists/not-exists must plan as equi semi/anti joins, never a product:\n$p")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"both self-join aliases must survive as semi + anti joins:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation-filtered supplier dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must avoid a global sort")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
