@@ -121,6 +121,48 @@ object SourceQueries {
       |       CAST(sum(label) AS BIGINT) AS label_sum
       |FROM embeddings GROUP BY 1""".stripMargin
 
+  /** The Avro logical/wire-type tail — decimal, enum, fixed — gated
+    * end-to-end: orders' price travels as a `decimal(12,2)` logical type
+    * (unscaled bytes), status as a true Avro ENUM (symbols P/O/F — the
+    * writer schema names the symbol set, not a string), and a
+    * deterministic 4-byte md5-prefix tag as FIXED(4), via AvroIO's
+    * schema-override write. Read back at Spark types (decimal, string,
+    * binary) and aggregated; the oracle recomputes parquet-direct.
+    *  - `price_sum` (decimal sum emitted as STRING) pins the decimal
+    *    scale and every unscaled digit through the bytes round-trip —
+    *    a scale slip or dropped sign byte changes the string;
+    *  - group-by `status` pins enum symbol fidelity;
+    *  - `min_tag`/`max_tag` (hex of the fixed bytes) pin the fixed
+    *    payload byte-for-byte across the whole table. */
+  private val avroLogicalRoundtrip: Q = (s, dir) => {
+    val avroDir = s"${scratchPath("fmt", dir)}/avro_logical"
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"),
+      col("o_orderstatus").as("status"),
+      unhex(substring(md5(col("o_orderkey").cast("string")), 1, 8)).as("tag"))
+    val enumSchema = org.apache.avro.Schema.createEnum(
+      "order_status", null, "graft.avro",
+      java.util.Arrays.asList("P", "O", "F"))
+    val fixedSchema = org.apache.avro.Schema.createFixed(
+      "tag4", null, "graft.avro", 4)
+    graft.sources.AvroIO.write(base, avroDir,
+      Map("status" -> enumSchema, "tag" -> fixedSchema))
+    val back = graft.sources.AvroIO.read(s, avroDir, base.schema)
+    back.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("string").as("price_sum"),
+        min(hex(col("tag"))).as("min_tag"),
+        max(hex(col("tag"))).as("max_tag"))
+  }
+
+  private val avroLogicalRoundtripSql =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS price_sum,
+      |       min(upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))) AS min_tag,
+      |       max(upper(substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))) AS max_tag
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned layout: write orders partitioned by
     * o_orderstatus (one directory per value — the physical layout that
     * lets a reader skip whole partitions), read it back filtered to one
@@ -150,11 +192,13 @@ object SourceQueries {
     "format_roundtrip" -> formatRoundtrip,
     "avro_roundtrip" -> avroRoundtrip,
     "avro_complex_roundtrip" -> avroComplexRoundtrip,
+    "avro_logical_roundtrip" -> avroLogicalRoundtrip,
     "partitioned_roundtrip" -> partitionedRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "format_roundtrip" -> formatRoundtripSql,
     "avro_roundtrip" -> avroRoundtripSql,
     "avro_complex_roundtrip" -> avroComplexRoundtripSql,
+    "avro_logical_roundtrip" -> avroLogicalRoundtripSql,
     "partitioned_roundtrip" -> partitionedRoundtripSql)
 }

@@ -33,10 +33,16 @@ import scala.jdk.CollectionConverters._
   * Type surface: scalars (long, int, double, float, boolean, string,
   * binary), timestamps (Avro `timestamp-micros` logical type — Spark's
   * native micros precision), dates (`date` logical type, epoch days),
-  * arrays, nested records, and string-keyed maps, all nullable via
-  * [null, T] unions mirroring Spark's universal nullability. Not
-  * supported (throws at schema build): decimal, calendar-interval, and
-  * non-string map keys.
+  * decimals (`decimal` logical type over bytes — unscaled two's-
+  * complement big-endian, read back at the requested Spark scale; fixed-
+  * backed decimals are accepted on read), arrays, nested records, and
+  * string-keyed maps, all nullable via [null, T] unions mirroring
+  * Spark's universal nullability. Avro-only wire types Spark's type
+  * system can't name — ENUM and FIXED — are written via per-field
+  * schema OVERRIDES (`write(df, path, overrides)`: a string field may
+  * be declared enum, a binary field fixed) and read back as
+  * string/binary. Not supported (throws at schema build):
+  * calendar-interval and non-string map keys.
   */
 object AvroIO {
 
@@ -54,10 +60,13 @@ object AvroIO {
       LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case DateType =>
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case dt: DecimalType =>
+      LogicalTypes.decimal(dt.precision, dt.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
     case ArrayType(et, containsNull) =>
       val elem = avroTypeFor(et, s"${path}_item")
       Schema.createArray(if (containsNull) nullable(elem) else elem)
-    case st: StructType => recordFor(st, path)
+    case st: StructType => recordFor(st, path, Map.empty)
     case MapType(StringType, vt, valueContainsNull) =>
       val v = avroTypeFor(vt, s"${path}_value")
       Schema.createMap(if (valueContainsNull) nullable(v) else v)
@@ -68,18 +77,43 @@ object AvroIO {
   private def nullable(s: Schema): Schema =
     Schema.createUnion(List(Schema.create(Schema.Type.NULL), s).asJava)
 
-  private def recordFor(schema: StructType, recordName: String): Schema = {
+  /** Wire-type override validity: which Spark type carries which
+    * Avro-only schema. Enum travels as string, fixed as binary (or a
+    * fixed-backed decimal). Anything else is a schema authoring error —
+    * caught here, at build time, not mid-write on an executor. */
+  private def overrideCompatible(dt: DataType, s: Schema): Boolean =
+    (dt, s.getType) match {
+      case (StringType, Schema.Type.ENUM)    => true
+      case (BinaryType, Schema.Type.FIXED)   => true
+      case (_: DecimalType, Schema.Type.FIXED) =>
+        s.getLogicalType.isInstanceOf[LogicalTypes.Decimal]
+      case _ => false
+    }
+
+  private def recordFor(schema: StructType, recordName: String,
+                        overrides: Map[String, Schema]): Schema = {
     val fields = schema.fields.map { f =>
-      new Schema.Field(f.name, nullable(avroTypeFor(f.dataType, s"${recordName}_${f.name}")),
+      val t = overrides.get(f.name) match {
+        case Some(o) =>
+          require(overrideCompatible(f.dataType, o),
+            s"override for '${f.name}' (${o.getType}) incompatible with ${f.dataType.simpleString}")
+          o
+        case None => avroTypeFor(f.dataType, s"${recordName}_${f.name}")
+      }
+      new Schema.Field(f.name, nullable(t),
         null, Schema.Field.NULL_DEFAULT_VALUE)
     }
     Schema.createRecord(recordName, null, "graft.avro", false, fields.toList.asJava)
   }
 
   /** Avro record schema for a StructType; every field is a [null, T]
-    * union mirroring Spark's universal nullability. */
-  def avroSchemaFor(schema: StructType, recordName: String): Schema =
-    recordFor(schema, recordName)
+    * union mirroring Spark's universal nullability. `overrides` maps a
+    * TOP-LEVEL field name to an explicit Avro wire schema (enum for a
+    * string field, fixed for a binary field) for the Avro-only types
+    * Spark's type system can't express. */
+  def avroSchemaFor(schema: StructType, recordName: String,
+                    overrides: Map[String, Schema] = Map.empty): Schema =
+    recordFor(schema, recordName, overrides)
 
   /** Non-null union branch of a field schema (fields are [null, T]). */
   private def branch(s: Schema): Schema =
@@ -99,6 +133,15 @@ object AvroIO {
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     case (d: java.sql.Date, DateType) => d.toLocalDate.toEpochDay.toInt
     case (d: java.time.LocalDate, DateType) => d.toEpochDay.toInt
+    case (bd: java.math.BigDecimal, dt: DecimalType) =>
+      // unscaled two's-complement big-endian at the declared scale —
+      // the Avro decimal logical-type wire contract
+      java.nio.ByteBuffer.wrap(
+        bd.setScale(dt.scale).unscaledValue().toByteArray)
+    case (str: String, StringType) if branch(target).getType == Schema.Type.ENUM =>
+      new GenericData.EnumSymbol(branch(target), str)
+    case (b: Array[Byte], BinaryType) if branch(target).getType == Schema.Type.FIXED =>
+      new GenericData.Fixed(branch(target), b)
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
     case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
       val elemSchema = branch(branch(target).getElementType)
@@ -134,6 +177,13 @@ object AvroIO {
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue()))
     case (bb: java.nio.ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+    case (bb: java.nio.ByteBuffer, dt: DecimalType) =>
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+      new java.math.BigDecimal(new java.math.BigInteger(arr), dt.scale)
+    case (fx: org.apache.avro.generic.GenericFixed, BinaryType) =>
+      fx.bytes().clone()
+    case (fx: org.apache.avro.generic.GenericFixed, dt: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(fx.bytes()), dt.scale)
     case (l: java.util.Collection[_], ArrayType(et, _)) =>
       l.asScala.toSeq.map(fromAvro(_, et))
     case (rec: GenericRecord, st: StructType) =>
@@ -148,10 +198,15 @@ object AvroIO {
     case (other, _) => other
   }
 
-  /** Write `df` as sharded Avro part files under `path` (overwrite). */
-  def write(df: DataFrame, path: String): Unit = {
+  /** Write `df` as sharded Avro part files under `path` (overwrite).
+    * `schemaOverrides` declares Avro-only wire types per top-level field
+    * (enum for string, fixed for binary / decimal) — see `avroSchemaFor`;
+    * field ORDER always follows the Spark schema, so the positional row
+    * loop below stays valid with or without overrides. */
+  def write(df: DataFrame, path: String,
+            schemaOverrides: Map[String, Schema] = Map.empty): Unit = {
     val sparkSchema = df.schema
-    val avroJson = avroSchemaFor(sparkSchema, "row").toString
+    val avroJson = avroSchemaFor(sparkSchema, "row", schemaOverrides).toString
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     fs.delete(dir, true)

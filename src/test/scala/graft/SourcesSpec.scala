@@ -101,7 +101,54 @@ class SourcesSpec extends SparkSpec {
     assert(back.collect().toSet == rows.toSet)
     intercept[IllegalArgumentException] {
       graft.sources.AvroIO.avroSchemaFor(
-        StructType(Seq(StructField("a", DecimalType(10, 2)))), "r")
+        StructType(Seq(StructField("a", MapType(LongType, StringType)))), "r")
+    }
+  }
+
+  test("AvroIO round-trips decimal logical type, enum and fixed overrides") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType),
+      StructField("price", DecimalType(12, 2)),
+      StructField("status", StringType),
+      StructField("tag", BinaryType)))
+    def dec(s: String) = new java.math.BigDecimal(s).setScale(2)
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, dec("12345.67"), "P", Array[Byte](1, 2, 3, 4)),
+      org.apache.spark.sql.Row(2L, dec("-0.01"), "F", Array[Byte](-1, 0, 127, -128)),
+      org.apache.spark.sql.Row(3L, null, null, null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava), schema).repartition(2)
+    val enumS = org.apache.avro.Schema.createEnum(
+      "st", null, "graft.avro", java.util.Arrays.asList("P", "O", "F"))
+    val fixedS = org.apache.avro.Schema.createFixed("t4", null, "graft.avro", 4)
+    val dir = java.nio.file.Files.createTempDirectory("avro_log_").toString
+    graft.sources.AvroIO.write(df, dir,
+      Map("status" -> enumS, "tag" -> fixedS))
+    // the wire really is enum/fixed/decimal-bytes, not strings
+    val wire = graft.sources.AvroIO.avroSchemaFor(schema, "row",
+      Map("status" -> enumS, "tag" -> fixedS))
+    assert(wire.getField("status").schema().getTypes.asScala
+      .exists(_.getType == org.apache.avro.Schema.Type.ENUM))
+    assert(wire.getField("tag").schema().getTypes.asScala
+      .exists(_.getType == org.apache.avro.Schema.Type.FIXED))
+    assert(wire.getField("price").schema().getTypes.asScala
+      .exists(s => s.getType == org.apache.avro.Schema.Type.BYTES &&
+        s.getLogicalType.isInstanceOf[org.apache.avro.LogicalTypes.Decimal]))
+    val back = graft.sources.AvroIO.read(spark, dir, schema)
+    assert(back.schema == schema)
+    val got = back.collect().sortBy(_.getLong(0))
+    got.zip(rows).foreach { case (g, w) =>
+      (0 to 2).foreach(i => assert(g.get(i) == w.get(i), s"field $i"))
+      (g.get(3), w.get(3)) match {
+        case (null, null) =>
+        case (gb: Array[Byte], wb: Array[Byte]) => assert(gb.sameElements(wb))
+        case other => fail(s"fixed mismatch: $other")
+      }
+    }
+    // incompatible override (enum on a long field) fails at build time
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroIO.avroSchemaFor(schema, "row", Map("k" -> enumS))
     }
   }
 
