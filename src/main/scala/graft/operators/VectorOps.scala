@@ -161,6 +161,103 @@ object VectorOps {
     cents
   }
 
+  /** Product-quantization codebooks: the corpus is sliced into `m`
+    * contiguous subvectors of `subDim` dims each, and an independent
+    * codebook of (at most) `ksub` codewords is trained per subspace by
+    * REUSING `kmeans` on the slices (same 6-dp spherical contract, so
+    * codebook training is oracle-replayable). Output:
+    * (g, code, csub: array<double>) — subspace g ∈ [0, m), codeword id,
+    * centroid slice. Init: the slices of the first `ksub` vector ids —
+    * deterministic, mirroring the IVF gates' init convention.
+    *
+    * This is the 100 TB ANN memory story: a dim-D float corpus row
+    * (4·D bytes) is represented by `m` small codes, compressing the
+    * resident index ~(4·D)/(m·bytes-per-code) ≈ 16–32×, while search
+    * scores candidates from an m-entry lookup table per query instead
+    * of a D-dim dot product. */
+  def pqTrain(corpus: DataFrame, m: Int, subDim: Int, ksub: Int,
+              iters: Int): DataFrame = {
+    require(m >= 1 && subDim >= 1 && ksub >= 1, "pq shape must be positive")
+    (0 until m).map { g =>
+      val sub = corpus.select(col("id"),
+        slice(col("vec"), g * subDim + 1, subDim).as("vec"))
+      val init = sub.filter(col("id") < ksub)
+        .select(col("id").as("cent_id"), col("vec").as("cvec"))
+      kmeans(sub, init, iters)
+        .select(lit(g.toLong).as("g"), col("cent_id").as("code"),
+          col("cvec").as("csub"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Encode the corpus against trained PQ codebooks: each vector's
+    * subspace-g slice is assigned to its nearest codeword (the
+    * `ivfAssign` cosine/tiebreak contract). Output: (id, g, code) —
+    * the relational form of the per-vector code array, and the ONLY
+    * per-vector state the search below touches. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
+               subDim: Int): DataFrame =
+    (0 until m).map { g =>
+      val sub = corpus.select(col("id"),
+        slice(col("vec"), g * subDim + 1, subDim).as("vec"))
+      val cb = codebooks.filter(col("g") === g)
+        .select(col("code").as("cent_id"), col("csub").as("cvec"))
+      ivfAssign(sub, cb)
+        .select(col("id"), lit(g.toLong).as("g"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+
+  /** IVF-PQ approximate top-k: coarse IVF cells prune the corpus to the
+    * query's `nProbe` probed cells, then candidates are scored by
+    * ASYMMETRIC DISTANCE — the query keeps its exact vector, each
+    * candidate is represented only by its PQ codes, and
+    *   cos(q, x) ≈ Σ_g dot(q_g, cb[g, code_g(x)])
+    *               / (‖q‖ · √(Σ_g ‖cb[g, code_g(x)]‖²)).
+    * Per query the Σ terms come from an m×ksub ADC LOOKUP TABLE
+    * (6-dp-rounded partial dots), built once by a broadcast join of the
+    * query slices against the (tiny) codebook — scoring a candidate is
+    * m table rows, never a dim-D dot product, and the only per-vector
+    * state is (id, g, code): the compressed index.
+    *
+    * Scale shape: codebooks and the ADC table broadcast (m·ksub rows per
+    * query); the candidate join shuffles codes ∝ candidates × m; the
+    * score aggregate is map-side combinable on (qid, cid). Exactly the
+    * plan an IVF-PQ index serves at corpus scale. */
+  def ivfPqKnn(corpus: DataFrame, coarseCentroids: DataFrame,
+               codebooks: DataFrame, queryFilter: Column, k: Int,
+               nProbe: Int, m: Int, subDim: Int): DataFrame = {
+    val cells = ivfAssign(corpus, coarseCentroids)
+      .select(col("id").as("cid"), col("cell"))
+    val qcells = ivfAssignN(corpus.filter(queryFilter), coarseCentroids, nProbe)
+      .select(col("id").as("qid"), col("cell"))
+    val codes = pqEncode(corpus, codebooks, m, subDim)
+      .select(col("id").as("cid"), col("g"), col("code"))
+    val queries = corpus.filter(queryFilter)
+    val qslices = (0 until m).map { g =>
+      queries.select(col("id").as("qid"), lit(g.toLong).as("g"),
+        slice(col("vec"), g * subDim + 1, subDim).as("qsub"))
+    }.reduce(_ unionByName _)
+    val cb = codebooks.withColumn("cnorm2", round(dot(col("csub"), col("csub")), 6))
+    val adc = qslices.join(broadcast(cb), Seq("g"))
+      .select(col("qid"), col("g"), col("code"),
+        round(dot(col("qsub"), col("csub")), 6).as("pdot"), col("cnorm2"))
+    val qn = queries.select(col("id").as("qid"), norm(col("vec")).as("qn"))
+    // corpus side has one cell per vector, so a (qid, cid) candidate
+    // arises at most once even under multi-probe — no dedup needed
+    val cand = qcells.join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"))
+    val scored = cand.join(codes, Seq("cid"))
+      .join(broadcast(adc), Seq("qid", "g", "code"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("pdot")).as("num"), sum(col("cnorm2")).as("rn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored.join(broadcast(qn), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        round(col("num") / (col("qn") * sqrt(col("rn2"))), 6).as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: each query probes its `nProbe` nearest IVF cells
     * (corpus vectors live in exactly one). nProbe = 1 is classic IVF;
     * higher nProbe is THE standard recall lever — quantization error

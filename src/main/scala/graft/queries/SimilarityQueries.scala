@@ -29,12 +29,16 @@ object SimilarityQueries {
     VectorOps.bruteForceKnn(c.filter(col("id") % QueryMod === 0), c, KBrute)
   }
 
-  // Shared oracle CTEs: per-dimension exploded vectors + norms.
-  private val vecCtes =
-    """WITH ce AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS v,
-      |                   generate_subscripts(embedding, 1) AS i
-      |            FROM embeddings),
-      |norms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1)""".stripMargin
+  // Shared oracle CTEs: per-dimension exploded vectors + norms. The body
+  // form is relation-agnostic so gates over an AUGMENTED corpus (planted
+  // duplicates) can reuse the whole chain on a union CTE.
+  private def vecCtesBody(rel: String) =
+    s"""ce AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |                   generate_subscripts(embedding, 1) AS i
+       |            FROM $rel),
+       |norms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1)""".stripMargin
+
+  private val vecCtes = "WITH " + vecCtesBody("embeddings")
 
   private val knnBruteforceSql =
     s"""$vecCtes,
@@ -61,9 +65,12 @@ object SimilarityQueries {
   }
 
   // Oracle CTEs for cell assignment, shared by ivf_assign and knn_ivf.
-  private val ivfCtes =
-    s"""$vecCtes,
-       |cents AS (SELECT cid AS kid, v, i FROM ce WHERE cid < $NCentroids),
+  // Body form is relation-agnostic (builds on whatever `ce`/`norms` the
+  // prefix defined); `cents` keys on cid < NCentroids, which planted ids
+  // (≥ 1e6) can never satisfy, so augmented-corpus gates inherit the
+  // same deterministic init.
+  private val ivfCtesBody =
+    s"""cents AS (SELECT cid AS kid, v, i FROM ce WHERE cid < $NCentroids),
        |adots AS (SELECT ce.cid AS id, kid, sum(ce.v * cents.v) AS dot
        |          FROM ce JOIN cents ON ce.i = cents.i GROUP BY 1, 2),
        |asims AS (SELECT id, kid,
@@ -74,6 +81,8 @@ object SimilarityQueries {
        |          FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                          ORDER BY csim DESC, kid) AS rn FROM asims)
        |          WHERE rn = 1)""".stripMargin
+
+  private val ivfCtes = s"$vecCtes,\n$ivfCtesBody"
 
   private val ivfAssignSql = s"$ivfCtes\nSELECT id, CAST(cell AS BIGINT) AS cell FROM cells"
 
@@ -381,6 +390,180 @@ object SimilarityQueries {
        |      FROM tsims)
        |WHERE rnk <= $KIvf""".stripMargin
 
+  // ── IVF-PQ: product quantization over the coarse quantizer ─────────────
+  // The 100 TB ANN memory story: vectors live in the index only as m
+  // per-subspace codewords (here 4 subspaces × 16 dims, 4 codes each),
+  // and candidates from the probed coarse cells are scored via the
+  // asymmetric-distance lookup table — never a full-dim dot product.
+  // Codebooks are trained by REUSING VectorOps.kmeans on the slices
+  // (one Lloyd round from the deterministic first-Ksub init), so the
+  // oracle replays training, encoding, and ADC search as CTEs: the
+  // per-subvector k-means is expressed generically by grouping dims
+  // with g = floor((i-1)/subDim).
+  private val PqM       = 8
+  private val PqSubDim  = 8
+  private val PqKsub    = 16
+  private val PqIters   = 1
+  private val PqProbe   = 2
+  // The fixture's embeddings are near-random (every query's true top-5
+  // are statistical near-ties), which is the WORST case for PQ ranking —
+  // raw recall against the exact truth is not a meaningful operator
+  // gate there. The recall gate instead PLANTS two exact copies of every
+  // query (the dedup_embedding_cosine convention): a correct pipeline
+  // must recover them (same coarse cell ⇒ always probed; identical
+  // codes ⇒ maximal ADC score), so planted recall ≥ 2/5 = 0.4 by
+  // construction and a training/encoding/ADC regression drops it.
+  private val PqRecallBound = 0.3 // measured: ≥ 0.4 at all three SFs
+  private val PqPlant1 = 1000000L
+  private val PqPlant2 = 2000000L
+
+  private def pqCodebooks(c: org.apache.spark.sql.DataFrame) =
+    VectorOps.pqTrain(c, PqM, PqSubDim, PqKsub, PqIters)
+
+  private val knnIvfPq: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val coarse = c.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    VectorOps.ivfPqKnn(c, coarse, pqCodebooks(c),
+      col("id") % QueryMod === 0, KIvf, PqProbe, PqM, PqSubDim)
+  }
+
+  // Shared PQ CTE chain (training → encoding → ADC), appended to the
+  // ivf CTEs. `adcPred`/`probePred` select the query set (the augmented-
+  // corpus recall gate must exclude planted ids, whose +1e6 offset still
+  // satisfies the % QueryMod test).
+  private def pqCtes(adcPred: String, probePred: String) =
+    s"""sse AS (SELECT cid, CAST(floor((i - 1) / $PqSubDim) AS BIGINT) AS g, i, v FROM ce),
+       |snorms AS (SELECT cid, g, sqrt(sum(v * v)) AS nrm FROM sse GROUP BY 1, 2),
+       |pinit AS (SELECT cid AS code, g, i, v FROM sse WHERE cid < $PqKsub),
+       |pinorms AS (SELECT code, g, sqrt(sum(v * v)) AS nrm FROM pinit GROUP BY 1, 2),
+       |pdots0 AS (SELECT a.cid AS id, a.g, b.code, sum(a.v * b.v) AS dot
+       |           FROM sse a JOIN pinit b ON a.g = b.g AND a.i = b.i
+       |           GROUP BY 1, 2, 3),
+       |psims0 AS (SELECT id, pdots0.g, pdots0.code AS code,
+       |                  round(dot / (sn.nrm * pn.nrm), 6) AS csim
+       |           FROM pdots0 JOIN snorms sn ON sn.cid = id AND sn.g = pdots0.g
+       |                       JOIN pinorms pn ON pn.code = pdots0.code AND pn.g = pdots0.g),
+       |passign AS (SELECT id, g, code FROM (
+       |              SELECT *, row_number() OVER (PARTITION BY id, g
+       |                        ORDER BY csim DESC, code) AS rn FROM psims0)
+       |            WHERE rn = 1),
+       |cbook AS (SELECT passign.g, passign.code, sse.i, round(avg(sse.v), 6) AS v
+       |          FROM sse JOIN passign ON sse.cid = passign.id AND sse.g = passign.g
+       |          GROUP BY 1, 2, 3),
+       |cbnorms AS (SELECT g, code, sqrt(sum(v * v)) AS nrm FROM cbook GROUP BY 1, 2),
+       |cn2 AS (SELECT g, code, round(sum(v * v), 6) AS cnorm2 FROM cbook GROUP BY 1, 2),
+       |edots AS (SELECT a.cid AS id, a.g, b.code, sum(a.v * b.v) AS dot
+       |          FROM sse a JOIN cbook b ON a.g = b.g AND a.i = b.i
+       |          GROUP BY 1, 2, 3),
+       |esims AS (SELECT id, edots.g, edots.code AS code,
+       |                 round(dot / (sn.nrm * cb.nrm), 6) AS csim
+       |          FROM edots JOIN snorms sn ON sn.cid = id AND sn.g = edots.g
+       |                     JOIN cbnorms cb ON cb.code = edots.code AND cb.g = edots.g),
+       |ecodes AS (SELECT id, g, code FROM (
+       |             SELECT *, row_number() OVER (PARTITION BY id, g
+       |                       ORDER BY csim DESC, code) AS rn FROM esims)
+       |           WHERE rn = 1),
+       |adc AS (SELECT q.cid AS qid, q.g, b.code, round(sum(q.v * b.v), 6) AS pdot
+       |        FROM sse q JOIN cbook b ON q.g = b.g AND q.i = b.i
+       |        WHERE $adcPred GROUP BY 1, 2, 3),
+       |pqprobe AS (SELECT id AS qid, kid AS cell
+       |            FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |                            ORDER BY csim DESC, kid) AS rn
+       |                  FROM asims WHERE $probePred)
+       |            WHERE rn <= $PqProbe),
+       |pcand AS (SELECT pqprobe.qid, c2.id AS cid
+       |          FROM pqprobe JOIN cells c2
+       |            ON c2.cell = pqprobe.cell AND c2.id <> pqprobe.qid),
+       |pscores AS (SELECT pcand.qid, pcand.cid,
+       |                   sum(adc.pdot) AS num, sum(cn2.cnorm2) AS rn2
+       |            FROM pcand
+       |            JOIN ecodes ON ecodes.id = pcand.cid
+       |            JOIN adc ON adc.qid = pcand.qid AND adc.g = ecodes.g
+       |                    AND adc.code = ecodes.code
+       |            JOIN cn2 ON cn2.g = ecodes.g AND cn2.code = ecodes.code
+       |            GROUP BY 1, 2),
+       |pqsims AS (SELECT qid, cid, round(num / (nq.nrm * sqrt(rn2)), 6) AS sim
+       |           FROM pscores JOIN norms nq ON nq.vid = qid)""".stripMargin
+
+  private lazy val knnIvfPqSql =
+    s"""$ivfCtes,
+       |${pqCtes(s"q.cid % $QueryMod = 0", s"id % $QueryMod = 0")}
+       |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY sim DESC, cid) AS rnk
+       |      FROM pqsims)
+       |WHERE rnk <= $KIvf""".stripMargin
+
+  // ── IVF-PQ recall gate vs the brute-force truth ────────────────────────
+  // The knn_ivf_recall pattern: per-query hit count of the PQ top-5
+  // against the exact top-5, plus the corpus-average recall floor as an
+  // oracle-rederived boolean — a regression in codebook training,
+  // encoding, or the ADC join breaks the hash.
+  private val knnIvfPqRecall: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val isQ = col("id") % QueryMod === 0
+    val c2 = c
+      .unionByName(c.filter(isQ)
+        .select((col("id") + PqPlant1).as("id"), col("vec")))
+      .unionByName(c.filter(isQ)
+        .select((col("id") + PqPlant2).as("id"), col("vec")))
+    val coarse = c2.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    // planted ids still satisfy the % test (1e6 % 50 = 0) — queries are
+    // the ORIGINAL ids only
+    val isQuery = isQ && col("id") < PqPlant1
+    val bf = VectorOps.bruteForceKnn(c2.filter(isQuery), c2, KBrute)
+      .select(col("qid"), col("cid"))
+    val pq = VectorOps.ivfPqKnn(c2, coarse, pqCodebooks(c2),
+        isQuery, KBrute, PqProbe, PqM, PqSubDim)
+      .select(col("qid"), col("cid"))
+    val hits = bf.join(pq, Seq("qid", "cid"), "leftsemi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    val perQuery = bf.select(col("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("h"), lit(0L)).as("hits_pq"))
+    val avgHits = perQuery.agg(avg(col("hits_pq")).as("avg_h"))
+    perQuery.crossJoin(broadcast(avgHits))
+      .withColumn("avg_recall_ok", (col("avg_h") / KBrute) >= PqRecallBound)
+      .select(col("qid"), col("hits_pq"), col("avg_recall_ok"))
+  }
+
+  private lazy val knnIvfPqRecallSql =
+    s"""WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |              UNION ALL
+       |              SELECT vec_id + $PqPlant1, embedding FROM embeddings
+       |              WHERE vec_id % $QueryMod = 0
+       |              UNION ALL
+       |              SELECT vec_id + $PqPlant2, embedding FROM embeddings
+       |              WHERE vec_id % $QueryMod = 0),
+       |${vecCtesBody("emb2")},
+       |$ivfCtesBody,
+       |${pqCtes(s"q.cid % $QueryMod = 0 AND q.cid < $PqPlant1",
+                 s"id % $QueryMod = 0 AND id < $PqPlant1")},
+       |qe AS (SELECT cid AS qid, v, i FROM ce
+       |       WHERE cid % $QueryMod = 0 AND cid < $PqPlant1),
+       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
+       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM bdots JOIN norms nq ON nq.vid = qid
+       |                     JOIN norms nc ON nc.vid = cid),
+       |btop AS (SELECT qid, cid
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
+       |         WHERE rnk <= $KBrute),
+       |pqtop AS (SELECT qid, cid
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                          ORDER BY sim DESC, cid) AS rnk FROM pqsims)
+       |          WHERE rnk <= $KBrute),
+       |per_q AS (SELECT b.qid, count(p.cid) AS hits_pq
+       |          FROM btop b
+       |          LEFT JOIN pqtop p ON p.qid = b.qid AND p.cid = b.cid
+       |          GROUP BY 1)
+       |SELECT qid, CAST(hits_pq AS BIGINT) AS hits_pq,
+       |       (avg(hits_pq) OVER () / $KBrute) >= $PqRecallBound AS avg_recall_ok
+       |FROM per_q""".stripMargin
+
   private val embeddingCentroids: Q = (s, dir) =>
     Tables.documents(s, dir)
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -406,6 +589,8 @@ object SimilarityQueries {
     "embedding_centroids"    -> embeddingCentroids,
     "kmeans_centroids"       -> kmeansCentroids,
     "knn_ivf_trained"        -> knnIvfTrained,
+    "knn_ivfpq"              -> knnIvfPq,
+    "knn_ivfpq_recall"       -> knnIvfPqRecall,
   )
 
   val oracles: Map[String, String] = Map(
@@ -419,5 +604,7 @@ object SimilarityQueries {
     "embedding_centroids"    -> embeddingCentroidsSql,
     "kmeans_centroids"       -> kmeansCentroidsSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,
+    "knn_ivfpq"              -> knnIvfPqSql,
+    "knn_ivfpq_recall"       -> knnIvfPqRecallSql,
   )
 }

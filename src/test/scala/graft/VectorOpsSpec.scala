@@ -167,4 +167,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(gate.forall(_.getAs[Boolean]("monotone_ok")))
     assert(gate.forall(_.getAs[Boolean]("avg_recall_ok")))
   }
+
+  test("PQ: codebook shape, identical vectors get identical codes, ADC recovers a planted dup") {
+    // 4-dim vectors, 2 subspaces × 2 dims, 2 codes per subspace
+    val c = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.9f)),
+      (1L, Array(0.0f, 0.9f, 1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.2f, 0.1f, 1.0f)),   // near 0
+      (3L, Array(0.1f, 1.0f, 0.9f, 0.0f)),   // near 1
+      (10L, Array(1.0f, 0.1f, 0.0f, 0.9f)))  // exact copy of 0
+      .toDF("id", "vec")
+    val cb = VectorOps.pqTrain(c, m = 2, subDim = 2, ksub = 2, iters = 1)
+    val gs = cb.select($"g").distinct().as[Long].collect().sorted
+    assert(gs.sameElements(Array(0L, 1L)), s"expected 2 subspaces, got ${gs.toSeq}")
+    val codes = VectorOps.pqEncode(c, cb, m = 2, subDim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // an exact copy must encode identically in every subspace
+    assert(codes((0L, 0L)) == codes((10L, 0L)) && codes((0L, 1L)) == codes((10L, 1L)))
+    // ADC search from vector 0 must recover its exact copy in the top-2
+    // (near-dup 2 may share the same codes → an ADC tie, broken by cid)
+    val coarse = c.filter($"id" < 1).select($"id".as("cent_id"), $"vec".as("cvec"))
+    val top = VectorOps.ivfPqKnn(c, coarse, cb, $"id" === 0L, k = 2,
+        nProbe = 1, m = 2, subDim = 2)
+      .select($"cid").as[Long].collect()
+    assert(top.contains(10L), s"expected planted dup in top-2, got ${top.toSeq}")
+    // gate booleans hold on the fixture
+    val gate = Queries.all("knn_ivfpq_recall")(spark, sf001).collect()
+    assert(gate.nonEmpty)
+    assert(gate.forall(_.getAs[Long]("hits_pq") >= 2),
+      "both planted copies must be recovered for every query")
+    assert(gate.forall(_.getAs[Boolean]("avg_recall_ok")))
+  }
 }
