@@ -595,7 +595,169 @@ object StreamingQueries {
       |FROM events GROUP BY 1""".stripMargin
 
   // every gate session-isolated at the registry edge (see `isolated`)
+  /** Streaming NEAR-duplicate dedup — the dedup library composed with the
+    * streaming layer, the operator a streaming ingestion pipeline
+    * actually runs: per-document MinHash band keys computed IN-STREAM by
+    * the row-local codegen kernels (WordShingleHashes →
+    * MinHashBandKeys — zero shuffle, zero state of their own), then
+    * `dropDuplicatesWithinWatermark` on the first LSH band key, so any
+    * document near-duplicating one seen within the watermark is dropped
+    * while the state stays bounded (watermark-evicted). Single-band LSH
+    * dedup is the aggressive streaming policy: docs agreeing on band 0
+    * (4 of 16 min-hashes) are treated as duplicates.
+    *
+    * Harness (doc-level deterministic by construction):
+    *  - batch 1 = the CANONICAL originals — one doc (min doc_id) per
+    *    band key; the fixture contains natural band collisions (real
+    *    near-dups), and which of an INTRA-batch colliding set survives
+    *    `dropDuplicates` is arrival-order-dependent, so the canonical
+    *    selection happens in the (deterministic, oracle-replayed) batch
+    *    prep instead — exactly the pre-deduped-history + new-arrivals
+    *    shape a production stream has;
+    *  - batch 2 (delivered only after batch 1 commits) = every 3rd
+    *    original re-ingested as a NEAR-dup: new id (+1e6), text
+    *    perturbed by an appended token. Most collide with batch-1 state
+    *    on band 0 and must be dropped; the perturbation occasionally
+    *    shifts band 0, and those genuinely-new keys must be KEPT — the
+    *    oracle recomputes which is which, and an in-query guard requires
+    *    the kept-new keys to be unique (doc-level determinism).
+    * Oracle: the same shingle→minhash→band-0 pipeline as CTEs over the
+    * union corpus (the minhash_lsh_pairs arithmetic-band-key contract).
+    * Output: every kept (doc_id, band_key) — 478 + 16 rows at sf0.01. */
+  private val streamingNearDedup: Q = (s, dir) => {
+    import java.nio.file.Paths
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.operators.DedupOps
+    val tmp = Paths.get(scratchPath("streaming_near_dedup", dir))
+    freshDir(tmp)
+    def hsOf(text: org.apache.spark.sql.Column) =
+      column(graft.functions.WordShingleHashes(expression(text), NdShingleN))
+    def bandKeyOf(hs: org.apache.spark.sql.Column) = element_at(
+      column(graft.functions.MinHashBandKeys(expression(hs),
+        (0 until NdNumHashes).map(DedupOps.mhA),
+        (0 until NdNumHashes).map(DedupOps.mhB),
+        DedupOps.MinHashP, NdBands,
+        graft.functions.TextFunctions.NGramHashB,
+        graft.functions.TextFunctions.NGramHashP)), 1)
+    val docs = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    val withKey = docs
+      .withColumn("hs", hsOf(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("band_key", bandKeyOf(col("hs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_key")).orderBy(col("doc_id"))
+    val canon = withKey.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+    writeOneFile(canon, tmp, "batch1_canonical.parquet")
+    val plant = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + NdPlantOffset).as("doc_id"),
+        concat(col("text"), lit(NdPerturb)).as("text"))
+    // doc-level determinism guard: every planted doc whose band key is
+    // NEW (not in batch-1 state) must carry a UNIQUE new key — two new
+    // docs sharing one would make the survivor arrival-order-dependent
+    val plantKeys = plant
+      .withColumn("hs", hsOf(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("band_key", bandKeyOf(col("hs")))
+    val newKeyStats = plantKeys
+      .join(withKey.select(col("band_key")).distinct(),
+        Seq("band_key"), "leftanti")
+      .agg(count(lit(1)).as("n"), count_distinct(col("band_key")).as("d"))
+      .head()
+    require(newKeyStats.getLong(0) == newKeyStats.getLong(1),
+      s"planted new band keys must be unique " +
+        s"(${newKeyStats.getLong(0)} docs, ${newKeyStats.getLong(1)} keys)")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val deduped = s.readStream
+      .schema(docSchema)
+      .parquet(s"$tmp/*.parquet")
+      .withColumn("hs", hsOf(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("band_key", bandKeyOf(col("hs")))
+      // deterministic event time from the doc id; a planted doc (+1e6)
+      // shares its original's event time, so redeliveries are never late.
+      // +3 days keeps doc 0 off the epoch-0 boundary — the initial
+      // watermark is 0, and an event AT the watermark is filtered as
+      // late by the stateful-op late-record check (observed: doc 0
+      // silently dropped without the offset)
+      .withColumn("eventTime",
+        timestamp_micros((col("doc_id") % NdPlantOffset + 259200L) * 1000000L))
+      .withWatermark("eventTime", "2 days")
+      .dropDuplicatesWithinWatermark("band_key")
+      .select(col("doc_id"), col("band_key"))
+    val sink = s"streaming_near_dedup_${runSeq.incrementAndGet()}"
+    setStatePartitions(s, 4)
+    locally {
+      val q = deduped.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: canonical originals, all kept
+        writeOneFile(plant, tmp, "batch2_neardups.parquet")
+        q.processAllAvailable() // batch 2: near-dups dropped, new keys kept
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches == 2,
+          s"near-dups must arrive as their own micro-batch " +
+            s"(expected 2 data batches, source delivered $dataBatches)")
+      } finally q.stop()
+    }
+    s.table(sink)
+  }
+
+  private val NdShingleN = 3
+  private val NdNumHashes = 16
+  private val NdBands = 4
+  private val NdPlantOffset = 1000000L
+  private val NdPerturb = " graftdup"
+
+  private lazy val streamingNearDedupSql = {
+    import graft.operators.DedupOps
+    val rowsPerBand = NdNumHashes / NdBands
+    val mins = (0 until rowsPerBand).map(i =>
+      s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i")
+      .mkString(",\n      |       ").stripMargin
+    // band-0 arithmetic fold — the MinHashBandKeys contract, identical
+    // to minhash_lsh_pairs' arithBandKeys oracle form
+    import graft.functions.TextFunctions.{NGramHashB => FB, NGramHashP => FP}
+    val fold = (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"((($acc) * $FB + mh$i) % $FP)")
+    s"""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $NdPlantOffset, text || '$NdPerturb' FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM docs2),
+      |tok AS (SELECT doc_id, w, i FROM
+      |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+      |        WHERE w <> ''),
+      |sh AS (SELECT doc_id,
+      |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
+      |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |dt AS (SELECT DISTINCT doc_id,
+      |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
+      |       FROM sh WHERE g IS NOT NULL),
+      |sig AS (SELECT doc_id, $mins
+      |        FROM dt GROUP BY doc_id),
+      |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
+      |orig AS (SELECT * FROM key0 WHERE doc_id < $NdPlantOffset),
+      |orig_canon AS (SELECT min(doc_id) AS doc_id, band_key
+      |               FROM orig GROUP BY band_key),
+      |plant AS (SELECT * FROM key0 WHERE doc_id >= $NdPlantOffset)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(band_key AS BIGINT) AS band_key
+      |FROM orig_canon
+      |UNION ALL
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |       CAST(band_key AS BIGINT) AS band_key
+      |FROM plant
+      |WHERE band_key NOT IN (SELECT band_key FROM orig_canon)""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "streaming_near_dedup" -> streamingNearDedup,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
     "streaming_unique_users" -> streamingUniqueUsers,
     "streaming_unique_users_append" -> streamingUniqueUsersAppend,
@@ -609,6 +771,7 @@ object StreamingQueries {
   ).map { case (n, f) => n -> isolated(f) }
 
   val oracles: Map[String, String] = Map(
+    "streaming_near_dedup" -> streamingNearDedupSql,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermarkSql,
     "streaming_unique_users" -> streamingUniqueUsersSql,
     "streaming_unique_users_append" -> streamingUniqueUsersSql,
