@@ -47,7 +47,9 @@ object Bench {
     "variant_nested_extract", "observe_metrics", "shard_packing",
     "q10_returned_items", "bloom_prefilter_join", "kmeans_centroids",
     "knn_ivf_trained", "canonical_docs", "pack_sequences",
-    "interval_overlap_join")
+    "interval_overlap_join", "q21_suppliers_waiting",
+    "avro_logical_roundtrip", "knn_ivfpq", "knn_ivfpq_recall",
+    "streaming_near_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
