@@ -7,12 +7,19 @@ import org.apache.spark.sql.SparkSession
   * `ReadSchema`), broadcast vs shuffle joins, partial aggregation, and
   * WholeStageCodegen spans can be audited per round.
   *
-  * Usage: runMain graft.Explain [sfDir] [queryName...]
+  * With `--executed`, each query is RUN first and the AQE-final
+  * `executedPlan` is printed instead — the only place runtime plan
+  * features (ReusedExchange dedup of repeated subplans, AQE coalescing,
+  * skew splits) are visible; the static formatted plan shows none of them.
+  *
+  * Usage: runMain graft.Explain [sfDir] [--executed] [queryName...]
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val executed = args.tail.contains("--executed")
+    val rest = args.tail.filterNot(_ == "--executed").toSeq
+    val names = if (rest.nonEmpty) rest else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -24,7 +31,13 @@ object Explain {
       println(s"\n========== $n ==========")
       // streaming-in-function queries execute on build; skip their plans
       if (n.startsWith("streaming_")) println("(streaming query — plan is per-microbatch IncrementalExecution)")
-      else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      else if (executed) {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        // collect(), not count(): an action like count() builds its OWN
+        // QueryExecution, leaving this dataset's AQE plan un-finalized
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
