@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× corpus synthesizer for local scale testing.
+  *
+  * `runMain graft.ScaleGen <srcSfDir> <outDir> [copies=10]` unions
+  * `copies` shifted replicas of `documents` and `embeddings` (the tables
+  * the heavy dedup/ANN/packing paths consume) and copies the remaining
+  * star-schema tables verbatim, producing a directory Verify/Bench can
+  * consume via `SPARK_GRAFT_SF_DIR`.
+  *
+  * Replica construction is chosen so the WORKLOAD SHAPE scales, not just
+  * the row count:
+  *
+  *  - `documents`: replica k Caesar-rotates letters and digits by k
+  *    (`translate`, codegen'd, length-preserving — `n_chars` stays
+  *    truthful). Rotation is a bijection on the token alphabet, so two
+  *    docs that are near-duplicates WITHIN a replica remain exactly as
+  *    similar, while tokens never collide ACROSS replicas — near-dup
+  *    pair/cluster density grows ~linearly with copies instead of
+  *    quadratically (10 verbatim copies would weld every doc into a
+  *    10-clique and measure an artifact, not the operator).
+  *  - `embeddings`: replica k adds a deterministic per-(vector, dim,
+  *    replica) sinusoid perturbation (±0.05 on unit-ish coords), so
+  *    replicas are distinct points with the same cluster geometry —
+  *    k-means/IVF at N× sees N× genuine points, not N-fold degenerate
+  *    duplicates.
+  *  - ids shift by k·10^7 (far above any fixture id), keeping joins and
+  *    group keys collision-free and the generation replayable: same
+  *    inputs → byte-identical output (no wall-clock, no RNG).
+  */
+object ScaleGen {
+  private val Lower  = "abcdefghijklmnopqrstuvwxyz"
+  private val Upper  = Lower.toUpperCase
+  private val Digits = "0123456789"
+  private def rot(s: String, k: Int): String = {
+    val n = ((k % s.length) + s.length) % s.length
+    s.substring(n) + s.substring(0, n)
+  }
+
+  /** documents replica k: ids shifted, text alphabet-rotated (identity at k=0). */
+  private def docReplica(docs: DataFrame, k: Int): DataFrame = {
+    val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+    if (k == 0) shifted
+    else shifted.withColumn("text",
+      translate(col("text"),
+        Lower + Upper + Digits,
+        rot(Lower, k) + rot(Upper, k) + rot(Digits, k)))
+  }
+
+  /** embeddings replica k: ids shifted, coordinates perturbed (identity at k=0). */
+  private def embReplica(embs: DataFrame, k: Int): DataFrame = {
+    val shifted = embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
+    if (k == 0) shifted
+    else shifted.withColumn("embedding",
+      expr(s"transform(embedding, (x, i) -> cast(x + 0.05d * sin(vec_id * 0.131d + i * 0.37d + $k * 1.7d) as float))"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <outDir> [copies=10]")
+    val src    = args(0)
+    val out    = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = graft.sources.Tables.documents(spark, src)
+    val embs = graft.sources.Tables.embeddings(spark, src)
+    (0 until copies).map(docReplica(docs, _)).reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (0 until copies).map(embReplica(embs, _)).reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // remaining tables verbatim (heavy paths don't read them, but the dir
+    // stays a drop-in SPARK_GRAFT_SF_DIR for any registry query)
+    val others = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events")
+    others.foreach { t =>
+      val from = java.nio.file.Paths.get(s"$src/$t.parquet")
+      val to   = java.nio.file.Paths.get(s"$out/$t.parquet")
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(from, to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    println(s"[scalegen] wrote $copies x $src -> $out")
+    spark.stop()
+  }
+}
