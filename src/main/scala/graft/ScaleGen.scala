@@ -35,19 +35,29 @@ object ScaleGen {
   private val Lower  = "abcdefghijklmnopqrstuvwxyz"
   private val Upper  = Lower.toUpperCase
   private val Digits = "0123456789"
-  private def rot(s: String, k: Int): String = {
-    val n = ((k % s.length) + s.length) % s.length
-    s.substring(n) + s.substring(0, n)
-  }
+  // a pure rotation repeats every |alphabet| copies — replicas k and k+26
+  // would be byte-identical, welding exact-dup cliques across replicas at
+  // copies > 26. An AFFINE permutation i -> (a*i + b) mod n with a coprime
+  // to n gives 12×26 = 312 distinct letter bijections (4×10 for digits);
+  // k < 26 keeps a = 1, i.e. degenerates to the plain rotation.
+  private val LetterAs = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+  private val DigitAs  = Seq(1, 3, 7, 9)
+  private def affine(s: String, a: Int, b: Int): String =
+    (0 until s.length).map(i => s((a * i + b) % s.length)).mkString
 
-  /** documents replica k: ids shifted, text alphabet-rotated (identity at k=0). */
+  /** documents replica k: ids shifted, text alphabet-permuted (identity at k=0). */
   private def docReplica(docs: DataFrame, k: Int): DataFrame = {
     val shifted = docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
     if (k == 0) shifted
-    else shifted.withColumn("text",
-      translate(col("text"),
-        Lower + Upper + Digits,
-        rot(Lower, k) + rot(Upper, k) + rot(Digits, k)))
+    else {
+      val la = LetterAs((k / 26) % LetterAs.size)
+      val da = DigitAs((k / 10) % DigitAs.size)
+      shifted.withColumn("text",
+        translate(col("text"),
+          Lower + Upper + Digits,
+          affine(Lower, la, k % 26) + affine(Upper, la, k % 26) +
+            affine(Digits, da, k % 10)))
+    }
   }
 
   /** embeddings replica k: ids shifted, coordinates perturbed (identity at k=0). */

@@ -773,6 +773,43 @@ object TextQueries {
       |FROM bi WHERE bigram IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ── n-gram LM quality score (model-free perplexity filter) ─────────────
+  // The KenLM-style quality signal pipelines run before training: score
+  // each document by the mean log-probability of its bigram transitions
+  // under a bigram LM with add-α smoothing trained on the corpus itself:
+  //   P(w2 | w1) = (c(w1,w2) + α) / (c(w1·) + α·V)
+  // Low scores mark gibberish / OCR noise (improbable transitions), very
+  // high scores mark boilerplate. Scale shape: bigram fan-out is row-local
+  // (arrays_zip of two slices — no window, no per-doc shuffle), both count
+  // tables come from map-side-combinable groupBys, the context total
+  // c(w1·) is the row-sum of the bigram table (vocab-bounded, never a
+  // second corpus pass), the vocab scalar broadcasts; the corpus shuffles
+  // once on the bigram key for the probability lookup.
+  private val LmAlpha = 0.5
+  private val ngramLmScore: Q = (s, dir) =>
+    graft.operators.LmScore.bigramLmScore(
+      Tables.documents(s, dir), "doc_id", "text", LmAlpha)
+
+  private val ngramLmScoreSql =
+    s"""WITH tok AS (SELECT doc_id, w, i FROM
+       |             (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+       |              FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents))
+       |             WHERE w <> ''),
+       |bi AS (SELECT doc_id, w1, w2 FROM
+       |       (SELECT doc_id, w AS w1,
+       |               lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM tok)
+       |       WHERE w2 IS NOT NULL),
+       |cb AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+       |cu AS (SELECT w1, sum(c12) AS c1 FROM cb GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w) AS vocab FROM tok),
+       |per_doc AS (SELECT doc_id, count(*) AS nb,
+       |                   avg(ln((c12 + $LmAlpha) / (c1 + $LmAlpha * vocab))) AS lp
+       |            FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+       |            GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       |       round(coalesce(lp, 0.0), 6) AS lm_score
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
   // ── deterministic dataset split + stratified sample ────────────────────
   private val datasetSplit: Q = (s, dir) =>
     Tables.documents(s, dir).select(
@@ -1209,6 +1246,7 @@ object TextQueries {
     "array_funcs"         -> arrayFuncs,
     "tfidf_top_terms"     -> tfidfTopTerms,
     "bigram_counts"       -> bigramCounts,
+    "ngram_lm_score"      -> ngramLmScore,
     "dataset_split"       -> datasetSplit,
     "stratified_sample"   -> stratifiedSample,
     "dedup_docs_exact"    -> dedupDocsExact,
@@ -1248,6 +1286,7 @@ object TextQueries {
     "array_funcs"         -> arrayFuncsSql,
     "tfidf_top_terms"     -> tfidfTopTermsSql,
     "bigram_counts"       -> bigramCountsSql,
+    "ngram_lm_score"      -> ngramLmScoreSql,
     "dataset_split"       -> datasetSplitSql,
     "stratified_sample"   -> stratifiedSampleSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,
