@@ -161,6 +161,38 @@ object VectorOps {
     cents
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023) over TRAINED
+    * coarse cells: candidate pairs come from within-cell joins only (the
+    * cells bound the quadratic term — at corpus scale K is sized
+    * ∝ n / target-cell-size so cells stay O(100–1000)), an exact cosine
+    * ≥ `threshold` (6-dp rounded, engine-portable) marks an ε-duplicate,
+    * and the keep rule is deterministic with no transitive closure, per
+    * the published method: a vector is dropped iff a LOWER-id member of
+    * its cell is within ε. Output: one row per corpus vector
+    * (id, cell, kept) — the keep/drop verdict a pipeline consumes.
+    *
+    * Complements `cosineDupPairs` (sign-LSH buckets, fixed hyperplanes):
+    * trained cells adapt to the corpus distribution, and the verdict is
+    * per-vector rather than per-pair. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val cells = ivfAssign(corpus, centroids)
+      .withColumn("nrm", norm(col("vec")))
+    val a = cells.select(col("cell"), col("id").as("d1"),
+      col("vec").as("v1"), col("nrm").as("n1"))
+    val b = cells.select(col("cell"), col("id").as("d2"),
+      col("vec").as("v2"), col("nrm").as("n2"))
+    // one hash-shuffle on cell; the a/b subplans dedup via exchange reuse
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .filter(round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+        >= threshold)
+      .select(col("d2").as("id")).distinct()
+    cells.join(drops.withColumn("_sd_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("_sd_drop").isNull.as("kept"))
+  }
+
   /** Product-quantization codebooks: the corpus is sliced into `m`
     * contiguous subvectors of `subDim` dims each, and an independent
     * codebook of (at most) `ksub` codewords is trained per subspace by

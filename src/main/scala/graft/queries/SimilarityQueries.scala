@@ -346,9 +346,12 @@ object SimilarityQueries {
     VectorOps.ivfKnn(c, trained, col("id") % QueryMod === 0, KIvf)
   }
 
-  private val knnIvfTrainedSql =
-    s"""$ivfCtes,
-       |c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
+  // Two replayed Lloyd's rounds ending in the TRAINED cell assignment
+  // (`cells3`). Body form builds on whatever `ce`/`norms`/`cells` the
+  // prefix defined, so augmented-corpus gates (planted duplicates) reuse
+  // the identical training replay.
+  private val lloydCellsBody =
+    s"""c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
        |       FROM ce JOIN cells ON ce.cid = cells.id GROUP BY 1, 2),
        |c1n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c1 GROUP BY 1),
        |a2dots AS (SELECT ce.cid AS id, c1.kid, sum(ce.v * c1.v) AS dot
@@ -373,7 +376,11 @@ object SimilarityQueries {
        |cells3 AS (SELECT id, kid AS cell
        |           FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                           ORDER BY csim DESC, kid) AS rn FROM a3sims)
-       |           WHERE rn = 1),
+       |           WHERE rn = 1)""".stripMargin
+
+  private val knnIvfTrainedSql =
+    s"""$ivfCtes,
+       |$lloydCellsBody,
        |qs AS (SELECT id AS qid, cell FROM cells3 WHERE id % $QueryMod = 0),
        |tpairs AS (SELECT qid, c3.id AS cid
        |           FROM qs JOIN cells3 c3 ON c3.cell = qs.cell AND c3.id <> qs.qid),
@@ -389,6 +396,49 @@ object SimilarityQueries {
        |                                   ORDER BY sim DESC, cid) AS rnk
        |      FROM tsims)
        |WHERE rnk <= $KIvf""".stripMargin
+
+  // ── SemDeDup: semantic dedup over the trained coarse cells ─────────────
+  // Composition gate: kmeans training (replayed) → cell assignment →
+  // within-cell ε-duplicate marking → per-vector keep/drop verdict. The
+  // planted exact copies (every 100th vector under a shifted id, the
+  // dedup_embedding_cosine convention) land in their original's cell by
+  // construction (identical vector ⇒ identical csims ⇒ same tiebreak)
+  // and are the only pairs clearing τ = 0.95 in the near-random fixture,
+  // so the gate value-checks assignment, pairing AND the keep rule on a
+  // non-vacuous result.
+  private val SemDupThreshold = 0.95
+  private val semanticDedupQ: Q = (s, dir) => {
+    val base = corpus(s, dir)
+    val planted = base.filter(col("id") % 100 === 0)
+      .select((col("id") + 1000000L).as("id"), col("vec"))
+    val c = base.unionByName(planted)
+    val init = c.filter(col("id") < NCentroids)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    VectorOps.semanticDedup(c, VectorOps.kmeans(c, init, KmeansIters),
+      SemDupThreshold)
+  }
+
+  private val semanticDedupSql =
+    s"""WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |             UNION ALL
+       |             SELECT vec_id + 1000000, embedding FROM embeddings
+       |             WHERE vec_id % 100 = 0),
+       |${vecCtesBody("emb2")},
+       |$ivfCtesBody,
+       |$lloydCellsBody,
+       |spairs AS (SELECT a.id AS d1, b.id AS d2
+       |           FROM cells3 a JOIN cells3 b ON a.cell = b.cell AND a.id < b.id),
+       |sdots AS (SELECT d1, d2, sum(x.v * y.v) AS dot
+       |          FROM spairs JOIN ce x ON x.cid = d1
+       |                      JOIN ce y ON y.cid = d2 AND y.i = x.i
+       |          GROUP BY 1, 2),
+       |drops AS (SELECT DISTINCT d2 AS id
+       |          FROM sdots JOIN norms n1 ON n1.vid = d1
+       |                     JOIN norms n2 ON n2.vid = d2
+       |          WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $SemDupThreshold)
+       |SELECT c.id, CAST(c.cell AS BIGINT) AS cell,
+       |       (d.id IS NULL) AS kept
+       |FROM cells3 c LEFT JOIN drops d ON d.id = c.id""".stripMargin
 
   // ── IVF-PQ: product quantization over the coarse quantizer ─────────────
   // The 100 TB ANN memory story: vectors live in the index only as m
@@ -589,6 +639,7 @@ object SimilarityQueries {
     "embedding_centroids"    -> embeddingCentroids,
     "kmeans_centroids"       -> kmeansCentroids,
     "knn_ivf_trained"        -> knnIvfTrained,
+    "semantic_dedup"         -> semanticDedupQ,
     "knn_ivfpq"              -> knnIvfPq,
     "knn_ivfpq_recall"       -> knnIvfPqRecall,
   )
@@ -604,6 +655,7 @@ object SimilarityQueries {
     "embedding_centroids"    -> embeddingCentroidsSql,
     "kmeans_centroids"       -> kmeansCentroidsSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,
+    "semantic_dedup"         -> semanticDedupSql,
     "knn_ivfpq"              -> knnIvfPqSql,
     "knn_ivfpq_recall"       -> knnIvfPqRecallSql,
   )

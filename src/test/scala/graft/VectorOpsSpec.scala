@@ -76,6 +76,16 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == expected, s"got $got")
   }
 
+  test("semanticDedup drops the higher-id ε-duplicate, keeps everything else") {
+    // two centroids (x-axis, y-axis); ids 0 and 2 are colinear (cos = 1,
+    // same cell) so 2 must drop; 3 shares 0's cell at 45° (cos ≈ 0.707
+    // < τ) and must survive; 1 is alone in its cell.
+    val cents = vecs.filter($"id" < 2L).select($"id".as("cent_id"), $"vec".as("cvec"))
+    val verdicts = VectorOps.semanticDedup(vecs, cents, 0.95).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("kept")).toMap
+    assert(verdicts === Map(0L -> true, 1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("kmeans recovers well-separated clusters from a one-per-cluster init") {
     // two angular clusters: near the x axis (ids 0,2,4) and near the y
     // axis (ids 1,3,5); init = ids 0 and 1, one seed per true cluster
