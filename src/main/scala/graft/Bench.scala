@@ -49,7 +49,8 @@ object Bench {
     "knn_ivf_trained", "canonical_docs", "pack_sequences",
     "interval_overlap_join", "q21_suppliers_waiting",
     "avro_logical_roundtrip", "knn_ivfpq", "knn_ivfpq_recall",
-    "streaming_near_dedup", "ngram_lm_score", "semantic_dedup")
+    "streaming_near_dedup", "ngram_lm_score", "semantic_dedup",
+    "repeated_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

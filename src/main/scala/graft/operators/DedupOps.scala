@@ -562,6 +562,50 @@ object DedupOps {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** Exact substring-level dedup: maximal CROSS-document repeated spans
+    * (the "dedup at n-gram granularity" of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — docs
+    * aren't near-dups of anyone yet still share verbatim boilerplate
+    * runs worth cutting). A word `n`-gram occurring in ≥ 2 distinct
+    * documents marks positions [pos, pos+n-1] in each; overlapping marks
+    * within a doc merge into maximal spans. Output: one row per maximal
+    * span (doc_id, span_start, span_end, n_grams) in token coordinates.
+    *
+    * Scale shape: gram fan-out is row-local (shinglesOf posexplode), the
+    * repeated-gram filter is one map-side-combinable aggregate over gram
+    * hashes, the mark join shuffles ∝ REPEATED grams only (boilerplate
+    * volume, not corpus volume), and the interval merge runs inside
+    * per-document window partitions (doc-sized, never global). The
+    * classic running-max interval merge: a span opens a new group iff it
+    * starts past every previous span's end. */
+  def repeatedSpans(docs: DataFrame, idCol: Column, textCol: Column,
+                    n: Int): DataFrame = {
+    val grams = docs
+      .select(idCol.as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.shinglesOf(col("ws"), n)))
+      .select(col("doc_id"), col("pos"), shingleHash40(col("col")).as("h"))
+    val repeated = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val marks = grams.join(repeated, Seq("h"))
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + n - 1).as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s"))
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(Long.MinValue, -1))
+    marks
+      .withColumn("brk",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).cast("long").as("span_start"),
+        max(col("e")).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("grp")
+  }
+
   /** 64-bit SimHash over the distinct token set: bit b votes +1/-1 by
     * bit (b mod 4) of hex digit ⌊b/4⌋ of md5(token) — i.e. the low 64
     * bits of the digest drive the 64 votes; bit set iff the vote sum is

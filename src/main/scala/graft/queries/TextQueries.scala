@@ -773,6 +773,45 @@ object TextQueries {
       |FROM bi WHERE bigram IS NOT NULL
       |GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin
 
+  // ── exact substring dedup: maximal cross-doc repeated spans ────────────
+  // Word-8-gram occurrences shared by ≥ 2 docs, merged per doc into
+  // maximal spans (operators.DedupOps.repeatedSpans — the Lee-et-al-style
+  // substring-granularity dedup that catches verbatim boilerplate between
+  // docs that are NOT near-duplicates of each other).
+  private val SpanN = 8
+  private val repeatedSpansQ: Q = (s, dir) =>
+    graft.operators.DedupOps.repeatedSpans(
+      Tables.documents(s, dir), col("doc_id"), col("text"), SpanN)
+
+  private val repeatedSpansSql = {
+    val gram = (1 until SpanN)
+      .map(k => s"lead(w, $k) OVER wd").mkString("w || '_' || ", " || '_' || ", "")
+    s"""WITH tok AS (SELECT doc_id, w,
+       |                    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+       |             FROM (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+       |                   FROM (SELECT doc_id, str_split(text, ' ') AS ws FROM documents))
+       |             WHERE w <> ''),
+       |g AS (SELECT doc_id, pos, $gram AS gram
+       |      FROM tok WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)),
+       |grams AS (SELECT doc_id, pos,
+       |                 CAST(('0x' || substring(md5(gram), 1, 10)) AS BIGINT) AS h
+       |          FROM g WHERE gram IS NOT NULL),
+       |rep AS (SELECT h FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |marks AS (SELECT doc_id, pos AS s, pos + ${SpanN - 1} AS e
+       |          FROM grams JOIN rep USING (h)),
+       |mk AS (SELECT doc_id, s, e,
+       |              CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |                   THEN 1 ELSE 0 END AS brk
+       |       FROM marks),
+       |mg AS (SELECT doc_id, s, e,
+       |              sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM mk)
+       |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+       |       CAST(max(e) AS BIGINT) AS span_end,
+       |       CAST(count(*) AS BIGINT) AS n_grams
+       |FROM mg GROUP BY doc_id, grp""".stripMargin
+  }
+
   // ── n-gram LM quality score (model-free perplexity filter) ─────────────
   // The KenLM-style quality signal pipelines run before training: score
   // each document by the mean log-probability of its bigram transitions
@@ -1247,6 +1286,7 @@ object TextQueries {
     "tfidf_top_terms"     -> tfidfTopTerms,
     "bigram_counts"       -> bigramCounts,
     "ngram_lm_score"      -> ngramLmScore,
+    "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
     "stratified_sample"   -> stratifiedSample,
     "dedup_docs_exact"    -> dedupDocsExact,
@@ -1287,6 +1327,7 @@ object TextQueries {
     "tfidf_top_terms"     -> tfidfTopTermsSql,
     "bigram_counts"       -> bigramCountsSql,
     "ngram_lm_score"      -> ngramLmScoreSql,
+    "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,
     "stratified_sample"   -> stratifiedSampleSql,
     "dedup_docs_exact"    -> dedupDocsExactSql,

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc stays out
   }
 
+  test("repeatedSpans: cross-doc marks merge to maximal spans; within-doc-only repeats excluded") {
+    val docs = Seq(
+      (1L, "x1 x2 c1 c2 c3 c4 y1"),        // shares c1..c4 with doc 2
+      (2L, "z1 c1 c2 c3 c4 z2 z3"),
+      (3L, "c1 c2 c3 g1 g2 c1 c2 c3"),     // two DISJOINT shared runs
+      (4L, "m m m m m m"),                 // repeats only within itself
+      (5L, "d1 d2 d3")).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(docs, col("doc_id"), col("text"), 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: marks [2,4]+[3,5] merge to [2,5]; doc 3: c1c2c3 at 0 and 5
+    // stay two spans; doc 4's self-repeats and doc 5 emit nothing
+    assert(spans === Set(
+      (1L, 2L, 5L, 2L), (2L, 1L, 4L, 2L),
+      (3L, 0L, 2L, 1L), (3L, 5L, 7L, 1L)))
+  }
+
   test("exactGroups finds exact duplicates only") {
     val g = DedupOps.exactGroups(docs, $"doc_id", $"text")
       .filter($"n_docs" > 1).collect()
