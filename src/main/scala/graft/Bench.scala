@@ -24,7 +24,10 @@ object Bench {
     * overflow the consumer's 2000-char stdout tail: the flagship, the
     * TPC-H-derived joins/aggs, every streaming gate, and the
     * LLM-pipeline families (dedup, ANN, multimodal, text) — the rows
-    * BASELINE.md and the round verdicts track. ~55 entries ≈ 1.6 KB. */
+    * BASELINE.md and the round verdicts track. Budget: one representative
+    * per family (full spread always lands in BENCH_DETAIL.json); at 59
+    * entries the worst-case line is ~1.8 KB vs the 1.9 KB cap — re-check
+    * the arithmetic when adding names. */
   private val Headline: Set[String] = Set(
     "unique_users_per_minute", "unique_users_two_phase", "q1_agg",
     "q3_topk_revenue", "q5_local_supplier_volume", "q18_large_orders",
@@ -32,25 +35,24 @@ object Bench {
     "streaming_update_changelog", "streaming_running_distinct",
     "streaming_late_data_drop", "streaming_dedup_within_watermark",
     "streaming_sessions", "streaming_stream_join", "state_store_dump",
-    "kafka_sink_projection", "dedup_docs_exact", "dedup_events_exact",
+    "kafka_sink_projection", "dedup_docs_exact",
     "dedup_clusters", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash64_near_pairs_banded", "cdc_chunks", "chunk_dedup",
+    "simhash64_near_pairs_banded", "cdc_chunks",
     "decontaminate_ngrams", "dedup_embedding_cosine", "knn_bruteforce",
-    "knn_ivf", "knn_ivf_recall", "ann_lsh_buckets", "embedding_centroids",
-    "multimodal_pipeline", "multimodal_pipeline_hist", "tfidf_top_terms",
+    "knn_ivf", "knn_ivf_recall",
+    "multimodal_pipeline", "tfidf_top_terms",
     "bm25_scores", "lang_id", "text_quality", "pii_scrub",
-    "pipeline_end_to_end", "format_roundtrip", "avro_roundtrip",
-    "avro_complex_roundtrip", "partitioned_roundtrip", "zorder_layout",
+    "pipeline_end_to_end", "format_roundtrip", "zorder_layout",
     "range_join_orders", "asof_native_attribution", "broadcast_dim_join",
     "join_sort_merge", "salted_agg_by_type", "window_analytics",
-    "session_window_stats", "json_extract", "variant_extract",
-    "variant_nested_extract", "observe_metrics", "shard_packing",
+    "json_extract",
     "q10_returned_items", "bloom_prefilter_join", "kmeans_centroids",
     "knn_ivf_trained", "canonical_docs", "pack_sequences",
     "interval_overlap_join", "q21_suppliers_waiting",
-    "avro_logical_roundtrip", "knn_ivfpq", "knn_ivfpq_recall",
+    "knn_ivfpq",
     "streaming_near_dedup", "ngram_lm_score", "semantic_dedup",
-    "repeated_spans")
+    "repeated_spans", "q7_volume_shipping", "q8_market_share",
+    "q14_promo_revenue")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -336,6 +336,118 @@ object RelationalQueries {
       |ORDER BY numwait DESC, s_name
       |LIMIT 100""".stripMargin
 
+  // ── TPC-H Q7: volume shipping between two nations ──────────────────────
+  // The bidirectional nation-pair filter ((n1,n2) OR (n2,n1)) over a
+  // 6-table chain — the join graph is declared flat, Catalyst picks the
+  // order, both nation dims broadcast; revenue grouped by the pair and
+  // ship year. Fixture adaptation: nations NATION_1/NATION_2, ship years
+  // 1995–1996 (the fixture's own date span).
+  private val q7VolumeShipping: Q = (s, dir) => {
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val custNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1997-01-01")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  private val q7VolumeShippingSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1997-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // ── TPC-H Q8: national market share ────────────────────────────────────
+  // Share of NATION_3's suppliers in PROMO-part revenue sold to EUROPE
+  // customers, per order year — the conditional-sum-over-sum shape on top
+  // of a 7-table chain (part filter pushed to its scan, region filter
+  // reduces the customer leg before the fact join, nation/region dims
+  // broadcast).
+  private val q8MarketShare: Q = (s, dir) => {
+    val euNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nkey"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1997-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(euNations), col("c_nationkey") === col("c_nkey"), "leftsemi")
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(0.0))
+          / sum(col("volume")), 6).as("mkt_share"))
+  }
+
+  private val q8MarketShareSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+      |                           THEN l_extendedprice * (1.0 - l_discount)
+      |                           ELSE 0.0 END)
+      |             / sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |WHERE p_type = 'PROMO'
+      |  AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      JOIN region ON n_regionkey = r_regionkey
+      |                      WHERE r_name = 'EUROPE')
+      |GROUP BY 1""".stripMargin
+
+  // ── TPC-H Q14: promotion effect ────────────────────────────────────────
+  // Conditional revenue share of PROMO parts over one ship year — the
+  // scalar-ratio aggregate; part dim filter stays in the probe side of a
+  // single fact join.
+  private val q14PromoRevenue: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", col("volume")).otherwise(0.0))
+        / sum(col("volume")), 6).as("promo_revenue"))
+
+  private val q14PromoRevenueSql =
+    """SELECT round(CAST(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |                                   THEN l_extendedprice * (1.0 - l_discount)
+      |                                   ELSE 0.0 END)
+      |             / sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 6) AS promo_revenue
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -593,6 +705,9 @@ object RelationalQueries {
     "q18_large_orders"    -> q18LargeOrders,
     "q10_returned_items"  -> q10ReturnedItems,
     "q21_suppliers_waiting" -> q21SuppliersWaiting,
+    "q7_volume_shipping"    -> q7VolumeShipping,
+    "q8_market_share"       -> q8MarketShare,
+    "q14_promo_revenue"     -> q14PromoRevenue,
     "bloom_prefilter_join" -> bloomPrefilterJoin,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
@@ -617,6 +732,9 @@ object RelationalQueries {
     "q18_large_orders"    -> q18LargeOrdersSql,
     "q10_returned_items"  -> q10ReturnedItemsSql,
     "q21_suppliers_waiting" -> q21SuppliersWaitingSql,
+    "q7_volume_shipping"    -> q7VolumeShippingSql,
+    "q8_market_share"       -> q8MarketShareSql,
+    "q14_promo_revenue"     -> q14PromoRevenueSql,
     "bloom_prefilter_join" -> bloomPrefilterJoinSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,
