@@ -133,6 +133,45 @@ class PlanAuditSpec extends SparkSpec {
       "top-100 must avoid a global sort")
   }
 
+  test("q7/q8: date and dim filters reach their scans; region membership is a semi join") {
+    val p7 = plan("q7_volume_shipping")
+    assert(p7.contains("GreaterThanOrEqual(l_shipdate,1995-01-01"),
+      s"ship-date window must reach the fact scan:\n$p7")
+    assert(p7.contains("Or(EqualTo(n_name,NATION_1),EqualTo(n_name,NATION_2))"),
+      s"nation-pair filter must reach the dim scan, not sit above the join:\n$p7")
+    val p8 = plan("q8_market_share")
+    assert(p8.contains("EqualTo(p_type,PROMO)"),
+      s"part-type filter must reach the part scan:\n$p8")
+    assert(p8.contains("EqualTo(r_name,EUROPE)"), p8)
+    assert(p8.contains("LeftSemi"),
+      "region membership should plan as a semi join, not inner join + distinct")
+  }
+
+  test("q14_promo_revenue: ship-year filter pushed to the fact scan") {
+    val p = plan("q14_promo_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
+  }
+
+  test("repeated_spans: row-local fan-out, one sort feeds both merge windows") {
+    val p = plan("repeated_spans")
+    assert(p.split("\\+- Window").length - 1 == 2, p)
+    assert(p.split("\\+- Sort ").length - 1 == 1,
+      "the two interval-merge windows must share one per-doc sort")
+    // shuffles: the repeated-gram distinct-count pair + the doc window;
+    // the final span aggregate must REUSE the doc clustering
+    assert(p.split("\\+- Exchange ").length - 1 == 3,
+      s"span aggregate should not add a 4th shuffle:\n$p")
+    assert(p.contains("Generate"), "gram fan-out must be a row-local explode")
+  }
+
+  test("ngram_lm_score: no global window; vocab scalar broadcasts") {
+    val p = plan("ngram_lm_score")
+    assert(!p.contains("Window"),
+      "bigram fan-out must be row-local arrays_zip, not a lead() window")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      "the 1-row vocab aggregate should broadcast-cross, costing nothing")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
