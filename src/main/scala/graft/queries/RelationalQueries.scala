@@ -448,6 +448,239 @@ object RelationalQueries {
       |JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'""".stripMargin
 
+  // ── TPC-H Q4: order priority checking (EXISTS semi-join + priority agg) ─
+  // Counts one quarter's orders that had at least one problem line. The
+  // fixture carries no commit/receipt dates, so "late line" is the same
+  // deterministic flag Q21 uses (l_returnflag = 'R'); the shape — a
+  // date-pruned orders scan semi-joined against a projected 2-column
+  // fact — is intact. The semi-join shuffles only (l_orderkey); the
+  // priority agg is 5 groups, map-side combined.
+  private val q4OrderPriority: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= "1996-07-01" && col("o_orderdate") < "1996-10-01")
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  private val q4OrderPrioritySql =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin
+
+  // ── TPC-H Q6: forecasting revenue change (pure scan-filter-agg) ────────
+  // The pushdown showcase: zero joins, all four predicates land in
+  // PushedFilters on the parquet scan, and the plan is scan → partial
+  // agg → single-row final agg. At 100 TB this is the query whose cost
+  // is I/O alone — row-group statistics skip everything outside the ship
+  // year. Discount bounds compare the stored doubles against the same
+  // IEEE literals in both engines.
+  private val q6ForecastRevenue: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+        && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+        && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  private val q6ForecastRevenueSql =
+    """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  // ── TPC-H Q12: shipping modes and order priority ───────────────────────
+  // The conditional-count pivot over a fact-fact join: per line status
+  // (fixture stand-in for l_shipmode, which the synthetic schema omits),
+  // how many problem lines belonged to high- vs low-priority orders.
+  // Priority classification is a codegen'd CASE inside the agg — one
+  // shuffle on the join key, two counters per group.
+  private val q12ShipPriority: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R"
+            && col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+
+  private val q12ShipPrioritySql =
+    """SELECT l_linestatus,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag = 'R'
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
+  // ── TPC-H Q13: customer order-count distribution ───────────────────────
+  // The double aggregate over a LEFT join whose filter lives in the ON
+  // clause (filtering before the join, NOT after — customers with zero
+  // qualifying orders must survive with c_count = 0; the fixture's
+  // priority filter stands in for the original comment LIKE). First agg
+  // shuffles on c_custkey, second on the tiny c_count domain.
+  private val q13CustDistribution: Q = (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  private val q13CustDistributionSql =
+    """SELECT CAST(c_count AS BIGINT) AS c_count,
+      |       CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer LEFT JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |      GROUP BY c_custkey)
+      |GROUP BY 1""".stripMargin
+
+  // ── TPC-H Q15: top supplier by quarterly revenue ───────────────────────
+  // The scalar-max-subquery shape WITHOUT a driver collect: the revenue
+  // aggregate is consumed twice (supplier join + max), the single-row max
+  // is broadcast via crossJoin, and AQE's exchange reuse dedups the
+  // shared agg subplan at runtime (the knn_ivf_recall pattern). Revenue
+  // is rounded to 2 dp BEFORE the max/equality so the tie predicate
+  // compares identical doubles in both engines.
+  private val q15TopSupplier: Q = (s, dir) => {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+    Tables.supplier(s, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  private val q15TopSupplierSql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  // ── TPC-H Q17: small-quantity-order revenue (correlated per-part avg) ──
+  // The correlated scalar subquery decorrelated by hand into the plan
+  // Catalyst would build: per-part avg computed ONCE over the lineitems
+  // of qualifying parts (semi-join first, so the avg agg only touches
+  // the brand's slice of the fact), then broadcast back. The avg of
+  // integer-valued quantities is bit-exact across engines (exact double
+  // sums), so the 0.2× threshold compare is deterministic. /7.0 follows
+  // the TPC-H "average yearly" convention.
+  private val q17SmallQtyRevenue: Q = (s, dir) => {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#21" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val brandLines = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "leftsemi")
+    val thresholds = brandLines
+      .groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+    brandLines
+      .join(broadcast(thresholds), col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  private val q17SmallQtyRevenueSql =
+    """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#21' AND p_size < 15
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  // ── TPC-H Q19: discounted revenue (disjunctive mixed-side predicates) ──
+  // The OR-of-conjuncts that defeats naive pushdown: each branch mixes
+  // part-side (brand, size) and fact-side (quantity) conjuncts. The
+  // classic Q19 plan is built explicitly — the part-only hull
+  // (brand ∈ set ∧ size ≤ 15) prunes the build side before broadcast,
+  // the fact-only hull (quantity ≤ 30) reaches the lineitem scan as a
+  // pushed filter, and the exact disjunction evaluates post-join inside
+  // codegen. Fixture stand-in: p_size ranges for the original
+  // p_container sets.
+  private val q19DiscountedRevenue: Q = (s, dir) => {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+        && col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  private val q19DiscountedRevenueSql =
+    """SELECT round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // ── TPC-H Q22: global sales opportunity ────────────────────────────────
+  // Scalar-avg subquery + anti-join: well-funded customers in target
+  // "country codes" with no RECENT order. Fixture adaptations: the code
+  // is c_nationkey % 10 (no c_phone column), and "no orders in 7 years"
+  // becomes no orders since 2000 (every fixture customer has SOME order,
+  // so the original unbounded NOT EXISTS would gate on zero rows —
+  // vacuous). The avg threshold is broadcast as a single row; the
+  // anti-join shuffles only the date-pruned (o_custkey) projection.
+  private val q22SalesOpportunity: Q = (s, dir) => {
+    val targets = Tables.customer(s, dir)
+      .filter((col("c_nationkey") % 10).isin(1, 3, 5, 7))
+    val thresh = targets.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    targets
+      .crossJoin(broadcast(thresh))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= "2000-01-01").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 10).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
+  private val q22SalesOpportunitySql =
+    """SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+      |       CAST(count(*) AS BIGINT) AS numcust,
+      |       round(CAST(sum(c_acctbal) AS DOUBLE), 2) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -708,6 +941,14 @@ object RelationalQueries {
     "q7_volume_shipping"    -> q7VolumeShipping,
     "q8_market_share"       -> q8MarketShare,
     "q14_promo_revenue"     -> q14PromoRevenue,
+    "q4_order_priority"     -> q4OrderPriority,
+    "q6_forecast_revenue"   -> q6ForecastRevenue,
+    "q12_ship_priority"     -> q12ShipPriority,
+    "q13_cust_distribution" -> q13CustDistribution,
+    "q15_top_supplier"      -> q15TopSupplier,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
+    "q19_discounted_revenue" -> q19DiscountedRevenue,
+    "q22_sales_opportunity" -> q22SalesOpportunity,
     "bloom_prefilter_join" -> bloomPrefilterJoin,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
@@ -735,6 +976,14 @@ object RelationalQueries {
     "q7_volume_shipping"    -> q7VolumeShippingSql,
     "q8_market_share"       -> q8MarketShareSql,
     "q14_promo_revenue"     -> q14PromoRevenueSql,
+    "q4_order_priority"     -> q4OrderPrioritySql,
+    "q6_forecast_revenue"   -> q6ForecastRevenueSql,
+    "q12_ship_priority"     -> q12ShipPrioritySql,
+    "q13_cust_distribution" -> q13CustDistributionSql,
+    "q15_top_supplier"      -> q15TopSupplierSql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q19_discounted_revenue" -> q19DiscountedRevenueSql,
+    "q22_sales_opportunity" -> q22SalesOpportunitySql,
     "bloom_prefilter_join" -> bloomPrefilterJoinSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,

@@ -70,6 +70,25 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q13 distribution accounts for every customer exactly once") {
+    val dist = Queries.all("q13_cust_distribution")(spark, sf001)
+      .agg(sum(col("custdist"))).head().getLong(0)
+    assert(dist == graft.sources.Tables.customer(spark, sf001).count())
+  }
+
+  test("q15 returns the max-revenue supplier(s), one revenue value only") {
+    val rows = Queries.all("q15_top_supplier")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDouble(rows.head.fieldIndex("total_revenue"))).distinct.length == 1)
+  }
+
+  test("q22 targets only the configured country codes, non-vacuously") {
+    val rows = Queries.all("q22_sales_opportunity")(spark, sf001).collect()
+    assert(rows.nonEmpty, "vacuous — recent-order cutoff drifted")
+    val codes = rows.map(_.getLong(rows.head.fieldIndex("cntrycode"))).toSet
+    assert(codes.subsetOf(Set(1L, 3L, 5L, 7L)))
+  }
+
   test("sliding windows double-count each event across two windows") {
     val ev = graft.sources.Tables.events(spark, sf001).count()
     val windowed = Queries.all("sliding_window_counts")(spark, sf001)
