@@ -152,6 +152,67 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate,1997-01-01"), p)
   }
 
+  test("q6: all four predicates reach the scan, nothing else in the plan") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list is elided in toString past ~100 chars, so the
+    // pushdown evidence is its prefix + the Filter node's literal forms
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), p)
+    assert(p.contains(">= 0.05)") && p.contains("<= 0.07)") && p.contains("< 24.0)"), p)
+    assert(!p.contains("Join"), "Q6 is the zero-join query")
+    assert(!p.contains("l_orderkey"), "reads columns the query never uses")
+    assert(p.contains("struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"),
+      "scan must read exactly the four referenced columns")
+  }
+
+  test("q19: both pushdown hulls reach their scans, exact OR stays post-join") {
+    val p = plan("q19_discounted_revenue")
+    // part-only hull on the build side, fact-only hull on the probe side
+    assert(p.contains("In(p_brand, [Brand#12,Brand#23,Brand#3])"),
+      s"brand hull must prune the part scan before broadcast:\n$p")
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity hull must reach the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"disjunctive predicates must not defeat the equi-join:\n$p")
+  }
+
+  test("q15: scalar max broadcast as a single-row cross, no driver collect") {
+    val p = plan("q15_top_supplier")
+    // Catalyst rewrites crossJoin(broadcast(maxRev)) + equality filter
+    // into a broadcast HASH join keyed on the (normalized) revenue value
+    // — strictly better than the nested-loop cross; pin that upgrade.
+    assert(p.contains("BroadcastHashJoin") && p.contains("Cross"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      "revenue agg and max agg must both hash-aggregate")
+  }
+
+  test("q13: ON-clause filter pushed to orders scan below the LEFT join") {
+    val p = plan("q13_cust_distribution")
+    assert(p.contains("Not(EqualTo(o_orderpriority,5-LOW))"),
+      s"ON-clause filter must reach the orders scan (join stays LEFT):\n$p")
+    assert(p.contains("LeftOuter"), p)
+  }
+
+  test("q17: avg touches only the brand slice (semi-join below the agg)") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("LeftSemi"),
+      s"per-part avg must aggregate the semi-joined slice, not the whole fact:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#21)") && p.contains("LessThan(p_size,15)"),
+      s"part filters must reach the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q22: anti join on the date-pruned projection, threshold broadcast") {
+    val p = plan("q22_sales_opportunity")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-01-01"),
+      s"recent-order cutoff must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "single-row avg threshold should broadcast")
+  }
+
   test("repeated_spans: row-local fan-out, one sort feeds both merge windows") {
     val p = plan("repeated_spans")
     assert(p.split("\\+- Window").length - 1 == 2, p)
