@@ -188,17 +188,65 @@ object SourceQueries {
       |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
       |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin
 
+  // ── bucketed write + co-located ZERO-shuffle join ──────────────────────
+  // The other half of the layout story (zorder_layout covers scan
+  // locality; this covers JOIN locality): write both sides bucketed and
+  // sorted on the join key, and the sort-merge join needs no exchange
+  // and no sort — at 100 TB this is the difference between re-shuffling
+  // two fact tables per query and shuffling once at ingest. The
+  // repartition(8, key) before each write matches Spark's bucket
+  // hashing, so every bucket is exactly one file and the sortBy order
+  // survives the read. Table names carry the scratch tag (sfDir + pid)
+  // so concurrent gates over different dirs/processes never collide in
+  // the shared session catalog. The merge hint forces the SMJ path (the
+  // dim side is small enough to broadcast at gate scale, which would
+  // hide the bucketing evidence); the follow-up per-customer aggregate
+  // reuses the join's clustering, so the WHOLE plan is exchange-free —
+  // PlanAuditSpec pins that.
+  private val bucketedJoinColocated: Q = (s, dir) => {
+    val outDir = scratchPath("bkt", dir)
+    val tag = outDir.substring(outDir.lastIndexOf("graft_bkt_") + "graft_bkt_".length)
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+    val ordT = s"graft_bkt_orders_$tag"
+    val custT = s"graft_bkt_customer_$tag"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").option("path", s"$outDir/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable(ordT)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").option("path", s"$outDir/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable(custT)
+    s.table(custT)
+      .join(s.table(ordT).hint("merge"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+  }
+
+  private val bucketedJoinColocatedSql =
+    """SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_orders,
+      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
     "format_roundtrip" -> formatRoundtrip,
     "avro_roundtrip" -> avroRoundtrip,
     "avro_complex_roundtrip" -> avroComplexRoundtrip,
     "avro_logical_roundtrip" -> avroLogicalRoundtrip,
-    "partitioned_roundtrip" -> partitionedRoundtrip)
+    "partitioned_roundtrip" -> partitionedRoundtrip,
+    "bucketed_join_colocated" -> bucketedJoinColocated)
 
   val oracles: Map[String, String] = Map(
     "format_roundtrip" -> formatRoundtripSql,
     "avro_roundtrip" -> avroRoundtripSql,
     "avro_complex_roundtrip" -> avroComplexRoundtripSql,
     "avro_logical_roundtrip" -> avroLogicalRoundtripSql,
-    "partitioned_roundtrip" -> partitionedRoundtripSql)
+    "partitioned_roundtrip" -> partitionedRoundtripSql,
+    "bucketed_join_colocated" -> bucketedJoinColocatedSql)
 }

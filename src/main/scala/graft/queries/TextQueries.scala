@@ -849,6 +849,44 @@ object TextQueries {
        |       round(coalesce(lp, 0.0), 6) AS lm_score
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  // ── DSIR importance weighting (hashed-n-gram target/raw log-ratio) ─────
+  // Data selection for pretraining (Xie et al. 2023): score every doc by
+  // how target-like its hashed-bigram distribution is — here the target
+  // domain is the corpus' English slice. One corpus pass builds BOTH
+  // distributions (conditional sum inside one bucket groupBy), the
+  // 64-row ratio table broadcasts, and the per-doc sum is one shuffle on
+  // doc_id. Bucket assignment uses the md5-prefix 40-bit convention so
+  // DuckDB replays the hash bit-for-bit.
+  private val DsirBuckets = 64
+  private val DsirAlpha = 0.5
+  private val dsirImportance: Q = (s, dir) =>
+    graft.operators.Dsir.hashedNgramLogWeights(
+      Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en", DsirBuckets, DsirAlpha)
+
+  private val dsirImportanceSql =
+    s"""WITH tok AS (SELECT doc_id, lang, w, i FROM
+       |             (SELECT doc_id, lang, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+       |              FROM (SELECT doc_id, lang, str_split(text, ' ') AS ws FROM documents))
+       |             WHERE w <> ''),
+       |bi AS (SELECT doc_id, t,
+       |              CAST(('0x' || substring(md5(w1 || ' ' || w2), 1, 10)) AS BIGINT)
+       |                % $DsirBuckets AS b
+       |       FROM (SELECT doc_id, lang = 'en' AS t, w AS w1,
+       |                    lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2 FROM tok)
+       |       WHERE w2 IS NOT NULL),
+       |cnt AS (SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS ct, count(*) AS cr
+       |        FROM bi GROUP BY 1),
+       |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+       |lr AS (SELECT b, ln((ct + $DsirAlpha) / (tt + $DsirAlpha * $DsirBuckets))
+       |               - ln((cr + $DsirAlpha) / (tr + $DsirAlpha * $DsirBuckets)) AS lr
+       |       FROM cnt CROSS JOIN tot),
+       |per_doc AS (SELECT doc_id, count(*) AS ng, round(sum(lr), 6) AS logw
+       |            FROM bi JOIN lr USING (b) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(ng, 0) AS BIGINT) AS n_grams,
+       |       coalesce(logw, 0.0) AS dsir_logw
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
+
   // ── deterministic dataset split + stratified sample ────────────────────
   private val datasetSplit: Q = (s, dir) =>
     Tables.documents(s, dir).select(
@@ -1286,6 +1324,7 @@ object TextQueries {
     "tfidf_top_terms"     -> tfidfTopTerms,
     "bigram_counts"       -> bigramCounts,
     "ngram_lm_score"      -> ngramLmScore,
+    "dsir_importance"     -> dsirImportance,
     "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
     "stratified_sample"   -> stratifiedSample,
@@ -1327,6 +1366,7 @@ object TextQueries {
     "tfidf_top_terms"     -> tfidfTopTermsSql,
     "bigram_counts"       -> bigramCountsSql,
     "ngram_lm_score"      -> ngramLmScoreSql,
+    "dsir_importance"     -> dsirImportanceSql,
     "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,
     "stratified_sample"   -> stratifiedSampleSql,

@@ -204,6 +204,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bucketed_join_colocated: the whole plan is exchange-free") {
+    // bucketed+sorted on the join key on both sides: the SMJ needs no
+    // shuffle and no sort, and the per-customer agg reuses the join's
+    // clustering — zero Exchange nodes anywhere is the point of the gate
+    val p = plan("bucketed_join_colocated")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"),
+      s"bucketed co-located join must not shuffle (ingest already did):\n$p")
+    assert(!p.contains("+- Sort") || p.contains("SelectedBucketsCount"),
+      s"one file per bucket should preserve sortBy order through the scan:\n$p")
+  }
+
+  test("dsir_importance: one corpus pass, ratio table broadcast") {
+    val p = plan("dsir_importance")
+    // target+raw counts come from ONE bucket groupBy (a per-distribution
+    // pass would add a 5th scan): static plan has exactly 4 scans — id
+    // spine, grams-for-scoring, and the counts subtree twice (totals +
+    // ratios — one shuffle, deduped to ReusedExchange by AQE at runtime)
+    assert(p.split("FileScan parquet").length - 1 <= 4,
+      s"distribution-building must not add corpus scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"64-row ratio table must broadcast into the gram stream:\n$p")
+  }
+
   test("q22: anti join on the date-pruned projection, threshold broadcast") {
     val p = plan("q22_sales_opportunity")
     assert(p.contains("LeftAnti"), p)

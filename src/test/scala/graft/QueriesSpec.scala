@@ -89,6 +89,18 @@ class QueriesSpec extends SparkSpec {
     assert(codes.subsetOf(Set(1L, 3L, 5L, 7L)))
   }
 
+  test("dsir: target-domain docs score higher than non-target on average") {
+    val df = Queries.all("dsir_importance")(spark, sf001)
+      .join(graft.sources.Tables.documents(spark, sf001).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val rows = df.groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg(col("dsir_logw")).as("m")).collect()
+    val en = rows.find(_.getBoolean(0)).get.getDouble(1)
+    val rest = rows.find(!_.getBoolean(0)).get.getDouble(1)
+    assert(en > rest,
+      s"importance weighting must separate the target domain (en=$en, rest=$rest)")
+  }
+
   test("sliding windows double-count each event across two windows") {
     val ev = graft.sources.Tables.events(spark, sf001).count()
     val windowed = Queries.all("sliding_window_counts")(spark, sf001)
