@@ -191,12 +191,13 @@ object SourceQueries {
   // ── bucketed write + co-located ZERO-shuffle join ──────────────────────
   // The other half of the layout story (zorder_layout covers scan
   // locality; this covers JOIN locality): write both sides bucketed and
-  // sorted on the join key, and the sort-merge join needs no exchange
-  // and no sort — at 100 TB this is the difference between re-shuffling
-  // two fact tables per query and shuffling once at ingest. The
-  // repartition(8, key) before each write matches Spark's bucket
-  // hashing, so every bucket is exactly one file and the sortBy order
-  // survives the read. Table names carry the scratch tag (sfDir + pid)
+  // sorted on the join key, and the sort-merge join needs no exchange —
+  // at 100 TB this is the difference between re-shuffling two fact
+  // tables per query and shuffling once at ingest. The repartition(8,
+  // key) before each write matches Spark's bucket hashing, so every
+  // bucket is exactly one file. (Per-bucket Sort nodes remain: since
+  // Spark 3.0 the bucketed scan reports partitioning but not sortBy
+  // order — SPARK-28595; the sorts are in-memory per bucket.) Table names carry the scratch tag (sfDir + pid)
   // so concurrent gates over different dirs/processes never collide in
   // the shared session catalog. The merge hint forces the SMJ path (the
   // dim side is small enough to broadcast at gate scale, which would

@@ -212,8 +212,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
     assert(!p.contains("Exchange"),
       s"bucketed co-located join must not shuffle (ingest already did):\n$p")
-    assert(!p.contains("+- Sort") || p.contains("SelectedBucketsCount"),
-      s"one file per bucket should preserve sortBy order through the scan:\n$p")
+    // per-bucket Sort nodes REMAIN: since Spark 3.0 the bucketed scan
+    // reports only its partitioning, not the sortBy order (SPARK-28595,
+    // legacy flag off) — the win is the absent shuffle, and the sorts
+    // are in-memory per-bucket, never a global exchange
+    assert(p.split("\\bSort \\[").length - 1 == 2, s"expected the two SMJ sorts only:\n$p")
   }
 
   test("dsir_importance: one corpus pass, ratio table broadcast") {
