@@ -628,8 +628,64 @@ object SimilarityQueries {
       |      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ── Matryoshka truncated-dim KNN + recall vs the full-dim truth ────────
+  // MRL-style dimension truncation (Kusupati et al. 2022, public): search
+  // on the first 16 of 64 dims — a 4× compute/memory cut that needs NO
+  // index, just a slice — and measure per-query how many of the full-dim
+  // top-5 survive. Truncation is a row-local projection (slice + the same
+  // codegen'd dot/norm kernels); the hit count joins the two top-k sets
+  // on (qid, cid) — shuffle ∝ k·queries, never the corpus. At 100 TB this
+  // is the cheap first stage of a coarse-to-fine cascade: truncated dims
+  // prune, full dims re-rank.
+  private val MrlDim = 16
+  private val mrlTruncatedKnn: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val isQuery = col("id") % QueryMod === 0
+    val t = c.select(col("id"), slice(col("vec"), 1, MrlDim).as("vec"))
+    val mrl = VectorOps.bruteForceKnn(t.filter(isQuery), t, KBrute)
+    val full = VectorOps.bruteForceKnn(c.filter(isQuery), c, KBrute)
+      .select(col("qid"), col("cid"))
+    val hits = full.join(mrl.select(col("qid"), col("cid")), Seq("qid", "cid"), "leftsemi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    mrl.join(hits, Seq("qid"), "left")
+      .select(col("qid"), col("cid"), col("sim"), col("rank"),
+        coalesce(col("h"), lit(0L)).as("hits_full"))
+  }
+
+  private val mrlTruncatedKnnSql =
+    s"""$vecCtes,
+       |te AS (SELECT cid, v, i FROM ce WHERE i <= $MrlDim),
+       |tnorms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM te GROUP BY 1),
+       |tqe AS (SELECT cid AS qid, v, i FROM te WHERE cid % $QueryMod = 0),
+       |tdots AS (SELECT qid, cid, sum(tqe.v * te.v) AS dot
+       |          FROM tqe JOIN te ON tqe.i = te.i AND qid <> cid GROUP BY 1, 2),
+       |tsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM tdots JOIN tnorms nq ON nq.vid = qid
+       |                     JOIN tnorms nc ON nc.vid = cid),
+       |ttop AS (SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                         ORDER BY sim DESC, cid) AS rnk FROM tsims)
+       |         WHERE rnk <= $KBrute),
+       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
+       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
+       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
+       |          FROM bdots JOIN norms nq ON nq.vid = qid
+       |                     JOIN norms nc ON nc.vid = cid),
+       |btop AS (SELECT qid, cid
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
+       |         WHERE rnk <= $KBrute),
+       |hits AS (SELECT b.qid, count(*) AS h
+       |         FROM btop b JOIN ttop t ON b.qid = t.qid AND b.cid = t.cid
+       |         GROUP BY 1)
+       |SELECT ttop.qid, cid, sim, rank,
+       |       CAST(coalesce(h, 0) AS BIGINT) AS hits_full
+       |FROM ttop LEFT JOIN hits ON ttop.qid = hits.qid""".stripMargin
+
   val all: Map[String, Q] = Map(
     "knn_bruteforce"  -> knnBruteforce,
+    "mrl_truncated_knn" -> mrlTruncatedKnn,
     "ivf_assign"      -> ivfAssignQ,
     "knn_ivf"         -> knnIvf,
     "knn_ivf_recall"  -> knnIvfRecall,
@@ -646,6 +702,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_bruteforce"  -> knnBruteforceSql,
+    "mrl_truncated_knn" -> mrlTruncatedKnnSql,
     "ivf_assign"      -> ivfAssignSql,
     "knn_ivf"         -> knnIvfSql,
     "knn_ivf_recall"  -> knnIvfRecallSql,

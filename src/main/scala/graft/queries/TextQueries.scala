@@ -887,6 +887,51 @@ object TextQueries {
        |       coalesce(logw, 0.0) AS dsir_logw
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  // ── weighted reservoir sampling (Efraimidis–Spirakis) ──────────────────
+  // Deterministic weighted subsampling: each doc gets key u^(1/w) with
+  // u ∈ (0,1] hash-derived from its id and w = n_chars; the top-k by key
+  // IS a weighted sample without replacement (E–S 2006, public). Fully
+  // distributed: the key is a row-local projection, the top-20 goes
+  // through TakeOrderedAndProject (k rows per partition, no global
+  // sort) — the shape that picks 1M docs from 100 TB in one pass. The
+  // key is rounded to 9 dp before ranking with an id tiebreak so pow's
+  // last-ulp differences across engines can't flip an order.
+  // Planted-heavy convention (as in the dedup gates): every 500th doc is
+  // re-ingested under a shifted id with an effectively unbounded weight,
+  // whose key u^(1/w) rounds to exactly 1.0 — so the hash check proves
+  // weight DOMINANCE structurally (heavies always outrank naturals),
+  // not just that both engines replay the same formula. The fixture's
+  // own length spread is too narrow for a 20-doc sample to show bias
+  // statistically.
+  private val EsK = 20
+  private val weightedSampleTopk: Q = (s, dir) => {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val planted = base.filter(col("doc_id") % 500 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        lit(1000000000L).as("n_chars"))
+    base.unionByName(planted)
+      .select(col("doc_id"), col("n_chars"),
+        round(pow(
+          (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+            1, 10), 16, 10).cast("double") + 1.0) / 1099511627776.0,
+          lit(1.0) / col("n_chars")), 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(EsK)
+  }
+
+  private val weightedSampleTopkSql =
+    s"""WITH corpus AS (SELECT doc_id, n_chars FROM documents
+       |                UNION ALL
+       |                SELECT doc_id + 2000000, CAST(1000000000 AS BIGINT)
+       |                FROM documents WHERE doc_id % 500 = 0)
+       |SELECT doc_id, n_chars,
+       |       round(pow((CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 10))
+       |                   AS BIGINT) + 1.0) / 1099511627776.0,
+       |                 1.0 / n_chars), 9) AS es_key
+       |FROM corpus
+       |ORDER BY es_key DESC, doc_id
+       |LIMIT $EsK""".stripMargin
+
   // ── deterministic dataset split + stratified sample ────────────────────
   private val datasetSplit: Q = (s, dir) =>
     Tables.documents(s, dir).select(
@@ -1325,6 +1370,7 @@ object TextQueries {
     "bigram_counts"       -> bigramCounts,
     "ngram_lm_score"      -> ngramLmScore,
     "dsir_importance"     -> dsirImportance,
+    "weighted_sample_topk" -> weightedSampleTopk,
     "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
     "stratified_sample"   -> stratifiedSample,
@@ -1367,6 +1413,7 @@ object TextQueries {
     "bigram_counts"       -> bigramCountsSql,
     "ngram_lm_score"      -> ngramLmScoreSql,
     "dsir_importance"     -> dsirImportanceSql,
+    "weighted_sample_topk" -> weightedSampleTopkSql,
     "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,
     "stratified_sample"   -> stratifiedSampleSql,

@@ -101,6 +101,31 @@ class QueriesSpec extends SparkSpec {
       s"importance weighting must separate the target domain (en=$en, rest=$rest)")
   }
 
+  test("mrl truncation: 5 ranked rows per query, hit counts bounded by k") {
+    // the fixture embeddings are random, so truncated recall is near
+    // chance BY CONSTRUCTION (no MRL nesting structure to preserve) —
+    // the gate's value is the hash-checked hit accounting, pinned here
+    // structurally: exactly ranks 1..5 per query, hits in [0, 5]
+    val rows = Queries.all("mrl_truncated_knn")(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(rs.head.fieldIndex("rank"))).sorted.sameElements(1L to 5L),
+        s"query $q: ranks not 1..5")
+      val hs = rs.map(_.getLong(rs.head.fieldIndex("hits_full"))).distinct
+      assert(hs.length == 1 && hs.head >= 0 && hs.head <= 5, s"query $q: bad hits $hs")
+    }
+  }
+
+  test("weighted sample: planted unbounded-weight docs dominate the ranking") {
+    val rows = Queries.all("weighted_sample_topk")(spark, sf001).collect()
+    val planted = rows.takeWhile(_.getLong(0) >= 2000000L).length
+    assert(planted >= 1, "no planted heavy doc surfaced — weighting broken")
+    assert(rows.drop(planted).forall(_.getLong(0) < 2000000L),
+      "a natural doc outranked a planted heavy — E-S key not weight-dominant")
+    assert(rows.length == 20)
+  }
+
   test("sliding windows double-count each event across two windows") {
     val ev = graft.sources.Tables.events(spark, sf001).count()
     val windowed = Queries.all("sliding_window_counts")(spark, sf001)
