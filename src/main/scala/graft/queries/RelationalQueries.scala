@@ -681,6 +681,228 @@ object RelationalQueries {
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY 1""".stripMargin
 
+  // ── derived partsupp: the five remaining TPC-H shapes ──────────────────
+  // The fixture omits the partsupp table, so Q2/Q9/Q11/Q16/Q20 derive one
+  // DETERMINISTICALLY from part × {0..3} (the planted-input convention:
+  // the same arithmetic is inlined in the oracle CTE, so the gate checks
+  // the QUERY shape, not fixture luck): each part gets 4 suppliers at
+  // stride 7919 (coprime to every fixture supplier count, so the 4 are
+  // distinct), with hash-ish supplycost/availqty from integer arithmetic
+  // — exact in both engines. The supplier-count scalar is a driver-side
+  // dim count (the bloom-NDV precedent), never a fact-table collect.
+  private def derivedPartsupp(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val nSupp = Tables.supplier(s, dir).count()
+    val sk = pmod(col("p_partkey") + col("i") * 7919, lit(nSupp))
+    Tables.part(s, dir)
+      .select(col("p_partkey"), explode(array((0 to 3).map(lit(_)): _*)).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        sk.as("ps_suppkey"),
+        (pmod(col("p_partkey") * 31 + sk * 17, lit(10000)) / 100.0 + 1.0)
+          .as("ps_supplycost"),
+        (pmod(col("p_partkey") * 7 + sk * 13, lit(10000)) + 1).as("ps_availqty"))
+  }
+
+  /** The oracle-side mirror of [[derivedPartsupp]] (one CTE body). */
+  private val psCte =
+    """partsupp AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey + i * 7919) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |         ((p_partkey * 31 + ((p_partkey + i * 7919) % (SELECT count(*) FROM supplier)) * 17) % 10000) / 100.0 + 1.0 AS ps_supplycost,
+      |         (p_partkey * 7 + ((p_partkey + i * 7919) % (SELECT count(*) FROM supplier)) * 13) % 10000 + 1 AS ps_availqty
+      |  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i))""".stripMargin
+
+  // ── TPC-H Q2: minimum-cost supplier ────────────────────────────────────
+  // The correlated-min decorrelated: per-part min supplycost over the
+  // REGION-filtered partsupp (computed once, joined back on equality —
+  // cost values are exact 2-dp doubles by construction, so the equality
+  // is engine-portable), nation/region dims broadcast, top-100 via
+  // TakeOrderedAndProject on a unique ordering key.
+  private val q2MinCostSupplier: Q = (s, dir) => {
+    val eu = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val rps = derivedPartsupp(s, dir)
+      .join(Tables.supplier(s, dir), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(eu), col("s_nationkey") === col("n_nationkey"))
+    val mn = rps.groupBy(col("ps_partkey").as("mn_partkey"))
+      .agg(min(col("ps_supplycost")).as("mc"))
+    rps.join(mn, col("ps_partkey") === col("mn_partkey")
+        && col("ps_supplycost") === col("mc"))
+      .join(Tables.part(s, dir)
+          .filter(col("p_size") <= 10 && col("p_type") === "LARGE"),
+        col("ps_partkey") === col("p_partkey"))
+      .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"),
+        round(col("ps_supplycost"), 2).as("ps_supplycost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  private val q2MinCostSupplierSql =
+    s"""WITH $psCte,
+       |rps AS (SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+       |        FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey
+       |        JOIN nation ON s_nationkey = n_nationkey
+       |        JOIN region ON n_regionkey = r_regionkey
+       |        WHERE r_name = 'EUROPE'),
+       |mn AS (SELECT ps_partkey, min(ps_supplycost) AS mc FROM rps GROUP BY 1)
+       |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       |       round(ps_supplycost, 2) AS ps_supplycost
+       |FROM rps JOIN mn ON mn.ps_partkey = rps.ps_partkey AND ps_supplycost = mc
+       |JOIN part ON p_partkey = rps.ps_partkey
+       |WHERE p_size <= 10 AND p_type = 'LARGE'
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  // ── TPC-H Q9: product-type profit measure ──────────────────────────────
+  // The 6-table profit rollup with the two-column partsupp join (both
+  // l_partkey AND l_suppkey) — the only TPC-H join on a composite fact
+  // key. The derived partsupp covers 4 suppliers per part, so the pair
+  // join keeps the ~4/|supplier| slice of lineitem whose pairs coincide
+  // — sparse but deterministic and non-vacuous at every SF (≈300 rows).
+  // Profit is a FOUR-decimal quantity (price×discount), so a double sum
+  // rounded to 2 dp can land exactly on a .005 boundary and flip with
+  // summation order (it did, 2/70 groups at sf0.001) — accumulated in
+  // exact integer ten-thousandths instead (the typed_join_orders cents
+  // convention), making the fold order-free in both engines.
+  private val q9ProductProfit: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_name").like("%red%")),
+        col("l_partkey") === col("p_partkey"))
+      .join(derivedPartsupp(s, dir), col("ps_partkey") === col("l_partkey")
+        && col("ps_suppkey") === col("l_suppkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+            .cast("long")
+          - round(col("ps_supplycost") * col("l_quantity") * 10000, 0).cast("long"))
+          / 10000.0, 2).as("sum_profit"))
+
+  private val q9ProductProfitSql =
+    s"""WITH $psCte
+       |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |       round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+       |                      - CAST(round(ps_supplycost * l_quantity * 10000) AS BIGINT))
+       |                  AS DOUBLE) / 10000.0, 2) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2""".stripMargin
+
+  // ── TPC-H Q11: important stock identification ──────────────────────────
+  // Per-part stock value within one nation, kept when above a scalar
+  // threshold — the HAVING-vs-scalar-subquery shape. The original's
+  // fixed fraction is SF-sensitive on this fixture, so the threshold is
+  // 1.5× the mean per-part value (same shape, scale-invariant
+  // selectivity). Raw (unrounded) sums feed the comparison in both
+  // engines; the output value is rounded for display.
+  private val q11ImportantStock: Q = (s, dir) => {
+    val n3 = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val nps = derivedPartsupp(s, dir)
+      .join(broadcast(n3), col("ps_suppkey") === col("s_suppkey"), "leftsemi")
+      .select(col("ps_partkey"), (col("ps_supplycost") * col("ps_availqty")).as("v"))
+    val thresh = nps.agg((lit(1.5) * sum(col("v")) / count_distinct(col("ps_partkey")))
+      .as("thr"))
+    nps.groupBy(col("ps_partkey"))
+      .agg(sum(col("v")).as("_q11_raw"))
+      .crossJoin(broadcast(thresh))
+      .filter(col("_q11_raw") > col("thr"))
+      .select(col("ps_partkey"), round(col("_q11_raw"), 2).as("value"))
+  }
+
+  private val q11ImportantStockSql =
+    s"""WITH $psCte,
+       |nps AS (SELECT ps_partkey, ps_supplycost * ps_availqty AS v
+       |        FROM partsupp
+       |        WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
+       |                             JOIN nation ON s_nationkey = n_nationkey
+       |                             WHERE n_name = 'NATION_3'))
+       |SELECT ps_partkey, round(CAST(sum(v) AS DOUBLE), 2) AS value
+       |FROM nps
+       |GROUP BY 1
+       |HAVING sum(v) > (SELECT 1.5 * sum(v) / count(DISTINCT ps_partkey) FROM nps)""".stripMargin
+
+  // ── TPC-H Q16: parts/supplier relationship ─────────────────────────────
+  // Distinct-supplier counts per (brand, type, size) bucket with a
+  // NOT-IN supplier exclusion (negative-acctbal suppliers stand in for
+  // the original's complaints filter) — anti-join below a count_distinct.
+  private val q16PartsSupplier: Q = (s, dir) =>
+    derivedPartsupp(s, dir)
+      .join(Tables.part(s, dir).filter(col("p_brand") =!= "Brand#1"
+          && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 3, 9, 19, 23, 36, 45, 49)),
+        col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .agg(count_distinct(col("ps_suppkey")).as("supplier_cnt"))
+
+  private val q16PartsSupplierSql =
+    s"""WITH $psCte
+       |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+       |  AND p_size IN (1, 3, 9, 19, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ── TPC-H Q20: potential part promotion ────────────────────────────────
+  // Suppliers of 'red…' parts whose available stock exceeds half of what
+  // the (part, supplier) pair actually shipped in the year — the doubly
+  // nested correlated shape, decorrelated into a per-pair shipped-sum
+  // aggregate joined back on the composite key. Pairs that shipped
+  // nothing drop out of the inner join, which IS the original NULL
+  // comparison semantics (sum over empty = NULL, predicate false).
+  private val q20PartPromotion: Q = (s, dir) => {
+    val shipped = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("q"))
+    val redParts = Tables.part(s, dir)
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val qual = derivedPartsupp(s, dir)
+      .join(broadcast(redParts), col("ps_partkey") === col("p_partkey"), "leftsemi")
+      .join(shipped, col("l_partkey") === col("ps_partkey")
+        && col("l_suppkey") === col("ps_suppkey"))
+      .filter(col("ps_availqty") > lit(0.5) * col("q"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qual, col("s_suppkey") === col("ps_suppkey"), "leftsemi")
+      .select(col("s_suppkey"), col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+  }
+
+  private val q20PartPromotionSql =
+    s"""WITH $psCte,
+       |shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q FROM lineitem
+       |            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |              AND l_shipdate < TIMESTAMP '1997-01-01'
+       |            GROUP BY 1, 2),
+       |qual AS (SELECT DISTINCT ps_suppkey FROM partsupp
+       |         JOIN part ON p_partkey = ps_partkey AND p_name LIKE 'red%'
+       |         JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |         WHERE ps_availqty > 0.5 * q)
+       |SELECT s_suppkey, s_name, round(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (SELECT ps_suppkey FROM qual)""".stripMargin
+
   // ── Broadcast dimension join chain (supplier ⋈ nation ⋈ region) ────────
   private val broadcastDimJoin: Q = (s, dir) =>
     Tables.supplier(s, dir)
@@ -949,6 +1171,11 @@ object RelationalQueries {
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q19_discounted_revenue" -> q19DiscountedRevenue,
     "q22_sales_opportunity" -> q22SalesOpportunity,
+    "q2_min_cost_supplier"  -> q2MinCostSupplier,
+    "q9_product_profit"     -> q9ProductProfit,
+    "q11_important_stock"   -> q11ImportantStock,
+    "q16_parts_supplier"    -> q16PartsSupplier,
+    "q20_part_promotion"    -> q20PartPromotion,
     "bloom_prefilter_join" -> bloomPrefilterJoin,
     "broadcast_dim_join"  -> broadcastDimJoin,
     "rollup_sales"        -> rollupSales,
@@ -984,6 +1211,11 @@ object RelationalQueries {
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q19_discounted_revenue" -> q19DiscountedRevenueSql,
     "q22_sales_opportunity" -> q22SalesOpportunitySql,
+    "q2_min_cost_supplier"  -> q2MinCostSupplierSql,
+    "q9_product_profit"     -> q9ProductProfitSql,
+    "q11_important_stock"   -> q11ImportantStockSql,
+    "q16_parts_supplier"    -> q16PartsSupplierSql,
+    "q20_part_promotion"    -> q20PartPromotionSql,
     "bloom_prefilter_join" -> bloomPrefilterJoinSql,
     "broadcast_dim_join"  -> broadcastDimJoinSql,
     "rollup_sales"        -> rollupSalesSql,

@@ -60,7 +60,10 @@ def main(sf_dir, out_dir):
                 except Exception as e:
                     print(f"FAIL {name}.{c}: compare error {e}"); ok = False; break
                 if bad.any():
-                    i = bad.idxmax()
+                    # bad is an ndarray on the float path, a Series on the
+                    # string path — argmax works for both
+                    import numpy as np
+                    i = int(np.argmax(np.asarray(bad)))
                     print(f"FAIL {name}.{c}: {int(bad.sum())}/{len(a)} mismatches, "
                           f"first@{i}: spark={a[i]!r} duck={b[i]!r}")
                     ok = False
