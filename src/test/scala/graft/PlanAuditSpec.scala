@@ -260,6 +260,63 @@ class PlanAuditSpec extends SparkSpec {
       "the 1-row vocab aggregate should broadcast-cross, costing nothing")
   }
 
+  test("q2: min-cost join-back on equality, region filter pushed, top-100 bounded") {
+    val p = plan("q2_min_cost_supplier")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must avoid a global sort")
+    assert(p.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter must reach the region scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decorrelated min must join back on equality, never a product:\n$p")
+  }
+
+  test("q9: one fact scan, broadcast chain, single shuffle at the final rollup") {
+    val p = plan("q9_product_profit")
+    assert(p.split("lineitem.parquet").length - 1 == 1,
+      s"the fact table must be scanned exactly once:\n$p")
+    assert(p.contains("StringContains(p_name,red)"),
+      s"part-name filter must reach the part scan:\n$p")
+    // every join broadcasts (the derived partsupp is 4×|part| — dim-sized),
+    // so the only shuffle exchange is the final nation×year rollup
+    assert(p.split("\\+- Exchange ").length - 1 == 1,
+      s"q9 should shuffle once (final agg), joins all broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: nation reduction is a semi join; scalar threshold broadcast-crosses") {
+    val p = plan("q11_important_stock")
+    assert(p.contains("LeftSemi"),
+      s"one-nation reduction must plan as a semi join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("Cross"),
+      "the 1-row threshold aggregate should broadcast-cross, costing nothing")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q16: NOT-IN plans as a broadcast anti join below the distinct count") {
+    val p = plan("q16_parts_supplier")
+    assert(p.contains("LeftAnti"), s"supplier exclusion must be an anti join:\n$p")
+    assert(p.contains("LessThan(s_acctbal,0.0)"),
+      s"excluded-supplier filter must reach the supplier scan:\n$p")
+    // the part scan's PushedFilters list elides past ~100 chars, so the
+    // IN-list evidence is the Filter node's literal form (the q6 trick)
+    assert(p.contains("IN (1,3,9,19,23,36,45,49)"),
+      s"size IN-list must survive as one IN predicate on the part leg:\n$p")
+    // count(DISTINCT ps_suppkey) = two-phase: distinct-expand agg pair then
+    // the counting pair — all HashAggregate, never SortAggregate
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("q20: decorrelated EXISTS chain — two semi joins, date window pushed") {
+    val p = plan("q20_part_promotion")
+    assert(p.split("LeftSemi").length - 1 >= 2,
+      s"red-parts reduction and supplier qualification must both be semi joins:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01")
+      && p.contains("< 1997-01-01 00:00:00)"), // upper bound elided from PushedFilters
+      s"ship-year window must reach the fact scan:\n$p")
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"prefix filter must reach the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
