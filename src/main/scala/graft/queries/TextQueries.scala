@@ -903,6 +903,47 @@ object TextQueries {
   // not just that both engines replay the same formula. The fixture's
   // own length spread is too narrow for a 20-doc sample to show bias
   // statistically.
+  // ── BPE merge training (tokenizer training at corpus scale) ───────────
+  // Greedy byte-pair-encoding over the normalized word vocabulary
+  // (operators.BpeTrain): the corpus is read once for the word-count
+  // groupBy, then every merge round runs on the vocab — pair fan-out
+  // row-local, winner a 1-row broadcast with a deterministic
+  // count-desc/pair-asc tie-break, merge applied via the space-doubling
+  // replace sandwich (BPE's exact greedy semantics, portable literal
+  // string ops in both engines). The oracle replays all rounds as
+  // chained CTEs.
+  private val BpeRounds = 4
+  private val bpeMergesQ: Q = (s, dir) =>
+    graft.operators.BpeTrain.bpeMerges(Tables.documents(s, dir), "text", BpeRounds)
+
+  private val bpeMergesSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""pairs$r AS (SELECT s[i] || ' ' || s[i+1] AS pair, sum(cnt) AS cnt
+         |  FROM (SELECT string_split(trim(sym), ' ') AS s, cnt FROM vocab${r - 1}) v,
+         |       unnest(generate_series(1, len(v.s) - 1)) AS t(i)
+         |  GROUP BY 1),
+         |best$r AS (SELECT pair, cnt FROM pairs$r ORDER BY cnt DESC, pair LIMIT 1),
+         |vocab$r AS (SELECT replace(replace(replace(sym, ' ', '  '),
+         |                     ' ' || (SELECT replace(pair, ' ', '  ') FROM best$r) || ' ',
+         |                     ' ' || (SELECT replace(pair, ' ', '') FROM best$r) || ' '),
+         |                   '  ', ' ') AS sym, cnt
+         |            FROM vocab${r - 1})""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM best$r").mkString("\nUNION ALL ")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS cnt FROM
+       |    (SELECT unnest(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                             ' ')) AS w
+       |     FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |vocab0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym,
+       |                  cnt FROM words),
+       |$rounds
+       |$sel""".stripMargin
+  }
+
   private val EsK = 20
   private val weightedSampleTopk: Q = (s, dir) => {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
@@ -1370,6 +1411,7 @@ object TextQueries {
     "bigram_counts"       -> bigramCounts,
     "ngram_lm_score"      -> ngramLmScore,
     "dsir_importance"     -> dsirImportance,
+    "bpe_merges"          -> bpeMergesQ,
     "weighted_sample_topk" -> weightedSampleTopk,
     "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
@@ -1413,6 +1455,7 @@ object TextQueries {
     "bigram_counts"       -> bigramCountsSql,
     "ngram_lm_score"      -> ngramLmScoreSql,
     "dsir_importance"     -> dsirImportanceSql,
+    "bpe_merges"          -> bpeMergesSql,
     "weighted_sample_topk" -> weightedSampleTopkSql,
     "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,
