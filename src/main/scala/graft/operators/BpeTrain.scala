@@ -40,7 +40,17 @@ object BpeTrain {
     *         The returned plan is lazy over per-round checkpoints; the
     *         k training rounds execute at call time.
     */
-  def bpeMerges(docs: DataFrame, textCol: String, kRounds: Int): DataFrame = {
+  def bpeMerges(docs: DataFrame, textCol: String, kRounds: Int): DataFrame =
+    train(docs, textCol, kRounds)._1
+
+  /** Train merges AND return the trained word table — (merges,
+    * vocab(word, sym, cnt)) where `sym` is the word's space-framed symbol
+    * string AFTER all k merges. The vocab is what the encode pass joins
+    * against: a word's encoded length is fully determined here, so
+    * encoding a 100 TB corpus never replays merges per document.
+    */
+  def train(docs: DataFrame, textCol: String,
+            kRounds: Int): (DataFrame, DataFrame) = {
     require(kRounds >= 1, s"kRounds must be >= 1, got $kRounds")
     val words = docs
       .select(explode(split(regexp_replace(lower(col(textCol)),
@@ -49,8 +59,9 @@ object BpeTrain {
       .groupBy(col("_bpe_w")).agg(count(lit(1)).as("cnt"))
     // the loop seed: one corpus pass, then the corpus is never read again
     var vocab = words
-      .select(concat(lit(" "), concat_ws(" ", split(col("_bpe_w"), "")), lit(" "))
-        .as("sym"), col("cnt"))
+      .select(col("_bpe_w"),
+        concat(lit(" "), concat_ws(" ", split(col("_bpe_w"), "")), lit(" "))
+          .as("sym"), col("cnt"))
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (step <- 1 to kRounds) {
@@ -71,13 +82,43 @@ object BpeTrain {
         regexp_replace(col("_bpe_bp"), " ", "").as("merged"),
         col("_bpe_bc").as("cnt"))
       vocab = vocab.crossJoin(broadcast(best))
-        .select(expr(
+        .select(col("_bpe_w"), expr(
           "replace(replace(replace(sym, ' ', '  '), " +
             "' ' || replace(_bpe_bp, ' ', '  ') || ' ', " +
             "' ' || replace(_bpe_bp, ' ', '') || ' '), '  ', ' ')").as("sym"),
           col("cnt"))
         .localCheckpoint()
     }
-    merges.result().reduce(_.unionAll(_))
+    (merges.result().reduce(_.unionAll(_)), vocab)
+  }
+
+  /** Encode the corpus with the trained merges: per-doc BPE token count.
+    *
+    * Scale shape: a word's post-merge symbol count is a VOCAB property,
+    * so the encode is one corpus pass (normalize → per-doc word counts,
+    * map-side combinable) joined against the trained vocab on the word —
+    * no per-document merge replay, no state beyond the vocab. Docs with
+    * no alnum words keep (0, 0).
+    *
+    * @return one row per doc: (idCol, n_words, n_tokens), n_tokens the
+    *         total BPE symbol count under the trained merges.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                kRounds: Int): DataFrame = {
+    val vocab = train(docs, textCol, kRounds)._2
+      .select(col("_bpe_w"),
+        size(split(trim(col("sym")), " ")).as("_bpe_n"))
+    val perWord = docs
+      .select(col(idCol), explode(split(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9 ]", " "), " ")).as("_bpe_w"))
+      .filter(col("_bpe_w") =!= "")
+      .groupBy(col(idCol), col("_bpe_w")).agg(count(lit(1)).as("_bpe_c"))
+    val perDoc = perWord.join(vocab, "_bpe_w")
+      .groupBy(col(idCol))
+      .agg(sum(col("_bpe_c")).as("n_words"),
+        sum(col("_bpe_c") * col("_bpe_n")).as("n_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
   }
 }

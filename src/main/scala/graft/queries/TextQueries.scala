@@ -913,36 +913,67 @@ object TextQueries {
   // string ops in both engines). The oracle replays all rounds as
   // chained CTEs.
   private val BpeRounds = 4
-  private val bpeMergesQ: Q = (s, dir) =>
-    graft.operators.BpeTrain.bpeMerges(Tables.documents(s, dir), "text", BpeRounds)
 
-  private val bpeMergesSql: String = {
+  /** The shared training CTE chain: words → vocab0 → (pairs/best/vocab)×k.
+    * Every vocab CTE carries the word so the encode oracle can join back. */
+  private def bpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       s"""pairs$r AS (SELECT s[i] || ' ' || s[i+1] AS pair, sum(cnt) AS cnt
          |  FROM (SELECT string_split(trim(sym), ' ') AS s, cnt FROM vocab${r - 1}) v,
          |       unnest(generate_series(1, len(v.s) - 1)) AS t(i)
          |  GROUP BY 1),
          |best$r AS (SELECT pair, cnt FROM pairs$r ORDER BY cnt DESC, pair LIMIT 1),
-         |vocab$r AS (SELECT replace(replace(replace(sym, ' ', '  '),
+         |vocab$r AS (SELECT w, replace(replace(replace(sym, ' ', '  '),
          |                     ' ' || (SELECT replace(pair, ' ', '  ') FROM best$r) || ' ',
          |                     ' ' || (SELECT replace(pair, ' ', '') FROM best$r) || ' '),
          |                   '  ', ' ') AS sym, cnt
          |            FROM vocab${r - 1})""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, " +
-        s"CAST(cnt AS BIGINT) AS cnt FROM best$r").mkString("\nUNION ALL ")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, count(*) AS cnt FROM
        |    (SELECT unnest(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
        |                             ' ')) AS w
        |     FROM documents)
        |  WHERE w <> '' GROUP BY 1),
-       |vocab0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym,
+       |vocab0 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS sym,
        |                  cnt FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeMergesQ: Q = (s, dir) =>
+    graft.operators.BpeTrain.bpeMerges(Tables.documents(s, dir), "text", BpeRounds)
+
+  private val bpeMergesSql: String = {
+    val sel = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM best$r").mkString("\nUNION ALL ")
+    s"""WITH $bpeCtes
        |$sel""".stripMargin
   }
+
+  // ── BPE encode (trained merges applied back to the corpus) ────────────
+  // The companion pass: a word's post-merge symbol count is a VOCAB
+  // property, so encoding is one corpus word-count pass joined to the
+  // trained vocab — no per-document merge replay. Docs with no alnum
+  // words keep (0, 0) via the LEFT join.
+  private val bpeEncodeQ: Q = (s, dir) =>
+    graft.operators.BpeTrain.bpeEncode(
+      Tables.documents(s, dir), "doc_id", "text", BpeRounds)
+
+  private val bpeEncodeSql: String =
+    s"""WITH $bpeCtes,
+       |enc AS (SELECT w, len(string_split(trim(sym), ' ')) AS nsym FROM vocab$BpeRounds),
+       |tok AS (SELECT doc_id, w, count(*) AS c FROM
+       |        (SELECT doc_id,
+       |                unnest(str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                                 ' ')) AS w
+       |         FROM documents)
+       |        WHERE w <> '' GROUP BY 1, 2),
+       |per_doc AS (SELECT doc_id, sum(c) AS n_words, sum(c * nsym) AS n_tokens
+       |            FROM tok JOIN enc USING (w) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
   private val EsK = 20
   private val weightedSampleTopk: Q = (s, dir) => {
@@ -1412,6 +1443,7 @@ object TextQueries {
     "ngram_lm_score"      -> ngramLmScore,
     "dsir_importance"     -> dsirImportance,
     "bpe_merges"          -> bpeMergesQ,
+    "bpe_encode"          -> bpeEncodeQ,
     "weighted_sample_topk" -> weightedSampleTopk,
     "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
@@ -1456,6 +1488,7 @@ object TextQueries {
     "ngram_lm_score"      -> ngramLmScoreSql,
     "dsir_importance"     -> dsirImportanceSql,
     "bpe_merges"          -> bpeMergesSql,
+    "bpe_encode"          -> bpeEncodeSql,
     "weighted_sample_topk" -> weightedSampleTopkSql,
     "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,

@@ -27,6 +27,17 @@ class BpeTrainSpec extends SparkSpec {
     assert(m(1).getString(1) === "aa a" && m(1).getString(2) === "aaa")
   }
 
+  test("bpeEncode counts post-merge symbols via the trained vocab") {
+    // after the 4 merges above: low → 1 symbol, lower → 1, lowest → 3
+    // ('lowe','s','t'); docs with no alnum words keep (0, 0)
+    val docs = Seq((1L, "low lower lowest"), (2L, "low low"), (3L, "!!!"))
+      .toDF("doc_id", "text")
+    val e = operators.BpeTrain.bpeEncode(docs, "doc_id", "text", 4)
+      .orderBy("doc_id").collect()
+    assert(e.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 3L, 5L), (2L, 2L, 2L), (3L, 0L, 0L)))
+  }
+
   test("multi-char merged symbols stay atomic under the space framing") {
     val docs = Seq("abab abab cd").toDF("text")
     val m = operators.BpeTrain.bpeMerges(docs, "text", 3)
