@@ -975,6 +975,56 @@ object TextQueries {
        |       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
        |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id""".stripMargin
 
+  // ── learned quality scoring (logistic regression, full-batch GD) ──────
+  // The fastText/CCNet-style trained quality filter
+  // (operators.QualityClassifier): hashed bag-of-words features in a
+  // fixed 64-bucket space, two GD rounds against the corpus' own en-flag
+  // as the stand-in positive class, then every doc scored under the
+  // final weights. 6-dp per-round rounding (the kmeans Lloyd's
+  // convention) makes training oracle-replayable; the oracle chains both
+  // rounds as CTEs.
+  private val QcBuckets = 64
+  private val QcLr = 1.0
+  private val QcRounds = 2
+  private val qualityLrScore: Q = (s, dir) =>
+    graft.operators.QualityClassifier.logRegQualityScores(
+      Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en", QcBuckets, QcLr, QcRounds)
+
+  private val qualityLrScoreSql: String = {
+    val rounds = (1 to QcRounds).map { r =>
+      s"""z$r AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(round(tf * wt * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS z
+         |  FROM db JOIN w${r - 1} USING (b) GROUP BY 1),
+         |p$r AS (SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p FROM z$r),
+         |g$r AS (SELECT b,
+         |    round(round(CAST(sum(CAST(round(tf * (p - y) * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6)
+         |          / (SELECT ndocs FROM nt), 6) AS g
+         |  FROM db JOIN p$r USING (doc_id) GROUP BY 1),
+         |w$r AS (SELECT w.b, round(wt - $QcLr * coalesce(g, 0.0), 6) AS wt
+         |  FROM w${r - 1} w LEFT JOIN g$r USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id, y, w FROM
+       |             (SELECT doc_id, CAST(lang = 'en' AS DOUBLE) AS y,
+       |                     unnest(str_split(text, ' ')) AS w FROM documents)
+       |             WHERE w <> ''),
+       |nd AS (SELECT doc_id, y, count(*) AS n FROM tok GROUP BY 1, 2),
+       |db AS (SELECT doc_id, y, n, b, CAST(count(*) AS DOUBLE) / n AS tf FROM
+       |       (SELECT t.doc_id, t.y, nd.n,
+       |               CAST(('0x' || substring(md5(w), 1, 10)) AS BIGINT) % $QcBuckets AS b
+       |        FROM tok t JOIN nd USING (doc_id, y))
+       |       GROUP BY 1, 2, 3, 4),
+       |nt AS (SELECT count(DISTINCT doc_id) AS ndocs FROM db),
+       |w0 AS (SELECT unnest(generate_series(0, ${QcBuckets - 1})) AS b, 0.0 AS wt),
+       |$rounds,
+       |zf AS (SELECT doc_id, n,
+       |         round(CAST(sum(CAST(round(tf * wt * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS z
+       |       FROM db JOIN w$QcRounds USING (b) GROUP BY 1, 2)
+       |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_words,
+       |       coalesce(round(1.0 / (1.0 + exp(-z)), 6), 0.5) AS lr_score
+       |FROM documents d LEFT JOIN zf USING (doc_id)""".stripMargin
+  }
+
   private val EsK = 20
   private val weightedSampleTopk: Q = (s, dir) => {
     val base = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
@@ -1444,6 +1494,7 @@ object TextQueries {
     "dsir_importance"     -> dsirImportance,
     "bpe_merges"          -> bpeMergesQ,
     "bpe_encode"          -> bpeEncodeQ,
+    "quality_lr_score"    -> qualityLrScore,
     "weighted_sample_topk" -> weightedSampleTopk,
     "repeated_spans"      -> repeatedSpansQ,
     "dataset_split"       -> datasetSplit,
@@ -1489,6 +1540,7 @@ object TextQueries {
     "dsir_importance"     -> dsirImportanceSql,
     "bpe_merges"          -> bpeMergesSql,
     "bpe_encode"          -> bpeEncodeSql,
+    "quality_lr_score"    -> qualityLrScoreSql,
     "weighted_sample_topk" -> weightedSampleTopkSql,
     "repeated_spans"      -> repeatedSpansSql,
     "dataset_split"       -> datasetSplitSql,
