@@ -16,13 +16,16 @@ import graft.functions.TextFunctions
   *
   * Scale shape (the 100 TB contract): ONE corpus pass builds the
   * doc×bucket tf table (explode → groupBy, map-side combinable, ≤
-  * docs×buckets rows ≪ corpus tokens), repartitioned by doc id and
-  * `localCheckpoint`ed so every GD round's per-doc margin reuses that
-  * clustering with no new exchange. Each round is then: 64-row weight
-  * vector broadcast in, per-doc margin aggregate (no shuffle — see
-  * above), per-bucket gradient aggregate (one map-side-combinable
-  * shuffle whose output is `buckets` rows), 64-row weight update
-  * checkpointed. Margins, gradients, and weights are rounded to 6 dp
+  * docs×buckets rows ≪ corpus tokens), `localCheckpoint`ed so no round
+  * re-reads the corpus. Each round then shuffles only that compact
+  * stats table: 64-row weight vector broadcast in, per-doc margin
+  * aggregate (one doc-keyed shuffle of ≤ docs×buckets rows — AQE's
+  * coalesced exchanges don't preserve partitioning metadata through the
+  * checkpoint, so pre-clustering can't be reused across rounds; the
+  * moved bytes are the stats table, never corpus tokens), per-bucket
+  * gradient aggregate (map-side-combinable, `buckets` output rows),
+  * 64-row weight update checkpointed.
+  * Margins, gradients, and weights are rounded to 6 dp
   * per round (the kmeans Lloyd's-round convention), and every
   * floating-point SUM is accumulated in exact integer 1e-12 units (each
   * term rounded to a long before summing — the TPC-H Q9 convention), so
@@ -65,7 +68,6 @@ object QualityClassifier {
       .groupBy(col(idCol), col("_qc_y"), col("_qc_n"), col("_qc_b"))
       .agg(count(lit(1)).as("_qc_c"))
       .withColumn("_qc_tf", col("_qc_c").cast("double") / col("_qc_n"))
-      .repartition(col(idCol))
       .localCheckpoint()
     val nDocs = db.agg(count_distinct(col(idCol)).as("_qc_nd"))
     var w: DataFrame = spark.range(buckets)
