@@ -1468,6 +1468,79 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s""".stripMargin
   }
 
+  // ── edit-distance similarity join (PassJoin) ───────────────────────────
+  // Fuzzy matching where token-set similarity is blind: all pairs within
+  // Levenshtein distance ≤ 2, found by PassJoin segment partitioning (an
+  // equi-join, never O(n²) — operators.EditDistanceJoin). Planted
+  // positives make the hash check bite: every 25th doc re-enters with one
+  // char deleted (distance 1, id+4e6), every 60th with two chars deleted
+  // (distance 2, id+5e6); the del1-vs-del2 variants of a common origin sit
+  // at distance 3 and must be EXCLUDED — the exact verify's job. The
+  // oracle replays the identical segment arithmetic, 40-bit md5 hash,
+  // position windows, and Levenshtein verify.
+  private val EdK = 2 // → 3 segments per string
+  private val editDistancePairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val del1 = docs
+      .filter(col("doc_id") % 25 === 0 && length(col("text")) >= 120)
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 39),
+          expr("substring(text, 41, length(text))")).as("text"))
+    val del2 = docs
+      .filter(col("doc_id") % 60 === 0 && length(col("text")) >= 150)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 19),
+          expr("substring(text, 21, 69)"),
+          expr("substring(text, 91, length(text))")).as("text"))
+    graft.operators.EditDistanceJoin.passJoin(
+      docs.unionByName(del1).unionByName(del2), col("doc_id"), col("text"), EdK)
+  }
+
+  private val editDistancePairsSql = {
+    val n = EdK + 1 // segments
+    // segment arithmetic for indexed length l, slot i (1-based), DuckDB form
+    def sl(l: String, i: String) =
+      s"($l//$n) + CASE WHEN $i > $n-($l%$n) THEN 1 ELSE 0 END"
+    def st(l: String, i: String) =
+      s"1 + ($i-1)*($l//$n) + greatest(0, $i-1-($n-($l%$n)))"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 4000000, substring(text, 1, 39) || substring(text, 41, length(text))
+       |  FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 120
+       |  UNION ALL
+       |  SELECT doc_id + 5000000,
+       |         substring(text, 1, 19) || substring(text, 21, 69) || substring(text, 91, length(text))
+       |  FROM documents WHERE doc_id % 60 = 0 AND length(text) >= 150),
+       |base AS (SELECT doc_id AS id, text AS t, length(text) AS m
+       |         FROM corpus WHERE length(text) >= $n),
+       |segs AS (
+       |  SELECT m AS l, i.i AS i,
+       |         CAST(('0x' || substring(md5(substring(t, ${st("m", "i.i")}, ${sl("m", "i.i")})), 1, 10)) AS BIGINT) AS h,
+       |         id AS sid
+       |  FROM base CROSS JOIN (SELECT unnest(generate_series(1, $n)) AS i) i),
+       |probes AS (
+       |  SELECT l, i, CAST(('0x' || substring(md5(substring(t, p, seglen)), 1, 10)) AS BIGINT) AS h,
+       |         id AS pid
+       |  FROM (SELECT b.id, b.t, b.m, b.m + dl.dl AS l, i.i AS i,
+       |               ${sl("(b.m + dl.dl)", "i.i")} AS seglen,
+       |               ${st("(b.m + dl.dl)", "i.i")} + d.d AS p
+       |        FROM base b
+       |        CROSS JOIN (SELECT unnest(generate_series(-$EdK, $EdK)) AS dl) dl
+       |        CROSS JOIN (SELECT unnest(generate_series(1, $n)) AS i) i
+       |        CROSS JOIN (SELECT unnest(generate_series(-$EdK, $EdK)) AS d) d
+       |        WHERE b.m + dl.dl >= $n)
+       |  WHERE p >= 1 AND p + seglen - 1 <= m),
+       |cand AS (
+       |  SELECT DISTINCT least(sid, pid) AS a, greatest(sid, pid) AS b
+       |  FROM segs JOIN probes USING (l, i, h)
+       |  WHERE sid <> pid)
+       |SELECT c.a AS doc_id_lo, c.b AS doc_id_hi,
+       |       CAST(levenshtein(x.t, y.t) AS BIGINT) AS edit_dist
+       |FROM cand c JOIN base x ON x.id = c.a JOIN base y ON y.id = c.b
+       |WHERE levenshtein(x.t, y.t) <= $EdK""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "token_stats"         -> tokenStats,
     "text_quality"        -> textQuality,
@@ -1511,6 +1584,7 @@ object TextQueries {
     "decontaminate_ngrams" -> decontaminateNgrams,
     "cdc_chunks"          -> cdcChunks,
     "chunk_dedup"         -> chunkDedup,
+    "edit_distance_pairs" -> editDistancePairs,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -1557,6 +1631,7 @@ object TextQueries {
     "decontaminate_ngrams" -> decontaminateNgramsSql,
     "cdc_chunks"          -> cdcChunksSql,
     "chunk_dedup"         -> chunkDedupSql,
+    "edit_distance_pairs" -> editDistancePairsSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }
