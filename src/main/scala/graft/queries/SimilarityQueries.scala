@@ -683,6 +683,51 @@ object SimilarityQueries {
        |       CAST(coalesce(h, 0) AS BIGINT) AS hits_full
        |FROM ttop LEFT JOIN hits ON ttop.qid = hits.qid""".stripMargin
 
+  // ── PCA top component (power iteration on one-pass sufficient stats) ───
+  // The decorrelation step before OPQ-style quantization or dim reduction:
+  // ONE GramMatrixAgg corpus pass (custom TypedImperativeAggregate — no row
+  // amplification, tasks×d² shuffle), then power iteration on the d²-row
+  // covariance only. The oracle replays the gram fixed-point sums, the 6-dp
+  // covariance, and all six 1e-12-fixed-point iteration rounds as CTEs.
+  private val PcaDim   = 64
+  private val PcaIters = 6
+  private val pcaTopComponent: Q = (s, dir) =>
+    graft.operators.Pca.topComponent(
+      Tables.embeddings(s, dir), col("embedding"), PcaDim, PcaIters)
+
+  private val pcaTopComponentSql = {
+    val f6 = "1000000.0"
+    val f12 = "1000000000000.0"
+    val iterCtes = (1 to PcaIters).map { t =>
+      s"""u$t AS (SELECT c.i,
+         |        CAST(SUM(CAST(round((c.c*p.w)*$f12) AS BIGINT)) AS BIGINT)/$f12 AS u
+         |        FROM cov c JOIN it${t - 1} p ON p.i = c.j GROUP BY 1),
+         |m$t AS (SELECT CAST(SUM(CAST(round((u*u)*$f12) AS BIGINT)) AS BIGINT)/$f12 AS n2
+         |        FROM u$t),
+         |it$t AS (SELECT u$t.i, round(u$t.u/sqrt(m$t.n2), 6) AS w
+         |         FROM u$t CROSS JOIN m$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+       |gram AS (SELECT a.i AS i, b.i AS j,
+       |                CAST(SUM(CAST(round((a.v*b.v)*$f6) AS BIGINT)) AS BIGINT) AS g
+       |         FROM ce a JOIN ce b USING (vec_id) GROUP BY 1, 2),
+       |sums AS (SELECT i, CAST(SUM(CAST(round(v*$f6) AS BIGINT)) AS BIGINT) AS s
+       |         FROM ce GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |cov AS (SELECT g.i, g.j,
+       |               round(g.g/(nn.n*$f6)
+       |                     - (sa.s/(nn.n*$f6))*(sb.s/(nn.n*$f6)), 6) AS c
+       |        FROM gram g CROSS JOIN nn
+       |        JOIN sums sa ON sa.i = g.i JOIN sums sb ON sb.i = g.j),
+       |it0 AS (SELECT unnest(generate_series(1, $PcaDim)) AS i, 0.125 AS w),
+       |$iterCtes,
+       |ev AS (SELECT CAST(SUM(CAST(round(((c.c*a.w)*b.w)*$f12) AS BIGINT)) AS BIGINT)/$f12 AS e
+       |       FROM cov c JOIN it$PcaIters a ON a.i = c.i JOIN it$PcaIters b ON b.i = c.j)
+       |SELECT CAST(t.i AS BIGINT) AS dim_idx, t.w AS loading, round(ev.e, 6) AS eigval
+       |FROM it$PcaIters t CROSS JOIN ev""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
     "knn_bruteforce"  -> knnBruteforce,
     "mrl_truncated_knn" -> mrlTruncatedKnn,
@@ -698,6 +743,7 @@ object SimilarityQueries {
     "semantic_dedup"         -> semanticDedupQ,
     "knn_ivfpq"              -> knnIvfPq,
     "knn_ivfpq_recall"       -> knnIvfPqRecall,
+    "pca_top_component"      -> pcaTopComponent,
   )
 
   val oracles: Map[String, String] = Map(
@@ -715,5 +761,6 @@ object SimilarityQueries {
     "semantic_dedup"         -> semanticDedupSql,
     "knn_ivfpq"              -> knnIvfPqSql,
     "knn_ivfpq_recall"       -> knnIvfPqRecallSql,
+    "pca_top_component"      -> pcaTopComponentSql,
   )
 }
