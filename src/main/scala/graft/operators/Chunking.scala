@@ -49,4 +49,62 @@ object Chunking {
         md5(col("t").substr(col("sp.s"), col("sp.e") - col("sp.s") + 1))
           .as("chunk_fp"))
   }
+
+  /** Cross-document duplicated-passage removal with document
+    * reconstruction — the Dolma/CCNet-style "paragraph dedup" step, over
+    * CDC chunks instead of newline paragraphs (boundary-stable under
+    * edits; granularity is the (w, m) knob). For every chunk fingerprint
+    * present in ≥ 2 documents, ALL occurrences are dropped except the
+    * canonical one (lowest doc id, then lowest chunk index within it);
+    * each document is then re-assembled from its surviving chunks in
+    * order. Within-doc repeats of a fingerprint no other doc shares are
+    * kept (this operator removes CROSS-document boilerplate, not
+    * in-document repetition — that's `repeated_spans`' job).
+    *
+    * Scale shape: dup detection is one map-side-combinable groupBy on
+    * chunk_fp; the keep/drop verdict joins chunks to the (small) dup set
+    * by fingerprint; reconstruction is a per-doc groupBy whose groups are
+    * a document's own chunks (~len/m rows). The corpus text rides only
+    * the doc_id-keyed joins — never a fingerprint shuffle.
+    *
+    * Output: (doc_id, n_chunks, n_removed, scrubbed_len, scrubbed_md5) —
+    * one row per input document, empty docs included (0 chunks). */
+  def passageScrub(docs: DataFrame, idCol: Column, textCol: Column,
+                   w: Int, m: Int): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("text"))
+    val chunks = cdcChunks(base, col("doc_id"), col("text"), w, m)
+
+    val dups = chunks.groupBy(col("chunk_fp"))
+      .agg(count_distinct(col("doc_id")).as("_ps_nd"), min(col("doc_id")).as("_ps_cdoc"))
+      .filter(col("_ps_nd") >= 2)
+      .select(col("chunk_fp").as("_ps_fp"), col("_ps_cdoc"))
+    val canon = chunks
+      .join(dups, col("chunk_fp") === col("_ps_fp") && col("doc_id") === col("_ps_cdoc"))
+      .groupBy(col("_ps_fp"), col("_ps_cdoc"))
+      .agg(min(col("chunk_idx")).as("_ps_cidx"))
+    val kept = chunks.join(canon, col("chunk_fp") === col("_ps_fp"), "left")
+      .filter(col("_ps_fp").isNull ||
+        (col("doc_id") === col("_ps_cdoc") && col("chunk_idx") === col("_ps_cidx")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("chunk_len"))
+
+    val scrub = kept.join(base, "doc_id")
+      .select(col("doc_id"), col("chunk_idx"),
+        expr("substring(text, CAST(start_pos AS INT), CAST(chunk_len AS INT))").as("_ps_ct"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_ps_nkept"),
+        array_sort(collect_list(struct(col("chunk_idx"), col("_ps_ct")))).as("_ps_arr"))
+      .select(col("doc_id"), col("_ps_nkept"),
+        array_join(transform(col("_ps_arr"), x => x.getField("_ps_ct")), "").as("_ps_st"))
+    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("_ps_nch"))
+
+    base.select(col("doc_id"))
+      .join(tot, Seq("doc_id"), "left")
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_ps_nch"), lit(0L)).as("n_chunks"),
+        (coalesce(col("_ps_nch"), lit(0L)) - coalesce(col("_ps_nkept"), lit(0L)))
+          .as("n_removed"),
+        length(coalesce(col("_ps_st"), lit(""))).cast("long").as("scrubbed_len"),
+        md5(coalesce(col("_ps_st"), lit(""))).as("scrubbed_md5"))
+  }
 }

@@ -1468,6 +1468,46 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s""".stripMargin
   }
 
+  // ── duplicated-passage scrub with reconstruction ───────────────────────
+  // The Dolma-style payoff of CDC chunking: remove every cross-doc
+  // duplicated chunk except its canonical occurrence (min doc_id, then min
+  // chunk_idx) and re-assemble each document from the survivors. Output is
+  // one row per input doc with the scrubbed text pinned by md5 — so the
+  // hash check covers the reconstruction byte-for-byte, not just counts.
+  private val passageScrub: Q = (s, dir) =>
+    graft.operators.Chunking.passageScrub(
+      Tables.documents(s, dir), col("doc_id"), col("text"), CdcW, CdcM)
+
+  private val passageScrubSql =
+    s"""WITH chunks AS (
+       |  ${cdcChunksSql.replace("\n", "\n  ")}
+       |),
+       |dups AS (SELECT chunk_fp, min(doc_id) AS cdoc FROM chunks
+       |         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |canon AS (SELECT c.chunk_fp, d.cdoc, min(c.chunk_idx) AS cidx
+       |          FROM chunks c JOIN dups d
+       |            ON d.chunk_fp = c.chunk_fp AND c.doc_id = d.cdoc
+       |          GROUP BY 1, 2),
+       |kept AS (SELECT c.doc_id, c.chunk_idx, c.start_pos, c.chunk_len
+       |         FROM chunks c LEFT JOIN canon k ON k.chunk_fp = c.chunk_fp
+       |         WHERE k.chunk_fp IS NULL
+       |            OR (c.doc_id = k.cdoc AND c.chunk_idx = k.cidx)),
+       |scrub AS (SELECT k.doc_id, count(*) AS nkept,
+       |                 string_agg(substring(d.text, CAST(k.start_pos AS INT),
+       |                                      CAST(k.chunk_len AS INT)),
+       |                            '' ORDER BY k.chunk_idx) AS st
+       |          FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+       |          GROUP BY 1),
+       |tot AS (SELECT doc_id, count(*) AS nch FROM chunks GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CAST(coalesce(t.nch, 0) AS BIGINT) AS n_chunks,
+       |       CAST(coalesce(t.nch, 0) - coalesce(s.nkept, 0) AS BIGINT) AS n_removed,
+       |       CAST(length(coalesce(s.st, '')) AS BIGINT) AS scrubbed_len,
+       |       md5(coalesce(s.st, '')) AS scrubbed_md5
+       |FROM documents d
+       |LEFT JOIN tot t ON t.doc_id = d.doc_id
+       |LEFT JOIN scrub s ON s.doc_id = d.doc_id""".stripMargin
+
   // ── edit-distance similarity join (PassJoin) ───────────────────────────
   // Fuzzy matching where token-set similarity is blind: all pairs within
   // Levenshtein distance ≤ 2, found by PassJoin segment partitioning (an
@@ -1585,6 +1625,7 @@ object TextQueries {
     "cdc_chunks"          -> cdcChunks,
     "chunk_dedup"         -> chunkDedup,
     "edit_distance_pairs" -> editDistancePairs,
+    "passage_scrub"       -> passageScrub,
     "simhash_docs"        -> simhashDocs,
   )
 
@@ -1632,6 +1673,7 @@ object TextQueries {
     "cdc_chunks"          -> cdcChunksSql,
     "chunk_dedup"         -> chunkDedupSql,
     "edit_distance_pairs" -> editDistancePairsSql,
+    "passage_scrub"       -> passageScrubSql,
     "simhash_docs"        -> simhashDocsSql,
   )
 }

@@ -162,6 +162,24 @@ class DedupSpec extends SparkSpec {
       s"CDC boundaries not edit-stable: ${lost.size} of ${fpA.size} chunks lost")
   }
 
+  test("passageScrub: canonical occurrence survives, all other copies drop, reconstruction exact") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // w=1, m=1 makes every char its own chunk — hand-predictable:
+    // 'a','b' shared by docs 1,2 → canonical in doc 1 (and only idx 1's 'a',
+    // so doc 1 ALSO loses its in-doc repeat at idx 3); doc 2 empties out;
+    // doc 3 shares nothing; doc 4 is empty input
+    val docs = Seq((1L, "aba"), (2L, "ab"), (3L, "xy"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Chunking.passageScrub(docs, $"doc_id", $"text", 1, 1)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got(0) == ((1L, 3L, 1L, 2L, md5hex("ab"))))
+    assert(got(1) == ((2L, 2L, 2L, 0L, md5hex(""))))
+    assert(got(2) == ((3L, 2L, 0L, 2L, md5hex("xy"))))
+    assert(got(3) == ((4L, 0L, 0L, 0L, md5hex(""))))
+  }
+
   test("ngramOverlap flags planted contamination, not shared vocabulary") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),
