@@ -274,9 +274,12 @@ object DedupOps {
     * (≤ pairs-count rows; ContextCleaner-released, never a session-wide
     * cache pin). Callers should materialize `hashed` only if it is
     * expensive to rebuild (the CharNGramHashes pass usually isn't). */
-  def lshPairsArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int,
-                         threshold: Double,
-                         maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** (doc_id, band, band_hash) LSH band keys from a row-local hashed
+    * feature relation (doc_id, hs) — ONE MinHashBandKeys kernel pass;
+    * docs with no features emit no keys. This is the relation an
+    * INGESTION pipeline persists as its near-dup index (partition by
+    * `band`: every probe is then a pruned equi-join). */
+  def bandKeysArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes == bands * (numHashes / bands), "bands must divide numHashes")
     import graft.functions.TextFunctions.{NGramHashB, NGramHashP}
     val bandKeys = org.apache.spark.sql.graftbridge.ColumnBridge.column(
@@ -284,8 +287,14 @@ object DedupOps {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("hs")),
         (0 until numHashes).map(mhA), (0 until numHashes).map(mhB),
         MinHashP, bands, NGramHashB, NGramHashP))
-    val byBand = hashed.filter(size(col("hs")) > 0)
+    hashed.filter(size(col("hs")) > 0)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_hash")))
+  }
+
+  def lshPairsArrayLocal(hashed: DataFrame, numHashes: Int, bands: Int,
+                         threshold: Double,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    val byBand = bandKeysArrayLocal(hashed, numHashes, bands)
     // candidate relation (≤ pairs-count rows) feeds the doc filter AND
     // the verify join: eager local checkpoint materializes it once
     // WITHOUT a CacheManager pin — blocks are RDD-level, released by
@@ -300,6 +309,56 @@ object DedupOps {
     val docSets = hashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
       .join(candDocs, Seq("doc_id"), "leftsemi")
     jaccardOverPairsArrays(cand, docSets).filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental near-dup dedup: screen a NEW batch against a PERSISTED
+    * index — the shape corpus ingestion actually runs (the index exists;
+    * only the day's shard is new). A batch doc is dropped when it
+    * verifies (exact Jaccard ≥ threshold) against any indexed doc, or
+    * against a lower-id doc of its own batch (first-wins; transitive
+    * chains are `connectedComponents`' job, documented there).
+    *
+    * Inputs are the two halves of a real index + their batch
+    * counterparts: `indexKeys` (doc_id, band, band_hash — persist
+    * partitioned by `band` so probes prune to matching band partitions),
+    * `indexSets` (doc_id, gs — the verify-side feature sets), and the
+    * batch's `batchKeys`/`batchSets` built by the same kernels.
+    *
+    * Scale shape: the cross probe is a (band, band_hash) equi-join of the
+    * batch's keys against the index — shuffle ∝ batch keys + matching
+    * index buckets, NEVER a re-scan of the historical corpus; the
+    * within-batch self-join is `lshCandidates` over the (small) batch;
+    * verify joins are candidate-bounded. Output: one row per batch doc
+    * (docs with no features trivially keep):
+    * (doc_id, n_dup_index, n_dup_batch, keep). */
+  def incrementalDedup(indexKeys: DataFrame, indexSets: DataFrame,
+                       batchKeys: DataFrame, batchSets: DataFrame,
+                       threshold: Double,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val cross = batchKeys.as("bk")
+      .join(indexKeys.as("ik"), Seq("band", "band_hash"))
+      .select(col("bk.doc_id").as("d1"), col("ik.doc_id").as("d2"))
+      .distinct().localCheckpoint()
+    val self = lshCandidates(batchKeys, maxBucket).localCheckpoint()
+
+    val allSets = batchSets.unionByName(indexSets)
+    val vCross = jaccardOverPairsArrays(cross, allSets)
+      .filter(col("jaccard") >= threshold)
+    val vSelf = jaccardOverPairsArrays(self, batchSets)
+      .filter(col("jaccard") >= threshold)
+
+    val dupIx = vCross.groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("_id_nix"))
+    val dupB = vSelf.groupBy(col("d2").as("doc_id")) // d2 is the higher id: it drops
+      .agg(count(lit(1)).as("_id_nb"))
+    batchSets.select(col("doc_id"))
+      .join(dupIx, Seq("doc_id"), "left")
+      .join(dupB, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_id_nix"), lit(0L)).as("n_dup_index"),
+        coalesce(col("_id_nb"), lit(0L)).as("n_dup_batch"),
+        (coalesce(col("_id_nix"), lit(0L)) === 0 &&
+          coalesce(col("_id_nb"), lit(0L)) === 0).as("keep"))
   }
 
   /** Near-duplicate pairs by SimHash Hamming distance ≤ `maxDist`, via

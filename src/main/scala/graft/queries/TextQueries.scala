@@ -1468,6 +1468,107 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s""".stripMargin
   }
 
+  // ── incremental dedup against a persisted signature index ──────────────
+  // The ingestion shape: the historical corpus's band keys + feature sets
+  // are a PERSISTED parquet index (keys partitioned by band → probes prune
+  // to matching band partitions); only the new batch is hashed. Batch docs
+  // drop on a verified match against the index or a lower-id batch doc.
+  // Planted positives: every 50th indexed doc re-enters the batch with a
+  // 2-token prefix edit (Jaccard ≈ 0.95 ≥ 0.8 — MinHash must still catch
+  // it). The oracle recomputes both halves from the corpus definition.
+  private val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val planted = old.filter(col("doc_id") % 50 === 10)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(lit("xq "), col("text")).as("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0).unionByName(planted)
+
+    val oldHashed = DedupOps.wordShingleHashes(old, col("doc_id"), col("text"), ShingleN)
+    val scratch = scratchPath("incr_index", dir)
+    DedupOps.bandKeysArrayLocal(oldHashed, NumHashes, Bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$scratch/keys")
+    oldHashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
+      .write.mode("overwrite").parquet(s"$scratch/sets")
+
+    val bHashed = DedupOps.wordShingleHashes(batch, col("doc_id"), col("text"), ShingleN)
+    DedupOps.incrementalDedup(
+      s.read.parquet(s"$scratch/keys"), s.read.parquet(s"$scratch/sets"),
+      DedupOps.bandKeysArrayLocal(bHashed, NumHashes, Bands),
+      bHashed.select(col("doc_id"), array_distinct(col("hs")).as("gs")),
+      Threshold)
+  }
+
+  private val dedupIncrementalSql = {
+    import graft.functions.TextFunctions.{NGramHashB => FB, NGramHashP => FP}
+    val rpb = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { b =>
+      val cols = (0 until rpb).map(r => s"mh${b * rpb + r}")
+      val key = cols.foldLeft("CAST(0 AS BIGINT)")((acc, c) =>
+        s"((($acc) * $FB + $c) % $FP)")
+      s"SELECT doc_id, $b AS band, $key AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val sigCols = (0 until NumHashes).map(i =>
+      s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i")
+      .mkString(",\n        ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, 'xq ' || text FROM documents
+       |  WHERE doc_id % 50 = 10 AND doc_id % 3 <> 0),
+       |flag AS (SELECT doc_id, (doc_id % 3 = 0 OR doc_id >= 6000000) AS is_b FROM corpus),
+       |toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM corpus),
+       |tok AS (SELECT doc_id, w, i FROM
+       |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+       |        WHERE w <> ''),
+       |sh AS (SELECT doc_id,
+       |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |dt AS (SELECT DISTINCT doc_id,
+       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
+       |       FROM sh WHERE g IS NOT NULL),
+       |sig AS (SELECT doc_id,
+       |        $sigCols
+       |        FROM dt GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |bb AS (SELECT bands.* FROM bands JOIN flag USING (doc_id) WHERE is_b),
+       |ob AS (SELECT bands.* FROM bands JOIN flag USING (doc_id) WHERE NOT is_b),
+       |candx AS (SELECT DISTINCT b.doc_id AS d1, o.doc_id AS d2
+       |          FROM bb b JOIN ob o ON b.band = o.band AND b.band_hash = o.band_hash),
+       |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |          FROM bb a JOIN bb b
+       |            ON a.band = b.band AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+       |vx AS (SELECT d1, d2 FROM (
+       |         SELECT c.d1, c.d2, count(*) AS inter, z1.n AS n1, z2.n AS n2
+       |         FROM candx c
+       |         JOIN dt s1 ON s1.doc_id = c.d1
+       |         JOIN dt s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+       |         JOIN sz z1 ON z1.doc_id = c.d1 JOIN sz z2 ON z2.doc_id = c.d2
+       |         GROUP BY c.d1, c.d2, z1.n, z2.n)
+       |       WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= $Threshold),
+       |vs AS (SELECT d1, d2 FROM (
+       |         SELECT c.d1, c.d2, count(*) AS inter, z1.n AS n1, z2.n AS n2
+       |         FROM cands c
+       |         JOIN dt s1 ON s1.doc_id = c.d1
+       |         JOIN dt s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
+       |         JOIN sz z1 ON z1.doc_id = c.d1 JOIN sz z2 ON z2.doc_id = c.d2
+       |         GROUP BY c.d1, c.d2, z1.n, z2.n)
+       |       WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= $Threshold),
+       |dox AS (SELECT d1 AS doc_id, count(*) AS n FROM vx GROUP BY 1),
+       |dos AS (SELECT d2 AS doc_id, count(*) AS n FROM vs GROUP BY 1)
+       |SELECT f.doc_id,
+       |       CAST(coalesce(x.n, 0) AS BIGINT) AS n_dup_index,
+       |       CAST(coalesce(s.n, 0) AS BIGINT) AS n_dup_batch,
+       |       (coalesce(x.n, 0) = 0 AND coalesce(s.n, 0) = 0) AS keep
+       |FROM flag f
+       |LEFT JOIN dox x ON x.doc_id = f.doc_id
+       |LEFT JOIN dos s ON s.doc_id = f.doc_id
+       |WHERE f.is_b""".stripMargin
+  }
+
   // ── duplicated-passage scrub with reconstruction ───────────────────────
   // The Dolma-style payoff of CDC chunking: remove every cross-doc
   // duplicated chunk except its canonical occurrence (min doc_id, then min
@@ -1625,6 +1726,7 @@ object TextQueries {
     "cdc_chunks"          -> cdcChunks,
     "chunk_dedup"         -> chunkDedup,
     "edit_distance_pairs" -> editDistancePairs,
+    "dedup_incremental"   -> dedupIncremental,
     "passage_scrub"       -> passageScrub,
     "simhash_docs"        -> simhashDocs,
   )
@@ -1673,6 +1775,7 @@ object TextQueries {
     "cdc_chunks"          -> cdcChunksSql,
     "chunk_dedup"         -> chunkDedupSql,
     "edit_distance_pairs" -> editDistancePairsSql,
+    "dedup_incremental"   -> dedupIncrementalSql,
     "passage_scrub"       -> passageScrubSql,
     "simhash_docs"        -> simhashDocsSql,
   )

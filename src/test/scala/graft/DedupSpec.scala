@@ -162,6 +162,33 @@ class DedupSpec extends SparkSpec {
       s"CDC boundaries not edit-stable: ${lost.size} of ${fpA.size} chunks lost")
   }
 
+  test("incrementalDedup: index match drops, within-batch first-wins, unique keeps") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight ok"),
+      (2L, "some indexed historical document full of other words entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight ok"), // == index 1
+      (11L, "completely unrelated words about spark analytics engines here now"),
+      (12L, "completely unrelated words about spark analytics engines here now"), // == 11
+      (13L, "ab")) // too short for 3-gram shingles: no features, trivially keeps
+      .toDF("doc_id", "text")
+    def hashed(df: org.apache.spark.sql.DataFrame) =
+      DedupOps.wordShingleHashes(df, $"doc_id", $"text", 3)
+    def sets(h: org.apache.spark.sql.DataFrame) =
+      h.select($"doc_id", array_distinct($"hs").as("gs"))
+    val (oh, bh) = (hashed(old), hashed(batch))
+    val got = DedupOps.incrementalDedup(
+        DedupOps.bandKeysArrayLocal(oh, 16, 8), sets(oh),
+        DedupOps.bandKeysArrayLocal(bh, 16, 8), sets(bh), 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(10L) == ((1L, 0L, false))) // dropped: matches the index
+    assert(got(11L) == ((0L, 0L, true)))  // lower id of the batch pair: keeps
+    assert(got(12L) == ((0L, 1L, false))) // higher id: drops against 11
+    assert(got(13L) == ((0L, 0L, true)))
+  }
+
   test("passageScrub: canonical occurrence survives, all other copies drop, reconstruction exact") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
