@@ -756,7 +756,57 @@ object StreamingQueries {
       |WHERE band_key NOT IN (SELECT band_key FROM orig_canon)""".stripMargin
   }
 
+  // ── stream-static enrichment join ──────────────────────────────────────
+  // The most common production streaming pattern: a stream joined against
+  // a STATIC dimension (here a literal event-type → category/weight dim,
+  // broadcast — re-evaluated per micro-batch, no state store involved),
+  // then a running aggregate per enriched category. The weighted sum uses
+  // the order-free fixed-point convention (value rounded to 1e-4 longs
+  // before the weight multiply and sum), so complete-mode re-emission and
+  // the batch oracle agree bit-for-bit — the parity statement: streaming
+  // enrichment ≡ the same join in batch.
+  private val streamingStaticJoin: Q = (s, dir) => {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = {
+      import s.implicits._
+      Seq(("view", "engagement", 1L), ("click", "engagement", 2L),
+        ("signup", "conversion", 10L), ("purchase", "conversion", 25L),
+        ("error", "ops", 0L)).toDF("event_type", "category", "weight")
+    }
+    val stream = s.readStream.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet*")
+      .select(col("event_type"), col("user_id"), col("value"))
+    val agg = stream.join(broadcast(dim), "event_type")
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * lit(1e4)).cast("long") * col("weight")) /
+          lit(1e4)).as("weighted_value"))
+    val sink = s"streaming_static_join_${runSeq.incrementAndGet()}"
+    setStatePartitions(s, 4)
+    locally {
+      val q = agg.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(sink).select(col("category"), col("n_events"), col("weighted_value"))
+  }
+
+  private val streamingStaticJoinSql =
+    """WITH dim(event_type, category, weight) AS (VALUES
+      |  ('view', 'engagement', 1), ('click', 'engagement', 2),
+      |  ('signup', 'conversion', 10), ('purchase', 'conversion', 25),
+      |  ('error', 'ops', 0))
+      |SELECT d.category,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(round(e.value*10000.0) AS BIGINT) * d.weight) AS BIGINT)
+      |         / 10000.0 AS weighted_value
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "streaming_static_join" -> streamingStaticJoin,
     "streaming_near_dedup" -> streamingNearDedup,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
     "streaming_unique_users" -> streamingUniqueUsers,
@@ -771,6 +821,8 @@ object StreamingQueries {
   ).map { case (n, f) => n -> isolated(f) }
 
   val oracles: Map[String, String] = Map(
+    // streaming enrichment ≡ the same join in batch — a parity statement
+    "streaming_static_join" -> streamingStaticJoinSql,
     "streaming_near_dedup" -> streamingNearDedupSql,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermarkSql,
     "streaming_unique_users" -> streamingUniqueUsersSql,
