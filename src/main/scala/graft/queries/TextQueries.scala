@@ -1468,6 +1468,69 @@ object TextQueries {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s""".stripMargin
   }
 
+  // ── KMV mergeable distinct sketch (the sketch-table pattern) ───────────
+  // Per-source KMV sketches of distinct word bigrams (k smallest 40-bit
+  // hashes), then a GLOBAL estimate computed from the sketch rows alone —
+  // union, dedup, re-top-k — never re-touching the corpus: the
+  // pre-aggregated sketch-table re-aggregation a warehouse actually runs.
+  // Unlike HLL, KMV is order statistics over a portable hash, so the
+  // oracle replays sketches, merge, and estimates exactly.
+  private val KmvK = 64
+  private val kmvSketchQ: Q = (s, dir) => {
+    val hashed = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+      .select(col("source"), DedupOps.shingleHash40(col("g")).as("h"))
+      .distinct()
+    val sk = graft.operators.KmvSketch.sketch(
+      hashed, col("source"), col("h"), KmvK).localCheckpoint()
+    val est = graft.operators.KmvSketch.estimate(sk, KmvK)
+      .unionByName(graft.operators.KmvSketch.estimate(
+        graft.operators.KmvSketch.merge(sk, "ALL", KmvK), KmvK))
+    val exact = hashed.groupBy(col("source").as("scope"))
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(hashed.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_exact")).select(lit("ALL").as("scope"), col("n_exact")))
+    est.join(exact, "scope")
+      .select(col("scope"), col("n_exact"), col("sketch_n"), col("est"),
+        round(abs(col("est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+  }
+
+  private val kmvSketchSql = {
+    val spaceK = s"${(KmvK - 1).toDouble} * 1099511627776.0"
+    s"""WITH tok AS (SELECT doc_id, source, w, i FROM (
+       |        SELECT doc_id, source, unnest(str_split(text,' ')) AS w,
+       |               generate_subscripts(str_split(text,' '),1) AS i
+       |        FROM documents) WHERE w <> ''),
+       |bg AS (SELECT source, w || '_' || lead(w,1) OVER win AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |hashed AS (SELECT DISTINCT source,
+       |                  CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
+       |           FROM bg WHERE g IS NOT NULL),
+       |sk AS (SELECT * FROM (
+       |         SELECT source, h,
+       |                row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |         FROM hashed) WHERE rnk <= $KmvK),
+       |gsk AS (SELECT * FROM (
+       |          SELECT h, row_number() OVER (ORDER BY h) AS rnk
+       |          FROM (SELECT DISTINCT h FROM sk)) WHERE rnk <= $KmvK),
+       |per AS (SELECT source AS scope, count(*) AS sketch_n, max(h) AS hk
+       |        FROM sk GROUP BY 1
+       |        UNION ALL
+       |        SELECT 'ALL', count(*), max(h) FROM gsk),
+       |est AS (SELECT scope, sketch_n,
+       |               round(CASE WHEN sketch_n < $KmvK THEN CAST(sketch_n AS DOUBLE)
+       |                          ELSE ($spaceK) / hk END, 4) AS est
+       |        FROM per),
+       |ex AS (SELECT source AS scope, count(*) AS n FROM hashed GROUP BY 1
+       |       UNION ALL
+       |       SELECT 'ALL', count(*) FROM (SELECT DISTINCT h FROM hashed))
+       |SELECT e.scope, CAST(ex.n AS BIGINT) AS n_exact,
+       |       CAST(e.sketch_n AS BIGINT) AS sketch_n, e.est,
+       |       round(abs(e.est - ex.n) / ex.n, 4) AS rel_err
+       |FROM est e JOIN ex ON ex.scope = e.scope""".stripMargin
+  }
+
   // ── incremental dedup against a persisted signature index ──────────────
   // The ingestion shape: the historical corpus's band keys + feature sets
   // are a PERSISTED parquet index (keys partitioned by band → probes prune
@@ -1727,6 +1790,7 @@ object TextQueries {
     "chunk_dedup"         -> chunkDedup,
     "edit_distance_pairs" -> editDistancePairs,
     "dedup_incremental"   -> dedupIncremental,
+    "kmv_sketch"          -> kmvSketchQ,
     "passage_scrub"       -> passageScrub,
     "simhash_docs"        -> simhashDocs,
   )
@@ -1776,6 +1840,7 @@ object TextQueries {
     "chunk_dedup"         -> chunkDedupSql,
     "edit_distance_pairs" -> editDistancePairsSql,
     "dedup_incremental"   -> dedupIncrementalSql,
+    "kmv_sketch"          -> kmvSketchSql,
     "passage_scrub"       -> passageScrubSql,
     "simhash_docs"        -> simhashDocsSql,
   )

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.KmvSketch
+
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge of per-group sketches equals the direct sketch of the union") {
+    // overlapping hash sets: the merge must dedup shared hashes, not
+    // double-count them (the property that makes sketch tables re-aggregable)
+    val hashed = (Seq(10L, 20L, 30L, 40L, 50L).map(("a", _)) ++
+      Seq(30L, 40L, 60L, 70L, 80L).map(("b", _))).toDF("g", "h")
+    val k = 4
+    val sk = KmvSketch.sketch(hashed, $"g", $"h", k)
+    val merged = KmvSketch.merge(sk, "ALL", k)
+      .select($"_kmv_h", $"_kmv_r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val direct = KmvSketch.sketch(hashed.select(lit("ALL").as("g"), $"h").distinct(),
+        $"g", $"h", k)
+      .select($"_kmv_h", $"_kmv_r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(merged == direct && merged == Set((10L, 1), (20L, 2), (30L, 3), (40L, 4)))
+  }
+
+  test("estimate: unsaturated sketch is exact; saturated uses (k-1)*2^40/h_k") {
+    val hashed = (Seq(100L, 200L, 300L).map(("small", _)) ++
+      (1 to 10).map(i => ("big", i * 1000000L))).toDF("g", "h")
+    val k = 5
+    val est = KmvSketch.estimate(KmvSketch.sketch(hashed, $"g", $"h", k), k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(est("small") == ((3L, 3.0)))
+    val expected = BigDecimal(4.0 * KmvSketch.Space / 5000000L)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(est("big") == ((5L, expected)))
+  }
+}
