@@ -1153,7 +1153,67 @@ object RelationalQueries {
       |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
       |FROM orders""".stripMargin
 
+  // ── Link-analysis centrality: integer-unit PageRank ────────────────────
+  // The co-supply graph: suppliers are adjacent when they ship lines of
+  // the same order (lineitem self-join on l_orderkey, deduped, symmetric).
+  // Three damped rounds of `operators.PageRank` — all arithmetic in
+  // bigint rank-units (`div`), so the DuckDB oracle unrolls the identical
+  // iterations and matches every unit exactly; a float PageRank could
+  // never be cross-engine hash-gated. Top 25 by final rank.
+  private val supplierPagerank: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .select(col("a.sk").as("s1"), col("b.sk").as("s2")).distinct()
+    val edges = e0.select(col("s1").as("src"), col("s2").as("dst"))
+      .unionByName(e0.select(col("s2").as("src"), col("s1").as("dst")))
+    val verts = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
+    val ranks = graft.operators.PageRank.run(verts, edges, iters = 3)
+    ranks.join(Tables.supplier(s, dir), col("node") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("outdeg").as("n_neighbors"), col("units").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  private val supplierPagerankSql = {
+    // one iteration of the integer-unit recurrence, unrolled three times
+    def iter(prev: String, name: String) =
+      s"""$name AS (
+         |  SELECT d.node, d.outdeg,
+         |         CAST((15 * 1000000000000) // (100 * p.n)
+         |              + (85 * (COALESCE(c.inflow, 0) + (dg.dang // p.n))) // 100
+         |              AS BIGINT) AS units
+         |  FROM deg d
+         |  LEFT JOIN (SELECT e.dst, sum(r.units // r.outdeg) AS inflow
+         |             FROM edges e JOIN $prev r ON r.node = e.src
+         |             GROUP BY 1) c ON c.dst = d.node
+         |  CROSS JOIN (SELECT COALESCE(sum(units), 0) AS dang
+         |              FROM $prev WHERE outdeg = 0) dg
+         |  CROSS JOIN p)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |e0 AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+       |edges AS (SELECT s1 AS src, s2 AS dst FROM e0
+       |          UNION ALL SELECT s2, s1 FROM e0),
+       |deg AS (SELECT s_suppkey AS node, CAST(count(e.src) AS BIGINT) AS outdeg
+       |        FROM supplier LEFT JOIN edges e ON e.src = s_suppkey GROUP BY 1),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
+       |r0 AS (SELECT node, outdeg,
+       |              CAST(1000000000000 // p.n AS BIGINT) AS units
+       |       FROM deg CROSS JOIN p),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT r.node AS s_suppkey, s.s_name, r.outdeg AS n_neighbors,
+       |       r.units AS rank_units
+       |FROM r3 r JOIN supplier s ON s.s_suppkey = r.node
+       |ORDER BY rank_units DESC, s_suppkey LIMIT 25""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "supplier_pagerank"   -> supplierPagerank,
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1194,6 +1254,7 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "supplier_pagerank"   -> supplierPagerankSql,
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
