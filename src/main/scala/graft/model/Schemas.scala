@@ -38,10 +38,15 @@ object Schemas {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** `events` as physically stored: ts is parquet TIMESTAMP(NANOS), read
-    * as raw int64 under the `nanosAsLong` conf (Spark's TimestampType is
-    * µs and rejects nanos outright). */
-  val eventsRawNanos: StructType = StructType(Seq(
+  /** `events` read with an EXPLICIT long ts: the file stores parquet
+    * TIMESTAMP(NANOS); Spark 4.1+ decodes that to its internal µs
+    * representation (floor ns→µs) and, when the user-supplied schema asks
+    * for LongType, surfaces the internal value — so `ts` here is
+    * **epoch-MICROS**. (Through Spark 4.0 the `nanosAsLong` legacy conf
+    * yielded raw nanos instead; that conf is gone in 4.1, and inferred
+    * reads now come back as TIMESTAMP_NTZ — see `Tables.events`.)
+    * Streaming readers use this schema because `readStream` requires one. */
+  val eventsRawMicros: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -60,4 +65,8 @@ object Schemas {
       ColumnBridge.column(new IntegralDivide(
         ColumnBridge.expression(nanos), Literal(1000L))))
   }
+
+  /** Epoch-micros long (the [[eventsRawMicros]] contract) → TimestampType. */
+  def tsFromMicros(micros: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(micros)
 }

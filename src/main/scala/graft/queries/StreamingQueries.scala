@@ -24,8 +24,8 @@ object StreamingQueries {
   /** Every streaming gate runs on `SparkSession.newSession()` — same
     * SparkContext (executors, block manager), but an ISOLATED SessionState:
     * its own SQLConf, temp views, and listener wiring. The gates mutate
-    * session conf by necessity (`nanosAsLong` for the nanos parquet
-    * reader, state-partition sizing, the RocksDB provider class), and on a
+    * session conf by necessity (state-partition sizing, the RocksDB
+    * provider class), and on a
     * shared session those sets are a thread-safety hazard (a concurrent
     * query on the same session would observe them mid-flight). On the
     * child session they are free: the mutations die with the gate, no
@@ -49,19 +49,18 @@ object StreamingQueries {
                                  n: Int): Unit =
     s.conf.set("spark.sql.shuffle.partitions", n)
 
-  // events.parquet carries TIMESTAMP(NANOS); the stream reads it as raw
-  // int64 nanos (nanosAsLong) and floor-converts in-plan via the shared
-  // Schemas.tsFromNanos contract.
-  private val eventsRawSchema = graft.model.Schemas.eventsRawNanos
+  // events.parquet carries TIMESTAMP(NANOS); readStream needs an explicit
+  // schema, and asking for long ts surfaces Spark's internal epoch-MICROS
+  // (Schemas.eventsRawMicros — the ns→µs floor happens in the reader).
+  private val eventsRawSchema = graft.model.Schemas.eventsRawMicros
 
   private val streamingUniqueUsers: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // glob form: FileStreamSource requires a directory or glob, not a
     // bare file path ("Option 'basePath' must be a directory")
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet*")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
@@ -91,7 +90,6 @@ object StreamingQueries {
     * equal the batch distinct-count oracle. Requires the RocksDB state
     * store provider (set per-run, restored after). */
   private val streamingRunningDistinct: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // provider set on the gate's isolated child session — no restore
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -102,9 +100,9 @@ object StreamingQueries {
         .parquet(s"$dir/events.parquet*")
         .select(
           unix_timestamp(date_trunc("minute",
-            graft.model.Schemas.tsFromNanos(col("ts")))).as("bucket"),
+            graft.model.Schemas.tsFromMicros(col("ts")))).as("bucket"),
           col("user_id").cast("string").as("uid"),
-          graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"))
+          graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"))
         .as[graft.streaming.RunningDistinct.In]
       val out = graft.streaming.RunningDistinct.runningUniquePerBucket(frames)
       val sink = s"streaming_running_distinct_${runSeq.incrementAndGet()}"
@@ -172,7 +170,6 @@ object StreamingQueries {
     * only spec-level coverage existed (VERDICT r2 "What's missing" #2). */
   private val streamingUpdateChangelog: Q = (s, dir) => {
     import java.nio.file.Paths
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Paths.get(scratchPath("streaming_uu_update", dir))
     freshDir(tmp)
     val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
@@ -181,7 +178,7 @@ object StreamingQueries {
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
@@ -246,7 +243,6 @@ object StreamingQueries {
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import java.nio.file.{Files, Paths}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Paths.get(scratchPath(tag, dir))
     freshDir(tmp)
     Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
@@ -263,13 +259,13 @@ object StreamingQueries {
         .start()
       try {
         q.processAllAvailable() // batch 1: all real events
-        val maxNs = s.read.schema(eventsRawSchema)
+        val maxUs = s.read.schema(eventsRawSchema)
           .parquet(tmp.resolve("batch1.parquet").toString)
           .agg(max(col("ts"))).head().getLong(0)
-        val dayNs = 86400L * 1000000000L
+        val dayUs = 86400L * 1000000L
         val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
         sentinel.add(org.apache.spark.sql.Row(
-          -1L, maxNs + dayNs, -1L, "sentinel", 0.0, null))
+          -1L, maxUs + dayUs, -1L, "sentinel", 0.0, null))
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
           "zz_batch2.parquet")
         q.processAllAvailable() // batch 2 + no-data flush batch
@@ -292,7 +288,7 @@ object StreamingQueries {
   private val streamingSessions: Q = (s, dir) =>
     appendWithSentinelFlush(s, dir, "streaming_sessions") { raw =>
       val frames = raw
-        .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
           col("user_id"))
         .withWatermark("eventTime", "0 seconds")
       graft.operators.Windowing.sessionStats(
@@ -313,7 +309,7 @@ object StreamingQueries {
   private val streamingUniqueUsersAppend: Q = (s, dir) => {
     val counts = appendWithSentinelFlush(s, dir, "streaming_uu_append") { raw =>
       val frames = raw.select(
-        graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+        graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
       UniqueUsersStream.uniquePerWindow(frames,
         window = "1 minute", watermark = Some("1 minute"))
@@ -323,11 +319,11 @@ object StreamingQueries {
     // after it. (With a 1-minute watermark the sentinel's own window
     // never closes, so it shouldn't be emitted at all — but the filter
     // keys on the DATA, not on that emission subtlety.)
-    val maxNs = s.read.schema(eventsRawSchema)
+    val maxUs = s.read.schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet*")
       .agg(max(col("ts"))).head().getLong(0)
     counts.filter(unix_timestamp(col("window_start")) <=
-        Math.floorDiv(maxNs, 1000000000L))
+        Math.floorDiv(maxUs, 1000000L))
       .select(unix_timestamp(col("window_start")).as("minute"),
         col("unique_users"))
   }
@@ -347,13 +343,12 @@ object StreamingQueries {
     * the checkpoint holds. */
   private val stateStoreDump: Q = (s, dir) => {
     import java.nio.file.Paths
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ckpt = Paths.get(scratchPath("state_dump", dir))
     freshDir(ckpt)
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet*")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = None)
@@ -391,13 +386,12 @@ object StreamingQueries {
     * stream-stream joins). Inner joins emit on match, so one micro-batch
     * suffices; the result must equal the batch self-join oracle. */
   private val streamingStreamJoin: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def side(tp: String) = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet*")
       .filter(col("event_type") === tp)
       .select(col("user_id").as("key"),
-        graft.model.Schemas.tsFromNanos(col("ts")).as("t"),
+        graft.model.Schemas.tsFromMicros(col("ts")).as("t"),
         col("event_id").as("id"))
     val joined = graft.streaming.StreamJoins.withinLookback(
       side("view"), side("purchase"),
@@ -451,22 +445,21 @@ object StreamingQueries {
     * admitted — measured exactly that with pre-written files. */
   private val streamingLateDataDrop: Q = (s, dir) => {
     import java.nio.file.Paths
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Paths.get(scratchPath("streaming_late_drop", dir))
     freshDir(tmp)
     val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-    // minute-truncated epoch seconds of the raw int64-nanos ts column
+    // minute-truncated epoch seconds of the raw epoch-micros ts column
     val minuteCol = unix_timestamp(date_trunc("minute",
-      graft.model.Schemas.tsFromNanos(col("ts"))))
+      graft.model.Schemas.tsFromMicros(col("ts"))))
     val bounds = events.agg(
-      min(minuteCol).as("m0"), max(col("ts")).as("maxNs")).head()
-    val (m0, maxNs) = (bounds.getLong(0), bounds.getLong(1))
+      min(minuteCol).as("m0"), max(col("ts")).as("maxUs")).head()
+    val (m0, maxUs) = (bounds.getLong(0), bounds.getLong(1))
     writeOneFile(events.filter(minuteCol >= m0 + 600), tmp,
       "batch1_ontime.parquet")
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
     val counts = UniqueUsersStream.uniquePerWindow(frames,
       window = "1 minute", watermark = Some("1 minute"))
@@ -484,7 +477,7 @@ object StreamingQueries {
         q.processAllAvailable() // late batch: every row behind the watermark
         val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
         sentinel.add(org.apache.spark.sql.Row(
-          -1L, maxNs + 86400L * 1000000000L, -1L, "sentinel", 0.0, null))
+          -1L, maxUs + 86400L * 1000000L, -1L, "sentinel", 0.0, null))
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
           "zz_batch3_sentinel.parquet")
         q.processAllAvailable() // flush every real window
@@ -492,7 +485,7 @@ object StreamingQueries {
     }
     s.table(sink)
       .filter(unix_timestamp(col("window_start")) <=
-        Math.floorDiv(maxNs, 1000000000L)) // sentinel's own window out
+        Math.floorDiv(maxUs, 1000000L)) // sentinel's own window out
       .select(unix_timestamp(col("window_start")).as("minute"),
         col("unique_users"))
   }
@@ -516,9 +509,8 @@ object StreamingQueries {
     * environment-bound (no broker in the sandbox); the record
     * construction is now hash-gated. */
   private val kafkaSinkProjection: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val counts = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("user_id").cast("string").as("uid"))
       .groupBy(window(col("eventTime"), "1 minute").as("w"))
       .agg(count_distinct(col("uid")).as("unique_users"))
@@ -549,7 +541,6 @@ object StreamingQueries {
     * (event_id is unique in the source, making the oracle exact). */
   private val streamingDedupWithinWatermark: Q = (s, dir) => {
     import java.nio.file.Paths
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Paths.get(scratchPath("streaming_ddww", dir))
     freshDir(tmp)
     val events = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
@@ -557,7 +548,7 @@ object StreamingQueries {
     val deduped = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
-      .select(graft.model.Schemas.tsFromNanos(col("ts")).as("eventTime"),
+      .select(graft.model.Schemas.tsFromMicros(col("ts")).as("eventTime"),
         col("event_id"), col("user_id"))
       .withWatermark("eventTime", "2 days")
       .dropDuplicatesWithinWatermark("event_id")
@@ -766,7 +757,6 @@ object StreamingQueries {
   // the batch oracle agree bit-for-bit — the parity statement: streaming
   // enrichment ≡ the same join in batch.
   private val streamingStaticJoin: Q = (s, dir) => {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dim = {
       import s.implicits._
       Seq(("view", "engagement", 1L), ("click", "engagement", 2L),

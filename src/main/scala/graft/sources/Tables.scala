@@ -30,23 +30,24 @@ object Tables {
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (µs) cannot represent — the reader rejects it outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read the raw int64 nanos via the
-    * `nanosAsLong` conf and floor-convert to µs in-plan
-    * (`Schemas.tsFromNanos`), preserving the public schema contract
-    * (`ts: TimestampType`).
-    *
-    * NOTE the conf is a session-level side effect by necessity (the parquet
-    * reader has no per-read option for it): after this call, other readers
-    * in the session will see nanos columns as LongType instead of erroring.
-    * Confined to this loader + the streaming reader so the contract has one
-    * owner.
+    * (µs) cannot represent exactly. How the reader surfaces it is
+    * version-dependent — Spark ≤ 4.0 rejected it unless the legacy
+    * `nanosAsLong` conf exposed raw int64 nanos; Spark 4.1+ drops that
+    * conf and infers TIMESTAMP_NTZ (floor ns → µs). Adapt on the ACTUAL
+    * resolved type so the public contract (`ts: TimestampType`, µs,
+    * session tz UTC) holds under either reader — and no session conf is
+    * ever mutated here (the memoized relation is immune to conf races).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", graft.model.Schemas.tsFromNanos(
-        org.apache.spark.sql.functions.col("ts")))
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType         => graft.model.Schemas.tsFromNanos(col("ts"))
+      case TimestampNTZType => col("ts").cast(TimestampType)
+      case _                => col("ts")
+    }
+    raw.withColumn("ts", ts)
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
