@@ -19,11 +19,13 @@ object Queries {
   val all: Map[String, Q] =
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
-      AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all
+      AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all ++
+      LineQueries.all ++ CorpusStatsQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
-      AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles
+      AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles ++
+      LineQueries.oracles ++ CorpusStatsQueries.oracles
 }

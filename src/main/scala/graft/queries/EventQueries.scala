@@ -380,6 +380,50 @@ object EventQueries {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY 1""".stripMargin
 
+  /** SCD2 history derivation — the warehouse "slowly changing dimension"
+    * operator: an append-only event changelog compressed into per-entity
+    * state intervals `[valid_from, valid_to)` with an `is_current` flag.
+    * Run-length compression first (keep only rows where the state differs
+    * from the previous state), then `lead` over the survivors supplies
+    * each interval's end. Both windows partition BY USER — per-entity
+    * history is bounded, so partitions stay small at any corpus scale and
+    * the plan is two window passes over one hash exchange on user_id (the
+    * second window reuses the first's partitioning). Intervals are emitted
+    * as exact epoch-µs longs (`inter_event_gaps` precedent: integer
+    * round-trips engine-to-engine bit-exactly). */
+  private val scd2UserState: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  private val scd2UserStateSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, event_id,
+      |         date_trunc('microseconds', ts) AS tsu,
+      |         lag(event_type, 1) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id) AS prev_state
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, event_id, tsu FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type)
+      |SELECT user_id, event_type AS state,
+      |       epoch_us(tsu) AS valid_from_us,
+      |       lead(epoch_us(tsu), 1) OVER (
+      |         PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to_us,
+      |       lead(epoch_us(tsu), 1) OVER (
+      |         PARTITION BY user_id ORDER BY tsu, event_id) IS NULL AS is_current
+      |FROM runs""".stripMargin
+
   /** Conditional aggregates: count_if / filtered sums / bool aggregates —
     * the guard-railed forms of CASE-sum pivoting. */
   private val conditionalAgg: Q = (s, dir) =>
@@ -549,6 +593,7 @@ object EventQueries {
     "inter_event_gaps"        -> interEventGaps,
     "top_user_per_minute"     -> topUserPerMinute,
     "approx_unique_users"     -> approxUniqueUsers,
+    "scd2_user_state"         -> scd2UserState,
   )
 
   val oracles: Map[String, String] = Map(
@@ -572,5 +617,6 @@ object EventQueries {
     "conditional_agg"         -> conditionalAggSql,
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
+    "scd2_user_state"         -> scd2UserStateSql,
   )
 }

@@ -1355,6 +1355,57 @@ object TextQueries {
        |                           ORDER BY q DESC, doc_id) = 1) AS is_canonical
        |FROM scored""".stripMargin
 
+  /** Leakage-safe train/val/test split: assignment is a deterministic
+    * hash of the near-dup CLUSTER label, not of the document — so two
+    * near-duplicates can never straddle a split boundary (the train/test
+    * contamination `dataset_split`'s per-doc hash cannot rule out).
+    * Clustered docs inherit their component's min-label; singletons
+    * self-label. Buckets: md5(cluster) % 10 → 0–7 train, 8 val, 9 test.
+    * Scale shape: the LSH pair mining + label propagation already gated
+    * in `dedup_clusters`, then one id-only left join and a row-local
+    * bucket hash — the split pass adds nothing corpus-sized. */
+  private val leakageSafeSplit: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val pairs = DedupOps.lshPairsArrayLocal(
+      DedupOps.wordShingleHashes(docs, col("doc_id"), col("text"), ShingleN),
+      NumHashes, Bands, Threshold)
+    val labels = DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+    val bucket = pmod(
+      conv(substring(md5(col("cluster_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+  }
+
+  private val leakageSafeSplitSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${minhashLshPairsSql.replace("\n", "\n  ")}
+       |),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |      UNION SELECT d2, d1 FROM pairs),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.src, reach.lbl FROM e JOIN reach ON reach.node = e.dst),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |asg AS (SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN lab ON lab.node = d.doc_id),
+       |b AS (SELECT doc_id, cluster_id,
+       |             CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+       |                  AS BIGINT) % 10 AS bucket
+       |      FROM asg)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |       CAST(cluster_id AS BIGINT) AS cluster_id, bucket,
+       |       CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |FROM b""".stripMargin
+
   // ── content-defined chunking (rolling-hash cut points) ─────────────────
   // CDC with an 8-char window hash, cut where hash % 64 == 0 (avg chunk
   // ≈ 64 chars): boundaries stay stable under edits, so chunk_fp makes
@@ -1785,6 +1836,7 @@ object TextQueries {
     "rolling_hash_fingerprint" -> rollingHashFingerprint,
     "dedup_clusters"      -> dedupClusters,
     "canonical_docs"      -> canonicalDocs,
+    "leakage_safe_split"  -> leakageSafeSplit,
     "decontaminate_ngrams" -> decontaminateNgrams,
     "cdc_chunks"          -> cdcChunks,
     "chunk_dedup"         -> chunkDedup,
@@ -1835,6 +1887,7 @@ object TextQueries {
     "rolling_hash_fingerprint" -> rollingHashFingerprintSql,
     "dedup_clusters"      -> dedupClustersSql,
     "canonical_docs"      -> canonicalDocsSql,
+    "leakage_safe_split"  -> leakageSafeSplitSql,
     "decontaminate_ngrams" -> decontaminateNgramsSql,
     "cdc_chunks"          -> cdcChunksSql,
     "chunk_dedup"         -> chunkDedupSql,
