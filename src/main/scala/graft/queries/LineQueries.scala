@@ -30,9 +30,15 @@ object LineQueries {
     * doc-level verdict, and the md5 of the reassembled cleaned text (the
     * hash pins reassembly byte-for-byte, passage_scrub convention). */
   private val c4LineFilter: Q = (s, dir) => {
-    val ws = LineOps.words(col("text"))
+    // words materialized in its OWN projection: HOF lambdas re-evaluate
+    // captured subexpressions per element, so passing words(text) straight
+    // into c4Lines would re-split the document once per line — O(tokens²)
+    // per doc (SCALING.md pitfall; CollapseProject keeps the staging
+    // projection because the array is non-cheap and referenced 3×).
     Tables.documents(s, dir)
-      .select(col("doc_id"), LineOps.c4Lines(col("doc_id"), ws).as("lines"))
+      .select(col("doc_id"), LineOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        LineOps.c4Lines(col("doc_id"), col("ws")).as("lines"))
       .select(col("doc_id"), col("lines"),
         LineOps.c4Kept(col("lines")).as("kept"))
       .select(
@@ -76,9 +82,11 @@ object LineQueries {
     * duplicated lines" quality signal. Distinct-based formulation
     * (1 − distinct/total) so the metric is a pure array expression. */
   private val dupLineFraction: Q = (s, dir) => {
-    val ws = LineOps.words(col("text"))
+    // same ws staging as c4_line_filter (per-element lambda re-evaluation)
     Tables.documents(s, dir)
-      .select(col("doc_id"), LineOps.dupLines(col("doc_id"), ws).as("lines"))
+      .select(col("doc_id"), LineOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        LineOps.dupLines(col("doc_id"), col("ws")).as("lines"))
       .select(
         col("doc_id"),
         size(col("lines")).cast("long").as("n_lines"),

@@ -317,6 +317,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("line gates: token split evaluated once, outside the HOF lambdas") {
+    // HOF lambdas re-evaluate captured subexpressions per element; if
+    // words(text) leaks into the transform lambda the document re-splits
+    // once per LINE (O(tokens²)/doc — the SCALING.md pitfall). The staged
+    // ws projection must survive optimization as the single split site.
+    for (name <- Seq("c4_line_filter", "dup_line_fraction")) {
+      val p = plan(name)
+      val splits = "split\\(text".r.findAllIn(p).size
+      assert(splits == 1, s"$name evaluates split(text) $splits times:\n$p")
+      assert(!p.contains("Exchange"), s"$name should be shuffle-free:\n$p")
+    }
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
