@@ -424,6 +424,60 @@ object EventQueries {
       |         PARTITION BY user_id ORDER BY tsu, event_id) IS NULL AS is_current
       |FROM runs""".stripMargin
 
+  /** Snapshot diff — the other direction of the SCD2 coin: given two
+    * versions of a keyed table (here: per-user latest state as of the
+    * timeline midpoint vs as of the end), derive the CDC verdict per key
+    * (insert / update / unchanged; deletes can't arise from an
+    * append-only changelog and are documented absent). The midpoint is
+    * exact integer µs arithmetic (t_min + (t_max−t_min) div 2) so both
+    * engines cut at the identical instant. Scale shape: two latest-row
+    * window passes (per-user partitions) + one key-sized full outer join
+    * — snapshots are KEY-cardinality relations, never event-cardinality. */
+  private val snapshotDiff: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val mid = ev.agg(
+      (min(col("us")) + (max(col("us")) - min(col("us"))) / lit(2L))
+        .cast("long").as("t1"))
+    def latest(df: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"))
+    }
+    val a = latest(ev.crossJoin(broadcast(mid)).filter(col("us") <= col("t1")))
+      .withColumnRenamed("event_type", "state_t1")
+    val b = latest(ev).withColumnRenamed("event_type", "state_t2")
+    b.join(a, Seq("user_id"), "left")
+      .select(col("user_id"), col("state_t1"), col("state_t2"),
+        when(col("state_t1").isNull, "insert")
+          .when(col("state_t1") =!= col("state_t2"), "update")
+          .otherwise("unchanged").as("change_type"))
+  }
+
+  private val snapshotDiffSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events),
+      |mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS t1 FROM ev),
+      |a AS (SELECT user_id, event_type AS state_t1 FROM (
+      |        SELECT user_id, event_type, row_number() OVER (
+      |          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |        FROM ev CROSS JOIN mid WHERE us <= t1)
+      |      WHERE rn = 1),
+      |b AS (SELECT user_id, event_type AS state_t2 FROM (
+      |        SELECT user_id, event_type, row_number() OVER (
+      |          PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |        FROM ev)
+      |      WHERE rn = 1)
+      |SELECT b.user_id, a.state_t1, b.state_t2,
+      |       CASE WHEN a.state_t1 IS NULL THEN 'insert'
+      |            WHEN a.state_t1 <> b.state_t2 THEN 'update'
+      |            ELSE 'unchanged' END AS change_type
+      |FROM b LEFT JOIN a ON a.user_id = b.user_id""".stripMargin
+
   /** Conditional aggregates: count_if / filtered sums / bool aggregates —
     * the guard-railed forms of CASE-sum pivoting. */
   private val conditionalAgg: Q = (s, dir) =>
@@ -594,6 +648,7 @@ object EventQueries {
     "top_user_per_minute"     -> topUserPerMinute,
     "approx_unique_users"     -> approxUniqueUsers,
     "scd2_user_state"         -> scd2UserState,
+    "snapshot_diff"           -> snapshotDiff,
   )
 
   val oracles: Map[String, String] = Map(
@@ -618,5 +673,6 @@ object EventQueries {
     "inter_event_gaps"        -> interEventGapsSql,
     "top_user_per_minute"     -> topUserPerMinuteSql,
     "scd2_user_state"         -> scd2UserStateSql,
+    "snapshot_diff"           -> snapshotDiffSql,
   )
 }

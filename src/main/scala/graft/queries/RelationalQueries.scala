@@ -1177,6 +1177,57 @@ object RelationalQueries {
       .limit(25)
   }
 
+  /** Triangle counting over the supplier AFFINITY graph: each supplier
+    * keeps its 5 strongest co-suppliers (co-order count, id tiebreak) —
+    * the standard top-k sparsification that turns the near-complete
+    * co-supply graph into a community-structured network (the raw graph
+    * is ~complete at every SF, where triangle counting is vacuous).
+    * Top-k-per-node is a per-supplier window (bounded partitions); the
+    * count itself is `operators.TriangleCount` — degree-ordered
+    * orientation, O(m^1.5) wedge bound regardless of skew. The oracle
+    * enumerates triangles by plain id-ordering: the triangle SET is
+    * orientation-independent, so the two enumeration strategies must
+    * agree row-for-row. */
+  private val supplierTriangles: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val w = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+    val e0 = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
+    graft.operators.TriangleCount.perNode(
+        Tables.supplier(s, dir).select(col("s_suppkey").as("node")), e0)
+      .join(Tables.supplier(s, dir), col("node") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("triangles"))
+  }
+
+  private val supplierTrianglesSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+      |w AS (SELECT a.sk AS x, b.sk AS y, count(*) AS c
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2),
+      |topk AS (SELECT x, y FROM (
+      |           SELECT x, y, row_number() OVER (
+      |             PARTITION BY x ORDER BY c DESC, y) AS rn FROM w)
+      |         WHERE rn <= 5),
+      |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM topk),
+      |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w2
+      |        FROM e0 e1
+      |        JOIN e0 e2 ON e2.a = e1.b
+      |        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, count(*) AS triangles FROM (
+      |         SELECT u AS node FROM tri
+      |         UNION ALL SELECT v FROM tri
+      |         UNION ALL SELECT w2 FROM tri)
+      |       GROUP BY 1)
+      |SELECT s_suppkey, s_name,
+      |       CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
+      |FROM supplier LEFT JOIN pn ON pn.node = s_suppkey""".stripMargin
+
   private val supplierPagerankSql = {
     // one iteration of the integer-unit recurrence, unrolled three times
     def iter(prev: String, name: String) =
@@ -1214,6 +1265,7 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "supplier_pagerank"   -> supplierPagerank,
+    "supplier_triangles"  -> supplierTriangles,
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1255,6 +1307,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "supplier_pagerank"   -> supplierPagerankSql,
+    "supplier_triangles"  -> supplierTrianglesSql,
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,

@@ -424,6 +424,72 @@ object StreamingQueries {
       |FROM v JOIN p ON v.user_id = p.user_id
       | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE""".stripMargin
 
+  /** LEFT OUTER stream-stream join — the semantics the inner gate can't
+    * show: a view whose 60-minute match window closes unmatched is
+    * emitted ONCE with null purchase columns when the purchase-side
+    * watermark passes view_ts + 60 min (state-expiry null padding, the
+    * streaming analogue of batch LEFT JOIN). Harness: real events first;
+    * then one far-future sentinel row PER SIDE (event_type 'sentinel'
+    * passes both side filters) advances both watermarks a day past the
+    * data, expiring every pending view so all null rows flush; sentinel
+    * keys are negative and filtered from the result. Oracle: the same
+    * batch LEFT JOIN — matched multiplicity and null padding must agree
+    * row-for-row. */
+  private val streamingOuterJoin: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(scratchPath("souter", dir))
+    freshDir(tmp)
+    Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
+    def side(tp: String) = s.readStream
+      .schema(eventsRawSchema)
+      .parquet(s"$tmp/*.parquet")
+      .filter(col("event_type").isin(tp, "sentinel"))
+      .select(col("user_id").as("key"),
+        graft.model.Schemas.tsFromMicros(col("ts")).as("t"),
+        col("event_id").as("id"))
+    val joined = graft.streaming.StreamJoins.withinLookback(
+      side("view"), side("purchase"),
+      watermark = "0 seconds", lookback = "60 minutes",
+      joinType = "left_outer")
+    val sink = s"streaming_outer_join_${runSeq.incrementAndGet()}"
+    setStatePartitions(s, 4)
+    locally {
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: all real events
+        val maxUs = s.read.schema(eventsRawSchema)
+          .parquet(s"$dir/events.parquet")
+          .agg(max(col("ts"))).head().getLong(0)
+        val farUs = maxUs + 86400L * 1000000L
+        val sent = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        sent.add(org.apache.spark.sql.Row(-1L, farUs, -1L, "sentinel", 0.0, null))
+        sent.add(org.apache.spark.sql.Row(-2L, farUs, -2L, "sentinel", 0.0, null))
+        writeOneFile(s.createDataFrame(sent, eventsRawSchema), tmp,
+          "zz_sentinel.parquet")
+        q.processAllAvailable() // sentinel batch + expiry-flush batch
+      } finally q.stop()
+    }
+    s.table(sink).filter(col("key") >= 0)
+      .select(col("key").as("user_id"),
+        col("left_id").as("view_id"), col("right_id").as("purchase_id"),
+        unix_timestamp(col("left_t")).as("view_ts"),
+        unix_timestamp(col("right_t")).as("purchase_ts"))
+  }
+
+  private val streamingOuterJoinSql =
+    """WITH v AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      |       CAST(epoch(date_trunc('second', v.ts)) AS BIGINT) AS view_ts,
+      |       CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS purchase_ts
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 60 MINUTE""".stripMargin
+
   /** The WATERMARK LATE-DATA POLICY made oracle-visible — the policy the
     * reference gets wrong (README.md:196 admits late frames land in
     * wrong windows; its extractor assigns malformed keys to the epoch
@@ -795,7 +861,78 @@ object StreamingQueries {
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY 1""".stripMargin
 
+  /** foreachBatch idempotent upsert sink — the production "MERGE INTO
+    * keyed table" pattern (the Delta-merge shape without a table format):
+    * each micro-batch reduces to its latest row per key, merges into the
+    * persisted state table keeping the (ts, event_id)-max row per key,
+    * and writes the result to a NEW versioned directory — a reader never
+    * observes a half-written table, and replaying batch k deterministically
+    * rewrites v_k from v_{k-1} (idempotent recovery, the reason production
+    * sinks version or MERGE rather than append). Two micro-batches split
+    * at the timeline midpoint (progressive delivery — the second batch
+    * UPDATES most keys, not just inserts). Scale shape: per-batch work is
+    * batch-sized + one key-cardinality window over the state table; at
+    * cluster scale the same code targets a partitioned table where only
+    * touched partitions rewrite. Final table ≡ the batch
+    * last-event-per-user query — the parity statement (same oracle). */
+  private val streamingUpsertSink: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(scratchPath("upsert", dir))
+    freshDir(tmp)
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val evAll = s.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val bounds = evAll.agg(
+      (min(col("ts")) + (max(col("ts")) - min(col("ts"))) / lit(2L))
+        .cast("long").as("t1")).head()
+    val t1 = bounds.getLong(0)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val merges = new AtomicInteger(0)
+    var current: Option[String] = None
+    val frames = s.readStream.schema(
+        StructType(graft.model.Schemas.eventsRawMicros.fields.filter(f =>
+          Seq("user_id", "event_id", "ts").contains(f.name))))
+      .parquet(s"$in/*.parquet")
+    setStatePartitions(s, 4)
+    val q = frames.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          val batchLatest = df
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+          val merged = current match {
+            case None    => batchLatest
+            case Some(p) => s.read.parquet(p).unionByName(batchLatest)
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+          }
+          val out = tmp.resolve(s"state_v$id").toString
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          merges.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      writeOneFile(evAll.filter(col("ts") <= t1), in, "batch1.parquet")
+      q.processAllAvailable()
+      writeOneFile(evAll.filter(col("ts") > t1), in, "batch2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    require(merges.get() == 2,
+      s"upsert gate expected exactly 2 merged batches, saw ${merges.get()}")
+    s.read.parquet(current.get).select(
+      col("user_id"), col("event_id").as("last_event_id"),
+      expr("ts div 1000000").as("last_ts"))
+  }
+
   val all: Map[String, Q] = Map(
+    "streaming_upsert_sink" -> streamingUpsertSink,
     "streaming_static_join" -> streamingStaticJoin,
     "streaming_near_dedup" -> streamingNearDedup,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
@@ -806,11 +943,22 @@ object StreamingQueries {
     "streaming_late_data_drop" -> streamingLateDataDrop,
     "streaming_sessions" -> streamingSessions,
     "streaming_stream_join" -> streamingStreamJoin,
+    "streaming_outer_join" -> streamingOuterJoin,
     "kafka_sink_projection" -> kafkaSinkProjection,
     "state_store_dump" -> stateStoreDump
   ).map { case (n, f) => n -> isolated(f) }
 
   val oracles: Map[String, String] = Map(
+    // the merged upsert table ≡ the batch last-event query — parity
+    "streaming_upsert_sink" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_ts
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY user_id
+        |        ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+    // state-expiry null padding ≡ the batch LEFT JOIN — parity
+    "streaming_outer_join" -> streamingOuterJoinSql,
     // streaming enrichment ≡ the same join in batch — a parity statement
     "streaming_static_join" -> streamingStaticJoinSql,
     "streaming_near_dedup" -> streamingNearDedupSql,

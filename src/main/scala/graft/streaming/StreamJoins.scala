@@ -18,9 +18,18 @@ object StreamJoins {
   /** Attribution join: each `right` event (e.g. purchase) matched to every
     * `left` event (e.g. click) of the same key within `lookback` before
     * it. Inputs: (key, eventTime, id) streams with column names
-    * (key, t, id); output: (key, left_id, right_id, left_t, right_t). */
+    * (key, t, id); output: (key, left_id, right_id, left_t, right_t).
+    *
+    * `joinType` admits the outer variants: with "left_outer", a left row
+    * whose match window closes unmatched (watermark passed l_t + lookback
+    * — no future right row can satisfy the bound) is emitted ONCE with
+    * null right columns on state expiry. That emission is the streaming
+    * analogue of the batch LEFT JOIN's null padding, and only the time
+    * bound makes it well-defined: it tells the engine when "no match" is
+    * final. */
   def withinLookback(left: DataFrame, right: DataFrame,
-                     watermark: String, lookback: String): DataFrame = {
+                     watermark: String, lookback: String,
+                     joinType: String = "inner"): DataFrame = {
     val l = left.select(col("key").as("l_key"), col("t").as("l_t"), col("id").as("l_id"))
       .withWatermark("l_t", watermark)
     val r = right.select(col("key").as("r_key"), col("t").as("r_t"), col("id").as("r_id"))
@@ -28,7 +37,8 @@ object StreamJoins {
     l.join(r,
       col("l_key") === col("r_key") &&
         col("l_t") <= col("r_t") &&
-        col("l_t") >= col("r_t") - expr(s"INTERVAL $lookback"))
+        col("l_t") >= col("r_t") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("l_key").as("key"),
         col("l_id").as("left_id"), col("r_id").as("right_id"),
         col("l_t").as("left_t"), col("r_t").as("right_t"))
