@@ -45,6 +45,48 @@ object KmvSketch {
       .filter(col("_kmv_r") <= k)
       .select(lit(label).as("_kmv_g"), col("_kmv_h"), col("_kmv_r"))
 
+  /** All-pairs INTERSECTION estimates from sketch rows only — the
+    * warehouse "overlap between any two sources" matrix computed without
+    * re-touching raw data (Beyer et al. 2007's ρ·D̂ estimator): for each
+    * unordered group pair, take the k smallest hashes of the UNION of the
+    * two sketches; ρ = the fraction of those union minima present in BOTH
+    * sketches; D̂_∩ = ρ · D̂_union. Exact below saturation (ρ·n_union =
+    * |A∩B| when the union sketch holds every hash). Everything is
+    * order statistics + one double formula, so an oracle replays it
+    * bit-for-bit. Cost: pairs × 2k sketch rows — driver-scale metadata
+    * regardless of corpus size. Returns
+    * (g1, g2, n_union, n_both, est_intersection). */
+  def pairIntersectEstimates(sk: DataFrame, k: Int): DataFrame = {
+    val gs = sk.select(col("_kmv_g")).distinct()
+    val pairs = gs.select(col("_kmv_g").as("g1"))
+      .crossJoin(gs.select(col("_kmv_g").as("g2")))
+      .filter(col("g1") < col("g2"))
+    val rows = pairs.join(sk, col("_kmv_g") === col("g1"))
+      .select(col("g1"), col("g2"), col("_kmv_h"))
+      .unionByName(pairs.join(sk, col("_kmv_g") === col("g2"))
+        .select(col("g1"), col("g2"), col("_kmv_h")))
+      .distinct()
+    val minima = rows.withColumn("_kmv_r", row_number().over(
+        Window.partitionBy(col("g1"), col("g2")).orderBy(col("_kmv_h"))))
+      .filter(col("_kmv_r") <= k)
+    val inA = sk.select(col("_kmv_g").as("g1"), col("_kmv_h"))
+      .withColumn("_kmv_a", lit(1))
+    val inB = sk.select(col("_kmv_g").as("g2"), col("_kmv_h"))
+      .withColumn("_kmv_b", lit(1))
+    minima
+      .join(inA, Seq("g1", "_kmv_h"), "left")
+      .join(inB, Seq("g2", "_kmv_h"), "left")
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_union"), max(col("_kmv_h")).as("_kmv_hk"),
+        sum(when(col("_kmv_a") === 1 && col("_kmv_b") === 1, 1)
+          .otherwise(0)).as("n_both"))
+      .select(col("g1"), col("g2"), col("n_union"), col("n_both"),
+        round((col("n_both").cast("double") / col("n_union")) *
+          (when(col("n_union") < k, col("n_union").cast("double"))
+            .otherwise(lit((k - 1).toDouble * Space) / col("_kmv_hk"))), 4)
+          .as("est_intersection"))
+  }
+
   /** (scope, sketch_n, est) per group from sketch rows: exact when the
     * sketch is unsaturated, (k−1)·2⁴⁰/h_k otherwise, rounded to 4 dp. */
   def estimate(sketchRows: DataFrame, k: Int): DataFrame =

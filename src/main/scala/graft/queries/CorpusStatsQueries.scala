@@ -77,9 +77,82 @@ object CorpusStatsQueries {
        |WHERE c_xy >= $PmiMinCount
        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Per-source document cap for docs kept per source. */
+  private val CapPerSource = 20
+
+  /** Deterministic per-source document cap — the "downsample
+    * over-represented domains" mix-balancing step: docs rank within their
+    * source by a portable md5 hash of doc_id (id tiebreak), the first
+    * `CapPerSource` survive. Hash-ranking (not id-ranking) makes the kept
+    * subset an unbiased sample of each source rather than its oldest
+    * documents. One per-source window over bounded partitions; every doc
+    * emitted with its rank and verdict. */
+  private val domainCapSample: Q = (s, dir) => {
+    val hk = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), hk.as("hk"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        (col("rank_in_source") <= CapPerSource).as("kept"))
+  }
+
+  private val domainCapSampleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id, source,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+       |              AS BIGINT) AS hk
+       |  FROM documents)
+       |SELECT doc_id, source,
+       |       CAST(row_number() OVER (
+       |         PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+       |         AS rank_in_source,
+       |       row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+       |         <= $CapPerSource AS kept
+       |FROM h""".stripMargin
+
+  /** Minimum document frequency for an indexed term. */
+  private val IdxMinDf = 10L
+
+  /** Inverted-index build (term → postings): the search-index construction
+    * pass. Postings are SORTED doc-id lists serialized to one string per
+    * term — deterministic on both engines (the raw collect order is not).
+    * Shuffle shape: one distinct (term, doc) relation (map-side
+    * combinable) + one term-keyed aggregate whose state is each term's
+    * own postings; terms below `IdxMinDf` are dropped (the long tail a
+    * real index shards separately). */
+  private val invertedIndex: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("p"))
+      .filter(col("df") >= IdxMinDf)
+      .select(col("term"), col("df"),
+        concat_ws(",", transform(col("p"), _.cast("string"))).as("postings"))
+  }
+
+  private val invertedIndexSql =
+    s"""WITH td AS (
+       |  SELECT DISTINCT doc_id, w AS term
+       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '')
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |         AS postings
+       |FROM td GROUP BY 1 HAVING count(*) >= $IdxMinDf""".stripMargin
+
   val all: Map[String, Q] = Map(
-    "pmi_collocations" -> pmiCollocations)
+    "pmi_collocations"  -> pmiCollocations,
+    "domain_cap_sample" -> domainCapSample,
+    "inverted_index"    -> invertedIndex)
 
   val oracles: Map[String, String] = Map(
-    "pmi_collocations" -> pmiCollocationsSql)
+    "pmi_collocations"  -> pmiCollocationsSql,
+    "domain_cap_sample" -> domainCapSampleSql,
+    "inverted_index"    -> invertedIndexSql)
 }

@@ -1528,11 +1528,13 @@ object TextQueries {
   // oracle replays sketches, merge, and estimates exactly.
   private val KmvK = 64
   private val kmvSketchQ: Q = (s, dir) => {
+    // hashed feeds the sketch AND both exact sides: checkpoint once so the
+    // corpus scan + distinct runs once, not per consumer (c2258b0 pattern)
     val hashed = Tables.documents(s, dir)
       .select(col("source"),
         explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
       .select(col("source"), DedupOps.shingleHash40(col("g")).as("h"))
-      .distinct()
+      .distinct().localCheckpoint()
     val sk = graft.operators.KmvSketch.sketch(
       hashed, col("source"), col("h"), KmvK).localCheckpoint()
     val est = graft.operators.KmvSketch.estimate(sk, KmvK)
@@ -1580,6 +1582,94 @@ object TextQueries {
        |       CAST(e.sketch_n AS BIGINT) AS sketch_n, e.est,
        |       round(abs(e.est - ex.n) / ex.n, 4) AS rel_err
        |FROM est e JOIN ex ON ex.scope = e.scope""".stripMargin
+  }
+
+  /** All-pairs source-overlap matrix from the PERSISTED KMV sketch table
+    * only (Beyer et al. ρ·D̂: fraction of the pair's union minima present
+    * in both sketches × the union estimate) — the "how much do any two
+    * sources overlap" question answered without re-touching raw data,
+    * exact below saturation. Input: pairs × 2k sketch rows — driver-scale
+    * metadata at any corpus size. Exact counts ride along for the
+    * accuracy statement. */
+  private val kmvIntersectionQ: Q = (s, dir) => {
+    // hashed feeds the sketch AND both exact sides: checkpoint once so the
+    // corpus scan + distinct runs once, not per consumer (c2258b0 pattern)
+    val hashed = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+      .select(col("source"), DedupOps.shingleHash40(col("g")).as("h"))
+      .distinct().localCheckpoint()
+    val sk = graft.operators.KmvSketch.sketch(
+      hashed, col("source"), col("h"), KmvK).localCheckpoint()
+    val est = graft.operators.KmvSketch.pairIntersectEstimates(sk, KmvK)
+    val exact = hashed.as("x")
+      .join(hashed.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("g1"), col("y.source").as("g2"))
+      .agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("g1", "g2"), "left")
+      .select(col("g1").as("source_a"), col("g2").as("source_b"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        col("n_union"), col("n_both"), col("est_intersection"),
+        round(abs(col("est_intersection") -
+            coalesce(col("n_exact"), lit(0L))) /
+          greatest(coalesce(col("n_exact"), lit(0L)), lit(1L)), 4)
+          .as("rel_err"))
+  }
+
+  private val kmvIntersectionSql = {
+    val spaceK = s"${(KmvK - 1).toDouble} * 1099511627776.0"
+    s"""WITH tok AS (SELECT doc_id, source, w, i FROM (
+       |        SELECT doc_id, source, unnest(str_split(text,' ')) AS w,
+       |               generate_subscripts(str_split(text,' '),1) AS i
+       |        FROM documents) WHERE w <> ''),
+       |bg AS (SELECT source, w || '_' || lead(w,1) OVER win AS g
+       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+       |hashed AS (SELECT DISTINCT source,
+       |                  CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
+       |           FROM bg WHERE g IS NOT NULL),
+       |sk AS (SELECT * FROM (
+       |         SELECT source, h,
+       |                row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |         FROM hashed) WHERE rnk <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS g1, b.source AS g2
+       |       FROM srcs a JOIN srcs b ON a.source < b.source),
+       |prows AS (SELECT DISTINCT g1, g2, h FROM (
+       |            SELECT g1, g2, sk.h FROM pr JOIN sk ON sk.source = g1
+       |            UNION ALL
+       |            SELECT g1, g2, sk.h FROM pr JOIN sk ON sk.source = g2)),
+       |mi AS (SELECT * FROM (
+       |         SELECT g1, g2, h,
+       |                row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS r
+       |         FROM prows) WHERE r <= $KmvK),
+       |fl AS (SELECT mi.g1, mi.g2, mi.h,
+       |              CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+       |                   THEN 1 ELSE 0 END AS b2
+       |       FROM mi
+       |       LEFT JOIN sk a ON a.source = mi.g1 AND a.h = mi.h
+       |       LEFT JOIN sk b ON b.source = mi.g2 AND b.h = mi.h),
+       |ag AS (SELECT g1, g2, count(*) AS n_union, max(h) AS hk,
+       |              sum(b2) AS n_both
+       |       FROM fl GROUP BY 1, 2),
+       |est AS (SELECT g1, g2, n_union, n_both,
+       |               round((CAST(n_both AS DOUBLE) / n_union) *
+       |                     (CASE WHEN n_union < $KmvK
+       |                           THEN CAST(n_union AS DOUBLE)
+       |                           ELSE ($spaceK) / hk END), 4)
+       |                 AS est_intersection
+       |        FROM ag),
+       |ex AS (SELECT x.source AS g1, y.source AS g2, count(*) AS n_exact
+       |       FROM hashed x JOIN hashed y
+       |         ON x.h = y.h AND x.source < y.source
+       |       GROUP BY 1, 2)
+       |SELECT e.g1 AS source_a, e.g2 AS source_b,
+       |       CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+       |       CAST(n_union AS BIGINT) AS n_union,
+       |       CAST(n_both AS BIGINT) AS n_both, est_intersection,
+       |       round(abs(est_intersection - coalesce(n_exact, 0)) /
+       |             greatest(coalesce(n_exact, 0), 1), 4) AS rel_err
+       |FROM est e LEFT JOIN ex ON ex.g1 = e.g1 AND ex.g2 = e.g2""".stripMargin
   }
 
   // ── incremental dedup against a persisted signature index ──────────────
@@ -1843,6 +1933,7 @@ object TextQueries {
     "edit_distance_pairs" -> editDistancePairs,
     "dedup_incremental"   -> dedupIncremental,
     "kmv_sketch"          -> kmvSketchQ,
+    "kmv_intersection"    -> kmvIntersectionQ,
     "passage_scrub"       -> passageScrub,
     "simhash_docs"        -> simhashDocs,
   )
@@ -1894,6 +1985,7 @@ object TextQueries {
     "edit_distance_pairs" -> editDistancePairsSql,
     "dedup_incremental"   -> dedupIncrementalSql,
     "kmv_sketch"          -> kmvSketchSql,
+    "kmv_intersection"    -> kmvIntersectionSql,
     "passage_scrub"       -> passageScrubSql,
     "simhash_docs"        -> simhashDocsSql,
   )

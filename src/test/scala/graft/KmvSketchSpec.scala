@@ -32,4 +32,25 @@ class KmvSketchSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(est("big") == ((5L, expected)))
   }
+
+  test("pair intersection: exact below saturation, rho-scaled when saturated") {
+    // a = {10,20,30,40}, b = {30,40,50,60}: intersection {30,40}.
+    // k=8 keeps every hash -> unsaturated, estimate must be EXACTLY 2.
+    val hashed = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++
+      Seq(30L, 40L, 50L, 60L).map(("b", _))).toDF("g", "h")
+    val sk = KmvSketch.sketch(hashed, $"g", $"h", 8)
+    val row = KmvSketch.pairIntersectEstimates(sk, 8).collect().toSeq
+    assert(row.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))) == Seq(("a", "b", 6L, 2L, 2.0)))
+
+    // saturated at k=4: union minima {10,20,30,40}, of which {30,40} are
+    // in both sketches -> rho = 1/2, est = rho * (k-1)*2^40/h_k
+    val sk4 = KmvSketch.sketch(hashed, $"g", $"h", 4)
+    val sat = KmvSketch.pairIntersectEstimates(sk4, 4).head()
+    val estU = 3.0 * KmvSketch.Space / 40L
+    val expected = BigDecimal(0.5 * estU)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((sat.getLong(2), sat.getLong(3), sat.getDouble(4)) ==
+      ((4L, 2L, expected)))
+  }
 }
