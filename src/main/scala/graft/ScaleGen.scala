@@ -60,6 +60,19 @@ object ScaleGen {
     }
   }
 
+  /** events replica k: user/event ids shifted into disjoint ranges, event
+    * times UNchanged — the same window structure carries k× the per-window
+    * key cardinality, which is exactly what grows streaming/window state
+    * at scale (replica-shifted timestamps would instead grow the window
+    * COUNT and leave per-window state flat). Written as TimestampType µs
+    * parquet; both the batch adapter and the explicit-long streaming
+    * readers surface the identical epoch-µs values they see on the
+    * original nanos file. */
+  private def eventsReplica(events: DataFrame, k: Int): DataFrame =
+    events
+      .withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      .withColumn("event_id", col("event_id") + lit(k * 100000000L))
+
   /** embeddings replica k: ids shifted, coordinates perturbed (identity at k=0). */
   private def embReplica(embs: DataFrame, k: Int): DataFrame = {
     val shifted = embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
@@ -77,6 +90,10 @@ object ScaleGen {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts must land as int64 TIMESTAMP(MICROS), not legacy INT96:
+      // the streaming readers' explicit long-ts schema can surface an
+      // int64 column as epoch-µs but has no INT96 conversion
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,11 +106,15 @@ object ScaleGen {
     (0 until copies).map(embReplica(embs, _)).reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val events = graft.sources.Tables.events(spark, src)
+    (0 until copies).map(eventsReplica(events, _)).reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // remaining tables verbatim (heavy paths don't read them, but the dir
     // stays a drop-in SPARK_GRAFT_SF_DIR for any registry query)
     val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events")
+      "orders", "lineitem")
     others.foreach { t =>
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       val to   = java.nio.file.Paths.get(s"$out/$t.parquet")
