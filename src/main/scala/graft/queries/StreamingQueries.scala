@@ -888,9 +888,6 @@ object StreamingQueries {
         .cast("long").as("t1")).head()
     val t1 = bounds.getLong(0)
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
     val merges = new AtomicInteger(0)
     var current: Option[String] = None
     val frames = s.readStream.schema(
@@ -901,15 +898,11 @@ object StreamingQueries {
     val q = frames.writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         if (!df.isEmpty) {
-          val batchLatest = df
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).drop("rn")
-          val merged = current match {
-            case None    => batchLatest
-            case Some(p) => s.read.parquet(p).unionByName(batchLatest)
-              .withColumn("rn", row_number().over(w))
-              .filter(col("rn") === 1).drop("rn")
-          }
+          val batchLatest = graft.streaming.UpsertSink.mergeLatest(
+            None, df, "user_id", "ts", "event_id")
+          val merged = graft.streaming.UpsertSink.mergeLatest(
+            current.map(s.read.parquet(_)), batchLatest,
+            "user_id", "ts", "event_id")
           val out = tmp.resolve(s"state_v$id").toString
           merged.write.mode("overwrite").parquet(out)
           current = Some(out)

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The MERGE-INTO reduction used by the foreachBatch upsert sink
+  * (`streaming_upsert_sink`): fold a micro-batch into a keyed state
+  * table, keeping the row with the greatest (ordering, tiebreak) per
+  * key. Extracted so its two contract properties are spec-checkable:
+  *
+  *  - IDEMPOTENT: re-applying the same batch to the merged state is a
+  *    no-op — the property that makes batch REPLAY after a sink failure
+  *    safe (Structured Streaming re-runs an uncommitted batch id).
+  *  - LATEST-WINS: a state row survives a batch row (and vice versa)
+  *    strictly by the ordering columns, never by which side it sat on.
+  *
+  * Scale shape: one window over the union, partitioned by key — per-key
+  * state is the handful of candidate rows for that key, and at cluster
+  * scale the state table is partitioned storage so only touched
+  * partitions rewrite.
+  */
+object UpsertSink {
+
+  /** Merge `batch` into `state` (None for the first batch), keeping the
+    * row with the greatest (`ord` desc, `tiebreak` desc) per `key`. All
+    * referenced columns must exist in both relations. */
+  def mergeLatest(state: Option[DataFrame], batch: DataFrame,
+                  key: String, ord: String, tiebreak: String): DataFrame = {
+    val unioned = state.fold(batch)(_.unionByName(batch))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ord).desc, col(tiebreak).desc)
+    unioned.withColumn("_us_rn", row_number().over(w))
+      .filter(col("_us_rn") === 1).drop("_us_rn")
+  }
+}
