@@ -135,8 +135,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailJson =
       s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","spread_min_med_max":$detail}"""
+    // SPARK_GRAFT_ONLY iteration runs must not clobber the round's
+    // full-sweep artifact (a 3-query detail file looks like a sweep)
+    val detailPath =
+      if (only.isEmpty) "BENCH_DETAIL.json" else "BENCH_DETAIL_only.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       detailJson.getBytes("UTF-8"))
     catch { case _: Throwable => () } // detail is best-effort, never fails the bench
     def line(qs: String, extra: String) =
