@@ -1228,6 +1228,60 @@ object RelationalQueries {
       |       CAST(coalesce(triangles, 0) AS BIGINT) AS triangles
       |FROM supplier LEFT JOIN pn ON pn.node = s_suppkey""".stripMargin
 
+  /** k-core decomposition over a DEGREE-VARIED affinity graph: each
+    * supplier keeps its 2 + (s_suppkey % 6) strongest co-suppliers (the
+    * uniform top-5 graph has minimum degree 5 everywhere, making every
+    * k ≤ 5 core vacuously total and k = 6 vacuously empty — degree spread
+    * is what gives peeling CASCADES: removing a low-cap vertex drops a
+    * neighbor below k, which drops another; measured 2/3/5 rounds at the
+    * three SFs, cores of 9/10, 90/100, 862/1000 vertices). Operator
+    * throws if 8 rounds don't reach the fixpoint; the oracle unrolls
+    * exactly 8 peeling rounds, sound because peeling is idempotent at
+    * the fixpoint. */
+  private val supplierKcore: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val w = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+    val e0 = w.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= lit(2) + pmod(col("x"), lit(6)))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
+    val core = graft.operators.KCore.coreMembers(e0, k = 4, maxRounds = 8)
+    Tables.supplier(s, dir)
+      .join(core, col("s_suppkey") === col("node"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+        col("node").isNotNull.as("in_core"))
+  }
+
+  private val supplierKcoreSql = {
+    // each round references the previous one 3x; without MATERIALIZED,
+    // DuckDB inlines CTEs and the 8-round chain expands to 3^8 scans of
+    // lineitem ("Too many open files" observed live)
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (SELECT a, count(*) AS c FROM e${i - 1} GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT a FROM d$i WHERE c >= 4),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |        JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |w AS (SELECT a.sk AS x, b.sk AS y, count(*) AS c
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2),
+       |topk AS (SELECT x, y FROM (
+       |           SELECT x, y, row_number() OVER (
+       |             PARTITION BY x ORDER BY c DESC, y) AS rn FROM w)
+       |         WHERE rn <= 2 + x % 6),
+       |eu AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM topk),
+       |e0 AS MATERIALIZED (SELECT a, b FROM eu UNION ALL SELECT b, a FROM eu),
+       |${(1 to 8).map(round).mkString(",\n")},
+       |core AS (SELECT DISTINCT a AS node FROM e8)
+       |SELECT s_suppkey, s_name, core.node IS NOT NULL AS in_core
+       |FROM supplier LEFT JOIN core ON core.node = s_suppkey""".stripMargin
+  }
+
   private val supplierPagerankSql = {
     // one iteration of the integer-unit recurrence, unrolled three times
     def iter(prev: String, name: String) =
@@ -1266,6 +1320,7 @@ object RelationalQueries {
   val all: Map[String, Q] = Map(
     "supplier_pagerank"   -> supplierPagerank,
     "supplier_triangles"  -> supplierTriangles,
+    "supplier_kcore"      -> supplierKcore,
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1308,6 +1363,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "supplier_pagerank"   -> supplierPagerankSql,
     "supplier_triangles"  -> supplierTrianglesSql,
+    "supplier_kcore"      -> supplierKcoreSql,
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
