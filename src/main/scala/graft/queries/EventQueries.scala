@@ -478,6 +478,50 @@ object EventQueries {
       |            ELSE 'unchanged' END AS change_type
       |FROM b LEFT JOIN a ON a.user_id = b.user_id""".stripMargin
 
+  /** Per-user EWMA of event values with α = 1/2 — the streaming-metrics
+    * smoothing primitive. EWMA is a non-associative left fold, which is
+    * exactly what distributed aggregation CANNOT reorder — so the
+    * operator collects each user's (bounded) history into one sorted
+    * array and folds it ROW-LOCALLY with a HOF `aggregate`; values are
+    * 1e-2 fixed-point longs and α = 1/2 is an integer halving, so the
+    * fold is exact integer arithmetic an engine replays bit-for-bit (a
+    * double fold would accumulate rounding skew between engines). The
+    * oracle is the same recurrence as a per-user recursive CTE. */
+  private val ewmaUserValue: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("u"), col("event_id").as("e"),
+      round(col("value") * 100).cast("long").as("v"))
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("u"), col("e"), col("v"))))
+          .as("arr"))
+      .select(col("user_id"), col("n_events"),
+        expr("""aggregate(arr,
+                named_struct('init', false, 's', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct('init', true,
+                  's', CASE WHEN acc.init THEN (acc.s + x.v) div 2
+                            ELSE x.v END),
+                acc -> acc.s)""").as("ewma_fp"))
+      .withColumn("ewma", round(col("ewma_fp") / 100.0, 2))
+  }
+
+  private val ewmaUserValueSql =
+    """WITH RECURSIVE ev AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+      |         row_number() OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, rn, v AS s FROM ev WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, (r.s + e.v) // 2
+      |  FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+      |last AS (SELECT user_id, max(rn) AS mx FROM ev GROUP BY 1)
+      |SELECT r.user_id, CAST(l.mx AS BIGINT) AS n_events, r.s AS ewma_fp,
+      |       round(r.s / 100.0, 2) AS ewma
+      |FROM rec r JOIN last l ON r.user_id = l.user_id AND r.rn = l.mx""".stripMargin
+
   /** Conditional aggregates: count_if / filtered sums / bool aggregates —
     * the guard-railed forms of CASE-sum pivoting. */
   private val conditionalAgg: Q = (s, dir) =>
@@ -649,6 +693,7 @@ object EventQueries {
     "approx_unique_users"     -> approxUniqueUsers,
     "scd2_user_state"         -> scd2UserState,
     "snapshot_diff"           -> snapshotDiff,
+    "ewma_user_value"         -> ewmaUserValue,
   )
 
   val oracles: Map[String, String] = Map(
@@ -674,5 +719,6 @@ object EventQueries {
     "top_user_per_minute"     -> topUserPerMinuteSql,
     "scd2_user_state"         -> scd2UserStateSql,
     "snapshot_diff"           -> snapshotDiffSql,
+    "ewma_user_value"         -> ewmaUserValueSql,
   )
 }

@@ -235,7 +235,65 @@ object SourceQueries {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1, 2""".stripMargin
 
+  /** Small-file compaction — the operational pass every 100 TB lake runs:
+    * a fragmented table (64 files here; in production, thousands of
+    * per-micro-batch or per-task files whose open/footer costs dominate
+    * the scan) is rewritten to a bounded file count by an exchange-only
+    * job. Both layouts are asserted in-query (`require` on the physical
+    * file counts), and the compacted table must be row-identical to the
+    * source — compaction changes LAYOUT, never content. */
+  private val compactSmallFiles: Q = (s, dir) => {
+    val outDir = scratchPath("compact", dir)
+    def parquetFiles(p: String): Long = {
+      val stream = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try stream.filter(_.getFileName.toString.endsWith(".parquet")).count()
+      finally stream.close()
+    }
+    val src = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    src.repartition(64).write.mode("overwrite").parquet(s"$outDir/small")
+    require(parquetFiles(s"$outDir/small") == 64,
+      "fragmented layout did not produce 64 files")
+    s.read.parquet(s"$outDir/small")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$outDir/compacted")
+    require(parquetFiles(s"$outDir/compacted") == 4,
+      "compaction did not produce 4 files")
+    s.read.parquet(s"$outDir/compacted")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  private val compactSmallFilesSql =
+    "SELECT event_id, user_id, event_type, value FROM events"
+
+  /** Schema evolution on read: two parquet batches written with DIFFERENT
+    * schemas (the second adds a column — the additive evolution a
+    * long-lived table accumulates), unified by `mergeSchema`; rows from
+    * the narrow batch surface the new column as NULL. The oracle states
+    * the same contract as a UNION with an explicit NULL fill. */
+  private val schemaEvolutionRead: Q = (s, dir) => {
+    val outDir = scratchPath("evolve", dir)
+    val orders = Tables.orders(s, dir)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=1")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=2")
+    s.read.option("mergeSchema", "true").parquet(s"$outDir/batch=1", s"$outDir/batch=2")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+  }
+
+  private val schemaEvolutionReadSql =
+    """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "compact_small_files" -> compactSmallFiles,
+    "schema_evolution_read" -> schemaEvolutionRead,
     "format_roundtrip" -> formatRoundtrip,
     "avro_roundtrip" -> avroRoundtrip,
     "avro_complex_roundtrip" -> avroComplexRoundtrip,
@@ -244,6 +302,8 @@ object SourceQueries {
     "bucketed_join_colocated" -> bucketedJoinColocated)
 
   val oracles: Map[String, String] = Map(
+    "compact_small_files" -> compactSmallFilesSql,
+    "schema_evolution_read" -> schemaEvolutionReadSql,
     "format_roundtrip" -> formatRoundtripSql,
     "avro_roundtrip" -> avroRoundtripSql,
     "avro_complex_roundtrip" -> avroComplexRoundtripSql,
