@@ -53,7 +53,8 @@ object Bench {
     "streaming_near_dedup", "ngram_lm_score", "semantic_dedup",
     "repeated_spans", "q7_volume_shipping", "q8_market_share",
     "q14_promo_revenue", "q6_forecast_revenue", "dsir_importance",
-    "supplier_triangles", "supplier_kcore", "pmi_collocations",
+    "supplier_triangles", "supplier_kcore", "supplier_hops",
+    "pmi_collocations",
     "kmv_intersection",
     "scd2_user_state", "leakage_safe_split",
     "streaming_upsert_sink", "streaming_outer_join")

@@ -1282,6 +1282,60 @@ object RelationalQueries {
        |FROM supplier LEFT JOIN core ON core.node = s_suppkey""".stripMargin
   }
 
+  /** BFS hop distances from the minimum supplier over the top-5 affinity
+    * graph (connected at every SF; eccentricity 2/3/5 measured) —
+    * iterative traversal as a gate. The min-union recurrence is
+    * idempotent once all reachable nodes are labeled, so the oracle
+    * unrolls 8 MATERIALIZED rounds (the k-core CTE-inlining lesson) and
+    * the operator proves convergence within the same budget in-query.
+    * Unreachable nodes would surface as −1 (none exist in this graph —
+    * the left join states the contract anyway). */
+  private val supplierHops: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val w = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+    val e0 = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b")).distinct()
+    val seed = Tables.supplier(s, dir)
+      .agg(min(col("s_suppkey"))).head().getLong(0)
+    val dist = graft.operators.Bfs.hopDistances(e0, seed, maxRounds = 8)
+    Tables.supplier(s, dir)
+      .join(dist, col("s_suppkey") === col("node"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+        coalesce(col("d"), lit(-1L)).as("hops"))
+  }
+
+  private val supplierHopsSql = {
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, p.d + 1 AS d
+         |    FROM e0 e JOIN d${i - 1} p ON e.a = p.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |w AS (SELECT a.sk AS x, b.sk AS y, count(*) AS c
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2),
+       |topk AS (SELECT x, y FROM (
+       |           SELECT x, y, row_number() OVER (
+       |             PARTITION BY x ORDER BY c DESC, y) AS rn FROM w)
+       |         WHERE rn <= 5),
+       |eu AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM topk),
+       |e0 AS MATERIALIZED (SELECT a, b FROM eu UNION ALL SELECT b, a FROM eu),
+       |d0 AS (SELECT (SELECT min(s_suppkey) FROM supplier) AS node, 0 AS d),
+       |${(1 to 8).map(round).mkString(",\n")}
+       |SELECT s_suppkey, s_name,
+       |       CAST(coalesce(dd.d, -1) AS BIGINT) AS hops
+       |FROM supplier LEFT JOIN d8 dd ON dd.node = s_suppkey""".stripMargin
+  }
+
   private val supplierPagerankSql = {
     // one iteration of the integer-unit recurrence, unrolled three times
     def iter(prev: String, name: String) =
@@ -1321,6 +1375,7 @@ object RelationalQueries {
     "supplier_pagerank"   -> supplierPagerank,
     "supplier_triangles"  -> supplierTriangles,
     "supplier_kcore"      -> supplierKcore,
+    "supplier_hops"       -> supplierHops,
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1364,6 +1419,7 @@ object RelationalQueries {
     "supplier_pagerank"   -> supplierPagerankSql,
     "supplier_triangles"  -> supplierTrianglesSql,
     "supplier_kcore"      -> supplierKcoreSql,
+    "supplier_hops"       -> supplierHopsSql,
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
