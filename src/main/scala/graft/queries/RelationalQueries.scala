@@ -1160,7 +1160,7 @@ object RelationalQueries {
   // bigint rank-units (`div`), so the DuckDB oracle unrolls the identical
   // iterations and matches every unit exactly; a float PageRank could
   // never be cross-engine hash-gated. Top 25 by final rank.
-  private val supplierPagerank: Q = (s, dir) => {
+  private def supplierPagerankPath(forceShuffle: Option[Boolean]): Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
     val e0 = li.as("a")
@@ -1169,13 +1169,23 @@ object RelationalQueries {
     val edges = e0.select(col("s1").as("src"), col("s2").as("dst"))
       .unionByName(e0.select(col("s2").as("src"), col("s1").as("dst")))
     val verts = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
-    val ranks = graft.operators.PageRank.run(verts, edges, iters = 3)
+    val ranks = graft.operators.PageRank.run(verts, edges, iters = 3,
+      forceShuffle = forceShuffle)
     ranks.join(Tables.supplier(s, dir), col("node") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("outdeg").as("n_neighbors"), col("units").as("rank_units"))
       .orderBy(col("rank_units").desc, col("s_suppkey"))
       .limit(25)
   }
+
+  private val supplierPagerank: Q = supplierPagerankPath(None)
+
+  /** The SAME centrality query forced through the web-scale rank-
+    * propagation path (per-round shuffle-hash rank join instead of a
+    * rebuilt vertex-scale broadcast — the 10⁹-vertex link-graph shape).
+    * Integer rank-units make the two paths bit-identical, so one oracle
+    * gates both; a divergence would hash-mismatch here. */
+  private val supplierPagerankShuffle: Q = supplierPagerankPath(Some(true))
 
   /** Triangle counting over the supplier AFFINITY graph: each supplier
     * keeps its 5 strongest co-suppliers (co-order count, id tiebreak) —
@@ -1373,6 +1383,7 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "supplier_pagerank"   -> supplierPagerank,
+    "supplier_pagerank_shuffle" -> supplierPagerankShuffle,
     "supplier_triangles"  -> supplierTriangles,
     "supplier_kcore"      -> supplierKcore,
     "supplier_hops"       -> supplierHops,
@@ -1417,6 +1428,7 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "supplier_pagerank"   -> supplierPagerankSql,
+    "supplier_pagerank_shuffle" -> supplierPagerankSql,
     "supplier_triangles"  -> supplierTrianglesSql,
     "supplier_kcore"      -> supplierKcoreSql,
     "supplier_hops"       -> supplierHopsSql,

@@ -34,4 +34,67 @@ class PageRankSpec extends SparkSpec {
     // every floor drops < 1 unit; a handful of divisions per node per round
     assert(total <= PageRank.Scale && total > PageRank.Scale - 6 * 3 * 4)
   }
+
+  // ── the two rank-propagation paths ───────────────────────────────────
+  // Integer rank-units make path equivalence exact: broadcast-hash and
+  // shuffle-hash propagation must agree on every unit, not within an ε.
+
+  private def ringGraph(n: Long) = {
+    val verts = (1L to n).toDF("node")
+    val e0 = (1L until n).map(i => (i, i + 1)) ++ Seq((n, 1L)) ++
+      (1L to n).filter(_ % 7 == 0).map(i => (i, (i * 3) % n + 1))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    (verts, edges)
+  }
+
+  test("shuffle and broadcast propagation paths are bit-identical") {
+    val (verts, edges) = ringGraph(200L)
+    val a = PageRank.run(verts, edges, iters = 3, forceShuffle = Some(false))
+      .orderBy($"node").collect()
+    val b = PageRank.run(verts, edges, iters = 3, forceShuffle = Some(true))
+      .orderBy($"node").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("forced paths execute the join shape they claim per round") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // capture the executed plans of the per-round localCheckpoint
+    // actions; `units div outdeg` is the contribution expression and
+    // appears ONLY in PageRank's round plans, so the filter is immune
+    // to unrelated actions on the shared session
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    def roundPlans(forceShuffle: Boolean): Seq[String] = {
+      plans.clear()
+      spark.listenerManager.register(listener)
+      try {
+        val (verts, edges) = ringGraph(60L)
+        PageRank.run(verts, edges, iters = 2, forceShuffle = Some(forceShuffle))
+        // listener events are posted asynchronously; poll until the two
+        // round plans arrived (bounded — a lost event fails the test)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        def captured() = {
+          import scala.jdk.CollectionConverters._
+          plans.iterator().asScala.toSeq.filter(_.contains("div"))
+            .filter(_.contains("outdeg"))
+        }
+        while (captured().size < 2 && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        captured()
+      } finally spark.listenerManager.unregister(listener)
+    }
+    val shj = roundPlans(forceShuffle = true)
+    assert(shj.size >= 2, s"expected 2 captured round plans, got ${shj.size}")
+    assert(shj.forall(_.contains("ShuffledHashJoin")),
+      "shuffle path must shuffle-hash-join ranks every round")
+    val bhj = roundPlans(forceShuffle = false)
+    assert(bhj.size >= 2, s"expected 2 captured round plans, got ${bhj.size}")
+    assert(bhj.forall(p => p.contains("BroadcastHashJoin") && !p.contains("ShuffledHashJoin")),
+      "broadcast path must broadcast-hash-join ranks every round")
+  }
 }
