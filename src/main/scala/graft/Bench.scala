@@ -21,43 +21,27 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** The queries reported by name when the full registry map would
-    * overflow the consumer's 2000-char stdout tail: the flagship, the
-    * TPC-H-derived joins/aggs, every streaming gate, and the
-    * LLM-pipeline families (dedup, ANN, multimodal, text) — the rows
-    * BASELINE.md and the round verdicts track. Budget: one representative
-    * per family (full spread always lands in BENCH_DETAIL.json); at 59
-    * entries the worst-case line is ~1.8 KB vs the 1.9 KB cap — re-check
-    * the arithmetic when adding names. */
+    * overflow the consumer's 2000-char stdout tail: ONE representative
+    * per family (flagship, TPC-H join/agg, each streaming shape, each
+    * dedup/ANN/text/graph/sketch family) — the rows BASELINE.md and the
+    * round verdicts track; full spread always lands in BENCH_DETAIL.json.
+    * Budget: at 28 entries the worst-case line is ~1.2 KB vs the 1.9 KB
+    * cap (r6's 68-entry set overflowed it and the artifact degraded to
+    * the no-per-query minimal line) — re-check the arithmetic when
+    * adding names. */
   private val Headline: Set[String] = Set(
-    "unique_users_per_minute", "unique_users_two_phase", "q1_agg",
-    "q3_topk_revenue", "q5_local_supplier_volume", "q18_large_orders",
-    "streaming_unique_users", "streaming_unique_users_append",
-    "streaming_update_changelog", "streaming_running_distinct",
-    "streaming_late_data_drop", "streaming_dedup_within_watermark",
-    "streaming_sessions", "streaming_stream_join", "state_store_dump",
-    "kafka_sink_projection", "dedup_docs_exact",
-    "dedup_clusters", "minhash_lsh_pairs", "ngram_jaccard_pairs",
-    "simhash64_near_pairs_banded", "cdc_chunks",
-    "decontaminate_ngrams", "dedup_embedding_cosine", "knn_bruteforce",
-    "knn_ivf", "knn_ivf_recall",
-    "multimodal_pipeline", "tfidf_top_terms",
-    "bm25_scores", "lang_id", "text_quality", "pii_scrub",
-    "pipeline_end_to_end", "format_roundtrip", "zorder_layout",
-    "range_join_orders", "asof_native_attribution", "broadcast_dim_join",
-    "join_sort_merge", "salted_agg_by_type", "window_analytics",
-    "json_extract",
-    "q10_returned_items", "bloom_prefilter_join", "kmeans_centroids",
-    "knn_ivf_trained", "canonical_docs", "pack_sequences",
-    "interval_overlap_join", "q21_suppliers_waiting",
-    "knn_ivfpq",
-    "streaming_near_dedup", "ngram_lm_score", "semantic_dedup",
-    "repeated_spans", "q7_volume_shipping", "q8_market_share",
-    "q14_promo_revenue", "q6_forecast_revenue", "dsir_importance",
-    "supplier_triangles", "supplier_kcore", "supplier_hops",
-    "pmi_collocations",
-    "kmv_intersection",
-    "scd2_user_state", "leakage_safe_split",
-    "streaming_upsert_sink", "streaming_outer_join")
+    "unique_users_per_minute", "q1_agg", "q18_large_orders",
+    "q21_suppliers_waiting",
+    "streaming_unique_users", "streaming_late_data_drop",
+    "streaming_near_dedup", "streaming_upsert_sink",
+    "streaming_outer_join", "state_store_dump",
+    "dedup_docs_exact", "minhash_lsh_pairs",
+    "simhash64_near_pairs_banded", "semantic_dedup",
+    "edit_distance_pairs", "knn_bruteforce", "knn_ivfpq",
+    "kmeans_centroids", "multimodal_pipeline", "tfidf_top_terms",
+    "text_quality", "pack_sequences", "supplier_pagerank",
+    "kmv_intersection", "range_join_orders", "window_analytics",
+    "pipeline_end_to_end", "c4_line_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,8 +78,15 @@ object Bench {
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      // force via the noop SINK, not a column-less count(): count() lets
+      // Catalyst prune every column that doesn't affect the row count, so
+      // pure-projection queries measured their scan only (c4_line_filter
+      // recorded 0.057 s vs 0.58 s real materialization in r6). The noop
+      // sink evaluates and serializes every output row — each recorded
+      // number is a materialization time.
+      val err = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None
+      } catch { case e: Throwable => Some(e.getClass.getSimpleName) }
       // elapsed BEFORE the cache teardown — the teardown is harness
       // hygiene, not query cost, and must not bias the reported time
       val elapsed = (System.nanoTime() - t0) / 1e9

@@ -161,6 +161,18 @@ object VectorOps {
     cents
   }
 
+  /** `kmeans` plus the SURVIVING centroid count: empty cells vanish
+    * during training (see the `kmeans` scaladoc), so consumers that size
+    * probe plans or assert index shape must read K from the RESULT — this
+    * surfaces it instead of leaving every caller to re-derive it. The
+    * returned centroids are localCheckpoint'ed by training, so the count
+    * is a cheap cached action, not a recompute. */
+  def kmeansTrained(corpus: DataFrame, initCentroids: DataFrame,
+                    iters: Int): (DataFrame, Long) = {
+    val cents = kmeans(corpus, initCentroids, iters)
+    (cents, cents.count())
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al., 2023) over TRAINED
     * coarse cells: candidate pairs come from within-cell joins only (the
     * cells bound the quadratic term — at corpus scale K is sized

@@ -437,8 +437,11 @@ object EventQueries {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("event_id"),
         unix_micros(col("ts")).as("us"))
+    // `div` (integer division), not `/`: Spark's `/` on longs is DOUBLE
+    // division, which only matched the oracle's integer `//` because
+    // epoch-µs values happen to be exactly double-representable
     val mid = ev.agg(
-      (min(col("us")) + (max(col("us")) - min(col("us"))) / lit(2L))
+      expr("min(us) + (max(us) - min(us)) div 2")
         .cast("long").as("t1"))
     def latest(df: org.apache.spark.sql.DataFrame) = {
       val w = org.apache.spark.sql.expressions.Window

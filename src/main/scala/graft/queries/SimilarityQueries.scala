@@ -69,8 +69,8 @@ object SimilarityQueries {
   // prefix defined); `cents` keys on cid < NCentroids, which planted ids
   // (≥ 1e6) can never satisfy, so augmented-corpus gates inherit the
   // same deterministic init.
-  private val ivfCtesBody =
-    s"""cents AS (SELECT cid AS kid, v, i FROM ce WHERE cid < $NCentroids),
+  private def ivfCtesBodyPred(centsPred: String) =
+    s"""cents AS (SELECT cid AS kid, v, i FROM ce WHERE $centsPred),
        |adots AS (SELECT ce.cid AS id, kid, sum(ce.v * cents.v) AS dot
        |          FROM ce JOIN cents ON ce.i = cents.i GROUP BY 1, 2),
        |asims AS (SELECT id, kid,
@@ -81,6 +81,8 @@ object SimilarityQueries {
        |          FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                          ORDER BY csim DESC, kid) AS rn FROM asims)
        |          WHERE rn = 1)""".stripMargin
+
+  private val ivfCtesBody = ivfCtesBodyPred(s"cid < $NCentroids")
 
   private val ivfCtes = s"$vecCtes,\n$ivfCtesBody"
 
@@ -342,7 +344,13 @@ object SimilarityQueries {
     val c = corpus(s, dir)
     val init = c.filter(col("id") < NCentroids)
       .select(col("id").as("cent_id"), col("vec").as("cvec"))
-    val trained = VectorOps.kmeans(c, init, KmeansIters)
+    // surviving-K assertion: the oracle replay assumes all NCentroids
+    // cells keep members through training (measured true at every SF) —
+    // if a cell ever empties, fail loudly instead of silently searching
+    // a smaller index than the gate claims
+    val (trained, k) = VectorOps.kmeansTrained(c, init, KmeansIters)
+    require(k == NCentroids,
+      s"trained quantizer lost cells: $k of $NCentroids centroids survive")
     VectorOps.ivfKnn(c, trained, col("id") % QueryMod === 0, KIvf)
   }
 
@@ -538,6 +546,39 @@ object SimilarityQueries {
 
   private lazy val knnIvfPqSql =
     s"""$ivfCtes,
+       |${pqCtes(s"q.cid % $QueryMod = 0", s"id % $QueryMod = 0")}
+       |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |                                   ORDER BY sim DESC, cid) AS rnk
+       |      FROM pqsims)
+       |WHERE rnk <= $KIvf""".stripMargin
+
+  // ── IVF-PQ at the DEPLOYED coarse K (K ∝ √n, computed not pinned) ──────
+  // The fixture gates pin the coarse quantizer at K = NCentroids for
+  // compact oracle replay, which makes cell population grow ∝ n and IVF
+  // candidate volume ∝ n²/K — the fixed-K artifact SCALING.md documents
+  // and ScaleProbe measured the fix for (K = 450 ≈ √n at 100×: 7.8× win).
+  // This gate promotes the deployment rule: K = max(NCentroids, ⌊√n⌋) is
+  // DERIVED from the corpus count on both sides — Spark computes it from
+  // corpus.count(), the oracle from a scalar subquery over the same
+  // relation — so the config under test is the computed one, at every SF.
+  private def deployedK(n: Long): Long =
+    math.max(NCentroids.toLong, math.floor(math.sqrt(n.toDouble)).toLong)
+
+  private val knnIvfPqDeployed: Q = (s, dir) => {
+    val c = corpus(s, dir)
+    val k = deployedK(c.count())
+    val coarse = c.filter(col("id") < k)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    VectorOps.ivfPqKnn(c, coarse, pqCodebooks(c),
+      col("id") % QueryMod === 0, KIvf, PqProbe, PqM, PqSubDim)
+  }
+
+  private lazy val knnIvfPqDeployedSql =
+    s"""$vecCtes,
+       |kk AS (SELECT GREATEST($NCentroids, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+       |       FROM embeddings),
+       |${ivfCtesBodyPred("cid < (SELECT k FROM kk)")},
        |${pqCtes(s"q.cid % $QueryMod = 0", s"id % $QueryMod = 0")}
        |SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
@@ -743,6 +784,7 @@ object SimilarityQueries {
     "semantic_dedup"         -> semanticDedupQ,
     "knn_ivfpq"              -> knnIvfPq,
     "knn_ivfpq_recall"       -> knnIvfPqRecall,
+    "knn_ivfpq_deployed"     -> knnIvfPqDeployed,
     "pca_top_component"      -> pcaTopComponent,
   )
 
@@ -761,6 +803,7 @@ object SimilarityQueries {
     "semantic_dedup"         -> semanticDedupSql,
     "knn_ivfpq"              -> knnIvfPqSql,
     "knn_ivfpq_recall"       -> knnIvfPqRecallSql,
+    "knn_ivfpq_deployed"     -> knnIvfPqDeployedSql,
     "pca_top_component"      -> pcaTopComponentSql,
   )
 }

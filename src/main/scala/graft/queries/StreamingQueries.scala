@@ -883,8 +883,11 @@ object StreamingQueries {
     val evAll = s.read.schema(eventsRawSchema)
       .parquet(s"$dir/events.parquet")
       .select(col("user_id"), col("event_id"), col("ts"))
+    // `div` (integer division), not `/`: Spark's `/` on longs is DOUBLE
+    // division, which only matched the oracle's integer `//` because
+    // epoch-µs values happen to be exactly double-representable
     val bounds = evAll.agg(
-      (min(col("ts")) + (max(col("ts")) - min(col("ts"))) / lit(2L))
+      expr("min(ts) + (max(ts) - min(ts)) div 2")
         .cast("long").as("t1")).head()
     val t1 = bounds.getLong(0)
 

@@ -44,7 +44,15 @@ object Tables {
     val raw = table(spark, dir, "events")
     val ts = raw.schema("ts").dataType match {
       case LongType         => graft.model.Schemas.tsFromNanos(col("ts"))
-      case TimestampNTZType => col("ts").cast(TimestampType)
+      case TimestampNTZType =>
+        // the NTZ→Timestamp cast reinterprets the wall clock in the
+        // SESSION timezone; the data's wall clock is UTC, so a non-UTC
+        // session would silently shift every ts — fail loudly instead
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ (UTC wall clock); session timezone is '$tz' — " +
+            "set spark.sql.session.timeZone=UTC or the cast shifts every timestamp")
+        col("ts").cast(TimestampType)
       case _                => col("ts")
     }
     raw.withColumn("ts", ts)

@@ -166,6 +166,23 @@ object EngineProperties extends Properties("engine") {
       got == want
     }
 
+  property("packSequences ignores caller columns named like its scratch") =
+    // regression: internal columns are _pk_-prefixed (the RangeJoin _rj_
+    // convention); a caller frame already holding `cum`/`s`/`seq_start`
+    // must be neither clobbered nor mis-bound by name resolution
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 50L)), Gen.choose(1L, 37L)) { (ws, budget) =>
+      import org.apache.spark.sql.functions.lit
+      val base = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val clash = base.withColumn("cum", lit(-1L)).withColumn("s", lit(-2L))
+        .withColumn("seq_start", lit(-3L))
+      def spans(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Packing.packSequences(df, "id", "w", budget)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toSet
+      spans(clash) == spans(base)
+    }
+
   property("connectedComponents equals reference union-find on random graphs") =
     Prop.forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
       val edges = es.filter { case (a, b) => a != b }

@@ -111,6 +111,17 @@ class VectorOpsSpec extends SparkSpec {
     assert(cents(0L)(0) == math.rint((1.0f + 0.9f + 1.0f) / 3 * 1e6) / 1e6)
   }
 
+  test("kmeansTrained surfaces the surviving centroid count when a cell dies") {
+    // every vector is exactly centroid 0's direction, so cell 1 captures
+    // nothing in round 1 and vanishes — K must be read from the result
+    val data = (0L to 9L).map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val init = Seq((0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.8, 0.6, 0.0)))
+      .toDF("cent_id", "cvec")
+    val (cents, k) = VectorOps.kmeansTrained(data, init, iters = 2)
+    assert(k == 1L)
+    assert(cents.select($"cent_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
   test("kmeans-trained centroids compose with ivfKnn (and report recall vs init)") {
     val c = graft.sources.Tables.embeddings(spark, sf001)
       .select($"vec_id".as("id"), $"embedding".as("vec"))
