@@ -681,21 +681,29 @@ object StreamingQueries {
     * Oracle: the same shingle→minhash→band-0 pipeline as CTEs over the
     * union corpus (the minhash_lsh_pairs arithmetic-band-key contract).
     * Output: every kept (doc_id, band_key) — 478 + 16 rows at sf0.01. */
-  private val streamingNearDedup: Q = (s, dir) => {
-    import java.nio.file.Paths
+  /** Row-local codegen'd shingle hashes / first-LSH-band key — the
+    * in-stream near-dedup kernels, shared by `streaming_near_dedup` and
+    * `pipeline_streaming_ingest`. */
+  private def hsOf(text: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.WordShingleHashes(expression(text), NdShingleN))
+  }
+  private def bandKeyOf(hs: org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.operators.DedupOps
-    val tmp = Paths.get(scratchPath("streaming_near_dedup", dir))
-    freshDir(tmp)
-    def hsOf(text: org.apache.spark.sql.Column) =
-      column(graft.functions.WordShingleHashes(expression(text), NdShingleN))
-    def bandKeyOf(hs: org.apache.spark.sql.Column) = element_at(
+    element_at(
       column(graft.functions.MinHashBandKeys(expression(hs),
         (0 until NdNumHashes).map(DedupOps.mhA),
         (0 until NdNumHashes).map(DedupOps.mhB),
         DedupOps.MinHashP, NdBands,
         graft.functions.TextFunctions.NGramHashB,
         graft.functions.TextFunctions.NGramHashP)), 1)
+  }
+
+  private val streamingNearDedup: Q = (s, dir) => {
+    import java.nio.file.Paths
+    val tmp = Paths.get(scratchPath("streaming_near_dedup", dir))
+    freshDir(tmp)
     val docs = graft.sources.Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
     val withKey = docs
@@ -927,7 +935,147 @@ object StreamingQueries {
       expr("ts div 1000000").as("last_ts"))
   }
 
+  /** The full streaming INGESTION path as ONE gated query — the second
+    * end-to-end composition gate, at the streaming boundary (the batch
+    * `pipeline_end_to_end` gate's counterpart): file-stream ingestion →
+    * in-stream near-dedup (the `streaming_near_dedup` machinery:
+    * row-local codegen'd MinHash band keys +
+    * `dropDuplicatesWithinWatermark` on the first band, watermark-evicted
+    * state) → row-local quality filter (non-empty token count ≥
+    * `PsiMinTokens` — filtering AFTER dedup so a junk near-dup still
+    * counts as a duplicate, the published-pipeline ordering) → foreachBatch
+    * versioned upsert sink (`UpsertSink.mergeLatest` keyed on the band
+    * key — a reader never observes a half-written table, replay rewrites
+    * v_k from v_{k-1}). Two micro-batches: canonical originals, then
+    * every-3rd-doc near-dup redeliveries (new ids, perturbed text) of
+    * which only genuinely-new band keys may survive.
+    *
+    * Parity statement (same shape the flagship makes): the final merged
+    * state table ≡ the equivalent BATCH chain — union corpus → band keys
+    * → canonical-per-key ∪ new-key arrivals → quality filter — which is
+    * exactly what the DuckDB oracle computes. Scale shape: every stage is
+    * the gated operator's own shape (bounded dedup state, row-local
+    * kernels, key-cardinality merges); nothing new materializes at
+    * corpus scale. */
+  private val pipelineStreamingIngest: Q = (s, dir) => {
+    import java.nio.file.Paths
+    val tmp = Paths.get(scratchPath("pipeline_streaming_ingest", dir))
+    freshDir(tmp)
+    val docs = graft.sources.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+    val withKey = docs
+      .withColumn("hs", hsOf(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("band_key", bandKeyOf(col("hs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_key")).orderBy(col("doc_id"))
+    val canon = withKey.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"), col("text"))
+    writeOneFile(canon, tmp, "batch1_canonical.parquet")
+    val plant = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + NdPlantOffset).as("doc_id"),
+        concat(col("text"), lit(NdPerturb)).as("text"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val ingested = s.readStream
+      .schema(docSchema)
+      .parquet(s"$tmp/*.parquet")
+      .withColumn("hs", hsOf(col("text")))
+      .filter(size(col("hs")) > 0)
+      .withColumn("band_key", bandKeyOf(col("hs")))
+      // deterministic event time from the doc id (the near-dedup gate's
+      // convention, +3 days off the epoch-0 watermark boundary)
+      .withColumn("eventTime",
+        timestamp_micros((col("doc_id") % NdPlantOffset + 259200L) * 1000000L))
+      .withWatermark("eventTime", "2 days")
+      .dropDuplicatesWithinWatermark("band_key")
+      .withColumn("n_tokens",
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long"))
+      .filter(col("n_tokens") >= PsiMinTokens)
+      .select(col("doc_id"), col("band_key"), col("n_tokens"))
+    val merges = new AtomicInteger(0)
+    var current: Option[String] = None
+    setStatePartitions(s, 4)
+    val q = ingested.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          // post-dedup band keys are unique across batches, so the merge
+          // is insert-shaped by construction — the versioned MERGE
+          // plumbing (atomic new dir, idempotent replay) is what's under
+          // test, with doc_id recency as the general contract
+          val batchLatest = graft.streaming.UpsertSink.mergeLatest(
+            None, df, "band_key", "doc_id", "n_tokens")
+          val merged = graft.streaming.UpsertSink.mergeLatest(
+            current.map(s.read.parquet(_)), batchLatest,
+            "band_key", "doc_id", "n_tokens")
+          val out = tmp.resolve(s"psi_state_v$id").toString
+          merged.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          merges.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: canonical originals
+      writeOneFile(plant, tmp, "batch2_neardups.parquet")
+      q.processAllAvailable() // batch 2: near-dups dropped, new keys kept
+    } finally q.stop()
+    require(merges.get() == 2,
+      s"ingest pipeline expected 2 merged batches, saw ${merges.get()}")
+    s.read.parquet(current.get)
+      .select(col("doc_id"), col("band_key"), col("n_tokens"))
+  }
+
+  private val PsiMinTokens = 30L
+
+  private lazy val pipelineStreamingIngestSql = {
+    // the streaming_near_dedup oracle chain + the post-dedup quality
+    // filter — the batch chain the parity statement names
+    import graft.operators.DedupOps
+    val rowsPerBand = NdNumHashes / NdBands
+    val mins = (0 until rowsPerBand).map(i =>
+      s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i")
+      .mkString(",\n      |       ").stripMargin
+    import graft.functions.TextFunctions.{NGramHashB => FB, NGramHashP => FP}
+    val fold = (0 until rowsPerBand).foldLeft("CAST(0 AS BIGINT)")(
+      (acc, i) => s"((($acc) * $FB + mh$i) % $FP)")
+    s"""WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $NdPlantOffset, text || '$NdPerturb' FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM docs2),
+      |tok AS (SELECT doc_id, w, i FROM
+      |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
+      |        WHERE w <> ''),
+      |sh AS (SELECT doc_id,
+      |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
+      |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |dt AS (SELECT DISTINCT doc_id,
+      |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
+      |       FROM sh WHERE g IS NOT NULL),
+      |sig AS (SELECT doc_id, $mins
+      |        FROM dt GROUP BY doc_id),
+      |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
+      |orig AS (SELECT * FROM key0 WHERE doc_id < $NdPlantOffset),
+      |orig_canon AS (SELECT min(doc_id) AS doc_id, band_key
+      |               FROM orig GROUP BY band_key),
+      |plant AS (SELECT * FROM key0 WHERE doc_id >= $NdPlantOffset),
+      |kept AS (SELECT doc_id, band_key FROM orig_canon
+      |         UNION ALL
+      |         SELECT doc_id, band_key FROM plant
+      |         WHERE band_key NOT IN (SELECT band_key FROM orig_canon)),
+      |ntok AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1)
+      |SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+      |       CAST(k.band_key AS BIGINT) AS band_key,
+      |       CAST(n.n_tokens AS BIGINT) AS n_tokens
+      |FROM kept k JOIN ntok n ON n.doc_id = k.doc_id
+      |WHERE n.n_tokens >= $PsiMinTokens""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "pipeline_streaming_ingest" -> pipelineStreamingIngest,
     "streaming_upsert_sink" -> streamingUpsertSink,
     "streaming_static_join" -> streamingStaticJoin,
     "streaming_near_dedup" -> streamingNearDedup,
@@ -958,6 +1106,8 @@ object StreamingQueries {
     // streaming enrichment ≡ the same join in batch — a parity statement
     "streaming_static_join" -> streamingStaticJoinSql,
     "streaming_near_dedup" -> streamingNearDedupSql,
+    // the merged ingest state ≡ the batch dedup→quality chain — parity
+    "pipeline_streaming_ingest" -> pipelineStreamingIngestSql,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermarkSql,
     "streaming_unique_users" -> streamingUniqueUsersSql,
     "streaming_unique_users_append" -> streamingUniqueUsersSql,
