@@ -29,8 +29,21 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      // streaming-in-function queries execute on build; skip their plans
-      if (n.startsWith("streaming_")) println("(streaming query — plan is per-microbatch IncrementalExecution)")
+      // streaming-in-function gates run their query on build; their plan
+      // is the per-micro-batch IncrementalExecution, which only exists
+      // while the query runs — StreamPlanCapture records the LAST
+      // micro-batch's executed plan at each gate's drainStop.
+      if (n.startsWith("streaming_") || n == "pipeline_streaming_ingest") {
+        graft.plans.StreamPlanCapture.enable()
+        try SparkEntry.queries(n)(spark, sfDir).collect()
+        finally graft.plans.StreamPlanCapture.disable()
+        val plans = graft.plans.StreamPlanCapture.drain()
+        if (plans.isEmpty) println("(no streaming query executed — nothing captured)")
+        plans.foreach { case (label, p) =>
+          println(s"-- last micro-batch executed plan [$label] --")
+          println(p)
+        }
+      }
       else if (executed) {
         val df = SparkEntry.queries(n)(spark, sfDir)
         // collect(), not count(): an action like count() builds its OWN

@@ -54,6 +54,15 @@ object StreamingQueries {
   // (Schemas.eventsRawMicros — the ns→µs floor happens in the reader).
   private val eventsRawSchema = graft.model.Schemas.eventsRawMicros
 
+  /** Stop a gate's streaming query, first offering its last micro-batch
+    * plan to the audit recorder (a volatile-read no-op outside
+    * `graft.Explain` — see StreamPlanCapture). Every gate stops through
+    * here so PLANS.md can pin streaming plans like batch ones. */
+  private def drainStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    graft.plans.StreamPlanCapture.record(q)
+    q.stop()
+  }
+
   private val streamingUniqueUsers: Q = (s, dir) => {
     // glob form: FileStreamSource requires a directory or glob, not a
     // bare file path ("Option 'basePath' must be a directory")
@@ -71,7 +80,7 @@ object StreamingQueries {
         .format("memory").queryName(sink)
         .outputMode("complete")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally drainStop(q)
     }
     s.table(sink).select(
       unix_timestamp(col("window_start")).as("minute"),
@@ -110,7 +119,7 @@ object StreamingQueries {
       locally {
         val q = out.toDF().writeStream.format("memory").queryName(sink)
           .outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
+        try q.processAllAvailable() finally drainStop(q)
       }
       s.table(sink).select(col("bucket").as("minute"),
         col("uniqueUsers").as("unique_users"))
@@ -203,7 +212,7 @@ object StreamingQueries {
         require(dataBatches == 2,
           s"changelog-shape oracle assumes exactly 2 data micro-batches " +
             s"(one per parity class), but the source delivered $dataBatches")
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink)
       .groupBy(col("window_start"))
@@ -269,7 +278,7 @@ object StreamingQueries {
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
           "zz_batch2.parquet")
         q.processAllAvailable() // batch 2 + no-data flush batch
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink)
   }
@@ -360,7 +369,7 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt.toString)
         .outputMode("complete")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally drainStop(q)
     }
     val agg = s.read.format("statestore")
       .option("operatorId", 0).load(ckpt.toString)
@@ -403,7 +412,7 @@ object StreamingQueries {
         .format("memory").queryName(sink)
         .outputMode("append")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally drainStop(q)
     }
     s.table(sink).select(col("key").as("user_id"),
       col("left_id").as("view_id"), col("right_id").as("purchase_id"),
@@ -470,7 +479,7 @@ object StreamingQueries {
         writeOneFile(s.createDataFrame(sent, eventsRawSchema), tmp,
           "zz_sentinel.parquet")
         q.processAllAvailable() // sentinel batch + expiry-flush batch
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink).filter(col("key") >= 0)
       .select(col("key").as("user_id"),
@@ -547,7 +556,7 @@ object StreamingQueries {
         writeOneFile(s.createDataFrame(sentinel, eventsRawSchema), tmp,
           "zz_batch3_sentinel.parquet")
         q.processAllAvailable() // flush every real window
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink)
       .filter(unix_timestamp(col("window_start")) <=
@@ -637,7 +646,7 @@ object StreamingQueries {
         require(dataBatches == 2,
           s"redelivery must arrive as its own micro-batch " +
             s"(expected 2 data batches, source delivered $dataBatches)")
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink)
       .groupBy(unix_timestamp(date_trunc("minute", col("eventTime"))).as("minute"))
@@ -767,7 +776,7 @@ object StreamingQueries {
         require(dataBatches == 2,
           s"near-dups must arrive as their own micro-batch " +
             s"(expected 2 data batches, source delivered $dataBatches)")
-      } finally q.stop()
+      } finally drainStop(q)
     }
     s.table(sink)
   }
@@ -852,7 +861,7 @@ object StreamingQueries {
         .format("memory").queryName(sink)
         .outputMode("complete")
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally drainStop(q)
     }
     s.table(sink).select(col("category"), col("n_events"), col("weighted_value"))
   }
@@ -927,7 +936,7 @@ object StreamingQueries {
       q.processAllAvailable()
       writeOneFile(evAll.filter(col("ts") > t1), in, "batch2.parquet")
       q.processAllAvailable()
-    } finally q.stop()
+    } finally drainStop(q)
     require(merges.get() == 2,
       s"upsert gate expected exactly 2 merged batches, saw ${merges.get()}")
     s.read.parquet(current.get).select(
@@ -1020,7 +1029,7 @@ object StreamingQueries {
       q.processAllAvailable() // batch 1: canonical originals
       writeOneFile(plant, tmp, "batch2_neardups.parquet")
       q.processAllAvailable() // batch 2: near-dups dropped, new keys kept
-    } finally q.stop()
+    } finally drainStop(q)
     require(merges.get() == 2,
       s"ingest pipeline expected 2 merged batches, saw ${merges.get()}")
     s.read.parquet(current.get)

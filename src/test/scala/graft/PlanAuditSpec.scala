@@ -330,6 +330,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PLANS.md pins every query whose sf0.1 median exceeds 1 s") {
+    // The audit-trail contract (VERDICT r6 item 4): any query expensive
+    // enough to matter (>1 s median in BENCH_DETAIL.json at sf0.1) must
+    // have its formatted plan pinned in PLANS.md. The name list below is
+    // the measured >1 s set; when a bench refresh promotes a query past
+    // 1 s, add it HERE and append its plan (`runMain graft.Explain`) —
+    // this test then keeps the pinned set a superset forever.
+    val over1s = Seq(
+      "kmv_intersection", "supplier_pagerank", "supplier_pagerank_shuffle",
+      "kmv_sketch", "streaming_late_data_drop", "streaming_outer_join",
+      "supplier_hops", "supplier_kcore", "streaming_update_changelog",
+      "streaming_near_dedup", "streaming_running_distinct",
+      "streaming_unique_users_append", "streaming_sessions",
+      "streaming_stream_join", "edit_distance_pairs", "streaming_upsert_sink",
+      "ngram_jaccard_pairs", "streaming_dedup_within_watermark",
+      "quality_lr_score", "knn_ivfpq_recall", "knn_ivfpq", "knn_ivfpq_deployed",
+      "dedup_incremental", "canonical_docs", "leakage_safe_split",
+      "state_store_dump", "pca_top_component", "dedup_clusters",
+      "streaming_unique_users", "variant_extract", "repeated_spans",
+      "semantic_dedup", "format_roundtrip", "pipeline_streaming_ingest")
+    val plansMd = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("PLANS.md")), "UTF-8")
+    val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
+    val unpinned = over1s.filterNot(pinned)
+    assert(unpinned.isEmpty,
+      s"queries >1 s with no pinned plan in PLANS.md: ${unpinned.mkString(", ")}")
+    // every listed name must still exist — catches renames going stale
+    val gone = over1s.filterNot(Queries.all.keySet)
+    assert(gone.isEmpty, s"over1s names not in the registry: ${gone.mkString(", ")}")
+  }
+
   test("no unintended cartesian products in the whole registry") {
     val allowed = Set("simhash_near_pairs", "scalar_subquery") // bounded by design
     Queries.all.keys.filterNot(allowed)
