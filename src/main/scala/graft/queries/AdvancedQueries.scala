@@ -243,6 +243,108 @@ object AdvancedQueries {
       |       round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
       |FROM events GROUP BY 1""".stripMargin
 
+  // ── mergeable quantile sketch (the persisted-sketch-table pattern) ─────
+  // approx_quantiles_price answers quantiles ONE-SHOT inside a query;
+  // this is the warehouse's other shape: per-group bottom-k-by-hash
+  // sketches persisted once, then any quantile — per group or over any
+  // union of groups — answered from sketch rows alone (QuantileSketch
+  // scaladoc). Exact quantiles ride along through the SAME rank-pick code
+  // path run on the raw relation, for the accuracy statement; deployment
+  // runs the sketch half only.
+  private val QkK = 256
+  private val QkQs = Seq(0.25, 0.5, 0.75, 0.9)
+  private val quantileSketchQ: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    // per-row hash of the unique (orderkey, linenumber) key — the random
+    // permutation that makes bottom-k a uniform sample. 60-bit (15 md5
+    // hex digits), NOT the 40-bit dedup convention: rank order around the
+    // k-th smallest hash decides sketch membership, and at 600 k rows a
+    // 40-bit space has ~16% chance of SOME collision — one tie at the
+    // boundary and the two engines pick different sketches (bit one sf0.1
+    // run). 60 bits puts collision odds at ~10⁻⁷.
+    val rows = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      conv(substring(md5(
+        concat(col("l_orderkey"), lit("_"), col("l_linenumber"))), 1, 15),
+        16, 10).cast("long").as("h"),
+      col("l_extendedprice").as("v")).localCheckpoint()
+    val sk = QuantileSketch.sketch(rows, col("g"), col("h"), col("v"), QkK)
+      .localCheckpoint()
+    val allSk = sk.unionByName(QuantileSketch.merge(sk, "ALL", QkK))
+    val est = QuantileSketch.quantiles(allSk, QkQs)
+    // exact side: identical rank-pick over the RAW relation (+ its ALL
+    // relabel) — selected raw values, so est/exact compare bit-for-bit
+    val raw = rows.select(col("g").as("_qk_g"), col("h").as("_qk_h"),
+      col("v").as("_qk_v"))
+    val exact = QuantileSketch.quantiles(
+        raw.unionByName(raw.withColumn("_qk_g", lit("ALL"))), QkQs)
+      .withColumnRenamed("est", "exact")
+    est.join(exact, Seq("scope", "q"))
+      .select(col("scope"), col("q"), col("est"), col("exact"),
+        round(abs(col("est") - col("exact")) / col("exact"), 4).as("rel_err"))
+  }
+
+  private val quantileSketchSql = {
+    val qsVals = QkQs.map(q => s"($q)").mkString(",")
+    s"""WITH r AS (SELECT l_returnflag AS g,
+       |                  CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+       |                       || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+       |                       AS BIGINT) AS h,
+       |                  l_extendedprice AS v
+       |           FROM lineitem),
+       |sk AS (SELECT g, h, v FROM (
+       |         SELECT g, h, v,
+       |                row_number() OVER (PARTITION BY g ORDER BY h, v) AS rk
+       |         FROM r) WHERE rk <= $QkK),
+       |msk AS (SELECT 'ALL' AS g, h, v FROM (
+       |          SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk FROM sk)
+       |        WHERE rk <= $QkK),
+       |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk),
+       |rawall AS (SELECT * FROM r UNION ALL SELECT 'ALL', h, v FROM r),
+       |qs(q) AS (VALUES $qsVals),
+       |est AS (SELECT t.g, qs.q, t.v FROM (
+       |          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rk,
+       |                 count(*) OVER (PARTITION BY g) AS n
+       |          FROM allsk) t, qs
+       |        WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT)),
+       |ex AS (SELECT t.g, qs.q, t.v FROM (
+       |         SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rk,
+       |                count(*) OVER (PARTITION BY g) AS n
+       |         FROM rawall) t, qs
+       |       WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT))
+       |SELECT est.g AS scope, est.q, est.v AS est, ex.v AS exact,
+       |       round(abs(est.v - ex.v) / ex.v, 4) AS rel_err
+       |FROM est JOIN ex ON ex.g = est.g AND ex.q = est.q""".stripMargin
+  }
+
+  // ── skew-salted replicate-dim join (result ≡ plain equi-join) ──────────
+  // lineitem→supplier revenue rollup through SkewOps.saltedJoin: the
+  // fact side salts on hash(l_orderkey) mod 8, the 100-row dim replicates
+  // ×8 row-locally, and the join shuffles under (suppkey, salt) — a hot
+  // supplier spreads over 8 reducers instead of melting one. The oracle
+  // is the PLAIN join+agg: salting must be invisible in the result.
+  // revenue in EXACT fixed-point: price and discount are 2-decimal
+  // values, so price·(1−disc) = p·(100−d)/10⁴ with p, d integers — the
+  // sum is integer arithmetic on both engines (a double sum's order
+  // dependence cost one supplier a cent at sf0.01)
+  private val skewSaltedJoin: Q = (s, dir) =>
+    graft.operators.SkewOps.saltedJoin(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        "l_suppkey", "s_suppkey", col("l_orderkey"), salts = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          / 10000.0, 2).as("revenue"))
+
+  private val skewSaltedJoinSql =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
+      |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+      |             / 10000.0, 2) AS revenue
+      |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |GROUP BY 1""".stripMargin
+
   // ── SimHash near-pairs via the native hamming64 Expression ─────────────
   // banded = false: the synthetic corpus's tiny vocabulary makes simhash
   // bits correlate, so pigeonhole buckets degenerate (see DedupOps note)
@@ -455,6 +557,8 @@ object AdvancedQueries {
     "range_join_orders"    -> rangeJoinOrders,
     "interval_overlap_join" -> intervalOverlapJoin,
     "salted_agg_by_type"   -> saltedAggByType,
+    "quantile_sketch"      -> quantileSketchQ,
+    "skew_salted_join"     -> skewSaltedJoin,
     "simhash_near_pairs"   -> simhashNearPairs,
     "simhash_near_pairs_banded" -> simhashNearPairsBanded,
     "simhash64_near_pairs_banded" -> simhash64NearPairsBanded,
@@ -477,6 +581,8 @@ object AdvancedQueries {
     "range_join_orders"    -> rangeJoinOrdersSql,
     "interval_overlap_join" -> intervalOverlapJoinSql,
     "salted_agg_by_type"   -> saltedAggByTypeSql,
+    "quantile_sketch"      -> quantileSketchSql,
+    "skew_salted_join"     -> skewSaltedJoinSql,
     "simhash_near_pairs"   -> simhashNearPairsSql,
     "simhash_near_pairs_banded" -> simhashNearPairsSql, // same oracle: banded ≡ quadratic
     "simhash64_near_pairs_banded" -> simhash64NearPairsSql,

@@ -673,7 +673,95 @@ object EventQueries {
       |       TRUE AS within_bound
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Cohort retention matrix — the product-analytics staple: users
+    * cohorted by first-seen hour, activity counted per (cohort, hour
+    * offset). Scale shape: the raw stream first collapses to the DISTINCT
+    * (user, hour) relation (map-side combinable — the 100 TB reduction
+    * step; everything after runs on user×hour, not events); first-seen is
+    * a min-agg per user (≤ |users| rows — Catalyst broadcasts it at gate
+    * scale and sizes up to a shuffle join when the user dim outgrows the
+    * threshold); the final count is plain (each user appears once per
+    * (cohort, offset) by construction — no distinct agg needed). The
+    * user×hour relation is checkpointed so the raw scan + distinct runs
+    * once, not once per consumer (c2258b0 pattern). All time arithmetic
+    * is exact integer epoch-seconds (`div`, inter_event_gaps precedent). */
+  private val cohortRetention: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+      .distinct().localCheckpoint()
+    val first = ev.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("cohort").as("cohort_hour"),
+        expr("(h - cohort) div 3600").as("offset_hours"))
+      .groupBy(col("cohort_hour"), col("offset_hours"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH e AS (SELECT DISTINCT user_id,
+      |                  CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+      |           FROM events),
+      |f AS (SELECT user_id, min(h) AS cohort FROM e GROUP BY 1)
+      |SELECT f.cohort AS cohort_hour,
+      |       (e.h - f.cohort) // 3600 AS offset_hours,
+      |       CAST(count(*) AS BIGINT) AS active_users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
+  /** Rolling anomaly flags with EXACT integer arithmetic: per user, each
+    * event is judged against its trailing baseline (the 10 preceding
+    * events, current row excluded). The z-score test |v−mean| > 2·std is
+    * algebraically cleared of divisions and sqrt —
+    * (n·v − S)²·(n−1) > 4·n·(n·Σv² − S²) with v fixed-point (value×100 as
+    * long, ewma precedent) — so the flag is integer-exact on both engines;
+    * no FP rounding anywhere near the decision boundary. Products stay
+    * < 2⁶² for v ≤ 10⁷ (here v ≤ 49 002). One window, one sort per
+    * user-partition, three running sums — the plan window_analytics
+    * already pins. Baselines under 3 events flag false (no variance). */
+  private val rollingZscore: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("u"), col("event_id"))
+      .rowsBetween(-10, -1)
+    val nv = col("n") * col("v") - col("s")
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("u"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .select(col("user_id"), col("event_id"), col("v"),
+        count(col("v")).over(w).as("n"),
+        sum(col("v")).over(w).as("s"),
+        sum(col("v") * col("v")).over(w).as("s2"))
+      .select(col("user_id"), col("event_id"),
+        round(col("v") / 100.0, 2).as("value"),
+        col("n").as("n_baseline"),
+        when(col("n") >= 3,
+          nv * nv * (col("n") - 1) >
+            lit(4L) * col("n") * (col("n") * col("s2") - col("s") * col("s")))
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  private val rollingZscoreSql =
+    """WITH ev AS (SELECT user_id, event_id,
+      |                   CAST(round(value * 100) AS BIGINT) AS v,
+      |                   date_trunc('microseconds', ts) AS u
+      |            FROM events),
+      |w AS (SELECT user_id, event_id, v,
+      |             count(v) OVER win AS n,
+      |             sum(v) OVER win AS s,
+      |             sum(v * v) OVER win AS s2
+      |      FROM ev
+      |      WINDOW win AS (PARTITION BY user_id ORDER BY u, event_id
+      |                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, round(v / 100.0, 2) AS value,
+      |       CAST(coalesce(n, 0) AS BIGINT) AS n_baseline,
+      |       CASE WHEN n >= 3
+      |            THEN (n*v - s)*(n*v - s)*(n - 1) > 4*n*(n*s2 - s*s)
+      |            ELSE FALSE END AS is_anomaly
+      |FROM w""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "cohort_retention"        -> cohortRetention,
+    "rolling_zscore"          -> rollingZscore,
     "unique_users_per_minute" -> uniqueUsersPerMinute,
     "unique_users_two_phase"  -> uniqueUsersTwoPhase,
     "json_extract"            -> jsonExtract,
@@ -700,6 +788,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "cohort_retention"        -> cohortRetentionSql,
+    "rolling_zscore"          -> rollingZscoreSql,
     "unique_users_per_minute" -> uniqueUsersPerMinuteSql,
     "unique_users_two_phase"  -> uniqueUsersPerMinuteSql,
     "approx_unique_users"     -> approxUniqueUsersSql,

@@ -349,7 +349,15 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_incremental", "canonical_docs", "leakage_safe_split",
       "state_store_dump", "pca_top_component", "dedup_clusters",
       "streaming_unique_users", "variant_extract", "repeated_spans",
-      "semantic_dedup", "format_roundtrip", "pipeline_streaming_ingest")
+      "semantic_dedup", "format_roundtrip", "pipeline_streaming_ingest",
+      // promoted past 1 s by the r7 noop-sink forcing (real
+      // materialization cost; they measured scan-only before)
+      "approx_quantiles_price", "approx_unique_users", "char_fingerprint",
+      "decontaminate_ngrams", "dedup_embedding_cosine",
+      "rolling_hash_fingerprint", "stats_agg", "tfidf_top_terms",
+      "passage_scrub",
+      // r7 additions gated above 1 s from birth
+      "quantile_sketch")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QuantileSketch
+
+/** The sketch's value rests on two exact properties (QuantileSketch
+  * scaladoc): bottom-k-by-hash is closed under merge (merged sketches ≡
+  * the sketch of the merged population — NOT approximately, exactly), and
+  * rank-pick quantiles are exact once a group fits in the sketch. Both
+  * are asserted against brute-force recomputation here; the accuracy of
+  * estimates ABOVE k is the gate's rel_err rider, not a spec concern.
+  */
+class QuantileSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(g: String, n: Int, seed: Int) =
+    (0 until n).map { i =>
+      // deterministic pseudo-hash / value pairs, distinct per (g, i)
+      val h = ((i * 2654435761L + seed) % 1000003L).abs
+      (g, h, (h % 997).toDouble)
+    }
+
+  test("merge of per-group sketches equals the direct sketch of the union") {
+    val k = 16
+    val a = rows("a", 200, 1)
+    val b = rows("b", 150, 7)
+    val df = (a ++ b).toDF("g", "h", "v")
+    val perGroup = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
+    val merged = QuantileSketch.merge(perGroup, "ALL", k)
+      .select(col("_qk_h"), col("_qk_v")).as[(Long, Double)].collect().toSet
+    val direct = QuantileSketch.sketch(
+        df.withColumn("g", lit("ALL")), col("g"), col("h"), col("v"), k)
+      .select(col("_qk_h"), col("_qk_v")).as[(Long, Double)].collect().toSet
+    assert(merged == direct, "bottom-k must be closed under merge")
+    assert(merged.size == k)
+  }
+
+  test("quantiles are exact rank-picks when the group fits the sketch") {
+    val k = 64
+    val data = rows("g1", 40, 3) // 40 < k: sketch IS the population
+    val df = data.toDF("g", "h", "v")
+    val sk = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val got = QuantileSketch.quantiles(sk, qs)
+      .select(col("q"), col("est")).as[(Double, Double)].collect().toMap
+    val sorted = data.map(_._3).sorted
+    qs.foreach { q =>
+      val expected = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(got(q) == expected, s"q=$q: got ${got(q)}, want $expected")
+    }
+  }
+
+  test("sketch keeps exactly min(k, group size) rows per group") {
+    val k = 16
+    val df = (rows("big", 100, 5) ++ rows("small", 7, 9)).toDF("g", "h", "v")
+    val sizes = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
+      .groupBy(col("_qk_g")).count().as[(String, Long)].collect().toMap
+    assert(sizes("big") == k)
+    assert(sizes("small") == 7)
+  }
+}

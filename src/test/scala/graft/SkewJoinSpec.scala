@@ -49,4 +49,27 @@ class SkewJoinSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("saltedJoin: result ≡ plain join; shuffle keys carry the salt") {
+    // 90%-hot fact key; the a-priori salt form must produce exactly the
+    // plain join's rows while shuffling under (key, salt)
+    val fact = spark.range(20000L)
+      .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 50)
+        .as("fkey"), col("id").as("rowid"))
+    val dim = spark.range(50L).select(col("id").as("dkey"),
+      concat(lit("d"), col("id").cast("string")).as("dname"))
+    val salted = graft.operators.SkewOps
+      .saltedJoin(fact, dim, "fkey", "dkey", col("rowid"), salts = 8)
+      .groupBy(col("dname")).agg(count(lit(1)).as("n"))
+    val plain = fact.join(dim, col("fkey") === col("dkey"))
+      .groupBy(col("dname")).agg(count(lit(1)).as("n"))
+    val s = salted.as[(String, Long)].collect().toMap
+    val p = plain.as[(String, Long)].collect().toMap
+    assert(s == p, "salting changed the join result")
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("_sk_salt"),
+      s"join does not shuffle under the salt:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"dim broadcast defeats the salted topology under test:\n$plan")
+  }
 }
