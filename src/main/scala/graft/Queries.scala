@@ -20,12 +20,13 @@ object Queries {
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
       AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all ++
-      LineQueries.all ++ CorpusStatsQueries.all
+      LineQueries.all ++ CorpusStatsQueries.all ++ MaintenanceQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles ++
-      LineQueries.oracles ++ CorpusStatsQueries.oracles
+      LineQueries.oracles ++ CorpusStatsQueries.oracles ++
+      MaintenanceQueries.oracles
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Semantic pins for the table-maintenance gates (MaintenanceQueries) —
+  * properties the DuckDB oracle implies but doesn't state directly. */
+class MaintenanceSpec extends SparkSpec {
+
+  private def run(name: String) = Queries.all(name)(spark, sf001)
+
+  test("cdc_apply: delete tombstones drop keys; inserts surface") {
+    val out = run("cdc_apply").cache()
+    val ev = Tables.events(spark, sf001).select(
+      col("user_id"), col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val t1 = ev.agg(expr("min(us) + (max(us) - min(us)) div 2"))
+      .head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lastChange = ev.filter(col("us") > t1)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val deleted = lastChange.filter(col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "fixture has no delete tombstones — vacuous")
+    val outKeys = out.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.intersect(outKeys).isEmpty,
+      s"deleted keys survived apply: ${deleted.intersect(outKeys).take(5)}")
+    // inserts: keys first seen after the midpoint, latest op not a delete
+    val baseKeys = ev.filter(col("us") <= t1)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val inserts = lastChange.filter(col("event_type") =!= "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet -- baseKeys
+    assert(inserts.subsetOf(outKeys),
+      s"inserted keys missing from apply: ${(inserts -- outKeys).take(5)}")
+    out.unpersist()
+  }
+
+  test("incremental_mv_refresh ≡ full recompute (Spark-side, not just oracle)") {
+    val refreshed = run("incremental_mv_refresh")
+    val full = Tables.orders(spark, sf001).select(
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("p_fp"))
+      .groupBy("prio").agg(
+        sum("p_fp").as("revenue_fp"), count(lit(1)).as("n_orders"),
+        max("p_fp").as("max_fp"))
+      .select(col("prio"), col("revenue_fp"), col("n_orders"),
+        expr("revenue_fp div n_orders").as("avg_fp"), col("max_fp"))
+    assert(refreshed.exceptAll(full).isEmpty && full.exceptAll(refreshed).isEmpty,
+      "merged partials diverge from the full recompute")
+    // the persisted MV is group-cardinality: the refresh must merge a
+    // handful of partial rows, never anything event-scale
+    val stored = spark.read.parquet(
+      graft.queries.scratchPath("mv_prio", sf001))
+    assert(stored.count() <= 5, "stored MV is not group-cardinality")
+  }
+
+  test("profile_columns: one scan, Expand-based multi-distinct, sane metrics") {
+    val df = run("profile_columns")
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"profile must read the table once, saw $scans scans")
+    assert(plan.contains("Expand"),
+      "multi-column exact NDV should plan as Expand over one scan")
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_partkey", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate"))
+    assert(rows.values.forall(_._1 == 0L), "fixture columns have no nulls")
+    assert(rows("l_returnflag")._2 == 3L, "l_returnflag NDV should be 3 (A/N/R)")
+  }
+}
