@@ -71,7 +71,9 @@ object MaintenanceQueries {
         coalesce(col("c_v"), col("b_v")).as("value_fp"))
   }
 
-  private val cdcApplySql =
+  // shared with streaming_cdc_upsert (StreamingQueries): the streaming
+  // changelog apply must equal the batch apply — same oracle, verbatim
+  private[queries] val cdcApplySql =
     """WITH ev AS (
       |  SELECT user_id, event_type, event_id,
       |         epoch_us(date_trunc('microseconds', ts)) AS us,

@@ -143,11 +143,22 @@ object StreamingQueries {
     * get their batch boundaries from PROGRESSIVE DELIVERY (each file is
     * written only after the previous `processAllAvailable` commits), so
     * file mtimes — FileStreamSource's pending-file order — never decide
-    * anything and the gates carry no wall-clock coupling. */
+    * anything and the gates carry no wall-clock coupling.
+    *
+    * Staging happens in a SIBLING of the watched dir, never inside it:
+    * `tmp` is the directory the gate's `readStream` globs with a
+    * star-dot-parquet pattern, and a staging DIRECTORY named `_stage_X.parquet`
+    * inside it matches that glob — the source's poll can then list the
+    * part-file within during the write→move window and fail its next
+    * getBatch with FileNotFound once the move takes the file away (the
+    * leading underscore hides the dir from a batch read's file index, but
+    * glob expansion matches it first). Only the atomic `Files.move`
+    * endpoint may ever be visible under the glob. */
   private def writeOneFile(df: org.apache.spark.sql.DataFrame,
       tmp: java.nio.file.Path, target: String): Unit = {
     import java.nio.file.Files
-    val scratch = tmp.resolve(s"_stage_$target")
+    val scratch = tmp.resolveSibling(
+      s"${tmp.getFileName}_stage_$target")
     df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val list = Files.list(scratch)
     val part = try list
@@ -155,6 +166,12 @@ object StreamingQueries {
       .findFirst().get()
     finally list.close()
     Files.move(part, tmp.resolve(target))
+    // the staging dir may sit OUTSIDE the gate's scratch root (when the
+    // watched dir is the root itself), where freshDir never reclaims it
+    val walk = Files.walk(scratch)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
   }
 
   /** The reference's OBSERVED output semantics gated end-to-end: with its
@@ -944,6 +961,87 @@ object StreamingQueries {
       expr("ts div 1000000").as("last_ts"))
   }
 
+  /** Streaming CDC apply — `streaming_upsert_sink`'s changelog-consuming
+    * counterpart with DELETE TOMBSTONES, and the streaming half of the
+    * batch `cdc_apply` gate: it runs the SAME DuckDB oracle verbatim, so
+    * the parity statement is "a changelog consumed incrementally through
+    * the versioned sink lands on exactly the state the one-shot batch
+    * apply computes".
+    *
+    * Shape: the base snapshot (latest row ≤ the integer-µs midpoint per
+    * key, via the same `mergeLatest` algebra) seeds state v0; the
+    * post-midpoint changelog — `error` events as `'D'` tombstones,
+    * everything else `'U'` — arrives in TWO micro-batches split at the
+    * 3/4 point; a THIRD micro-batch replays the second verbatim. The
+    * oracle passing therefore proves replay idempotence live, and
+    * tombstone RETENTION (UpsertSink.readView scaladoc) is what makes
+    * that safe: merge keeps `'D'` rows as state so no stale upsert can
+    * outrank a deletion; readers drop them at view time. Scale shape:
+    * per batch one window over (batch ∪ state-candidates) on the key —
+    * cost ∝ batch + touched keys, exactly `cdc_apply`'s claim, paid
+    * incrementally. */
+  private val streamingCdcUpsert: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(scratchPath("cdc_upsert", dir))
+    freshDir(tmp)
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val evAll = s.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("state"),
+        round(col("value") * 100).cast("long").as("value_fp"))
+    val t1 = evAll.agg(expr("min(ts) + (max(ts) - min(ts)) div 2")
+      .cast("long")).head().getLong(0)
+    val t2 = evAll.agg(expr(s"${t1}L + (max(ts) - ${t1}L) div 2")
+      .cast("long")).head().getLong(0)
+
+    val v0 = graft.streaming.UpsertSink.mergeLatest(
+        None, evAll.filter(col("ts") <= t1), "user_id", "ts", "event_id")
+      .withColumn("op", lit("U"))
+    v0.write.mode("overwrite").parquet(tmp.resolve("state_v0").toString)
+    var current = tmp.resolve("state_v0").toString
+
+    val changelog = evAll.filter(col("ts") > t1)
+      .withColumn("op",
+        when(col("state") === "error", "D").otherwise("U"))
+    val merges = new AtomicInteger(0)
+    val chgSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("state", StringType),
+      StructField("value_fp", LongType), StructField("op", StringType)))
+    val frames = s.readStream.schema(chgSchema).parquet(s"$in/*.parquet")
+    setStatePartitions(s, 4)
+    val q = frames.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          val batchLatest = graft.streaming.UpsertSink.mergeLatest(
+            None, df, "user_id", "ts", "event_id")
+          val merged = graft.streaming.UpsertSink.mergeLatest(
+            Some(s.read.parquet(current)), batchLatest,
+            "user_id", "ts", "event_id")
+          val out = tmp.resolve(s"state_v${id + 1}").toString
+          merged.write.mode("overwrite").parquet(out)
+          current = out
+          merges.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      writeOneFile(changelog.filter(col("ts") <= t2), in, "batch1.parquet")
+      q.processAllAvailable()
+      val tail = changelog.filter(col("ts") > t2)
+      writeOneFile(tail, in, "batch2.parquet")
+      q.processAllAvailable()
+      writeOneFile(tail, in, "batch3_replay.parquet") // replay, verbatim
+      q.processAllAvailable()
+    } finally drainStop(q)
+    require(merges.get() == 3,
+      s"cdc gate expected 3 merged batches (2 + 1 replay), saw ${merges.get()}")
+    graft.streaming.UpsertSink.readView(s.read.parquet(current))
+      .select(col("user_id"), col("state"), col("value_fp"))
+  }
+
   /** The full streaming INGESTION path as ONE gated query — the second
     * end-to-end composition gate, at the streaming boundary (the batch
     * `pipeline_end_to_end` gate's counterpart): file-stream ingestion →
@@ -1086,6 +1184,7 @@ object StreamingQueries {
   val all: Map[String, Q] = Map(
     "pipeline_streaming_ingest" -> pipelineStreamingIngest,
     "streaming_upsert_sink" -> streamingUpsertSink,
+    "streaming_cdc_upsert" -> streamingCdcUpsert,
     "streaming_static_join" -> streamingStaticJoin,
     "streaming_near_dedup" -> streamingNearDedup,
     "streaming_dedup_within_watermark" -> streamingDedupWithinWatermark,
@@ -1110,6 +1209,9 @@ object StreamingQueries {
         |        PARTITION BY user_id
         |        ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
         |      FROM events) WHERE rn = 1""".stripMargin,
+    // streaming changelog apply ≡ the batch cdc_apply — same oracle,
+    // verbatim; passing it across the replayed batch proves idempotence
+    "streaming_cdc_upsert" -> MaintenanceQueries.cdcApplySql,
     // state-expiry null padding ≡ the batch LEFT JOIN — parity
     "streaming_outer_join" -> streamingOuterJoinSql,
     // streaming enrichment ≡ the same join in batch — a parity statement

@@ -33,4 +33,19 @@ object UpsertSink {
     unioned.withColumn("_us_rn", row_number().over(w))
       .filter(col("_us_rn") === 1).drop("_us_rn")
   }
+
+  /** CDC read view over a changelog-merged state table whose rows carry
+    * an op column (`'U'` upsert, `'D'` delete tombstone): deletion is
+    * applied at READ time, never at merge time. Tombstones must PERSIST
+    * as state rows — dropping a deleted key during the merge forgets the
+    * deletion, and a replayed or out-of-order batch carrying an OLDER
+    * upsert for that key would then resurrect it (the merge would see no
+    * state row to outrank the stale upsert). With the tombstone retained,
+    * `mergeLatest`'s latest-wins ordering makes the resurrection
+    * impossible by construction; readers simply skip `'D'` rows. This is
+    * the standard tombstone-retention contract (Kafka compacted topics,
+    * LSM deletes) — at warehouse scale a compaction pass drops tombstones
+    * only once every source's replay horizon has passed them. */
+  def readView(state: DataFrame, opCol: String = "op"): DataFrame =
+    state.filter(col(opCol) =!= "D")
 }

@@ -44,4 +44,34 @@ class UpsertSinkSpec extends AnyFunSuite with SparkSpec {
     assert(rows(UpsertSink.mergeLatest(None, batch,
       "user_id", "ts", "event_id")) == Set((1L, 2L, 20L), (2L, 3L, 5L)))
   }
+
+  private def opRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("user_id", "event_id", "ts", "op").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+
+  test("tombstone retention: a stale upsert cannot resurrect a deleted key") {
+    // key 1: upsert@ts=1 then delete@ts=3 land first; a LATE batch then
+    // delivers the out-of-order upsert@ts=2. If the delete had been
+    // applied at merge time (row dropped), the stale upsert would find
+    // no state row to outrank it and the key would come back to life.
+    val b1 = Seq((1L, 10L, 1L, "U"), (1L, 30L, 3L, "D"))
+      .toDF("user_id", "event_id", "ts", "op")
+    val s1 = UpsertSink.mergeLatest(None, b1, "user_id", "ts", "event_id")
+    assert(opRows(s1) == Set((1L, 30L, 3L, "D")),
+      "tombstone must persist as the key's state row")
+    val late = Seq((1L, 20L, 2L, "U")).toDF("user_id", "event_id", "ts", "op")
+    val s2 = UpsertSink.mergeLatest(Some(s1), late, "user_id", "ts", "event_id")
+    assert(opRows(s2) == Set((1L, 30L, 3L, "D")),
+      "stale upsert outranked the retained tombstone")
+    assert(UpsertSink.readView(s2).isEmpty,
+      "readers must not observe the deleted key")
+  }
+
+  test("readView drops tombstones, keeps live rows") {
+    val st = Seq((1L, 1L, 5L, "U"), (2L, 2L, 6L, "D"), (3L, 3L, 7L, "U"))
+      .toDF("user_id", "event_id", "ts", "op")
+    assert(opRows(UpsertSink.readView(st)) ==
+      Set((1L, 1L, 5L, "U"), (3L, 3L, 7L, "U")))
+  }
 }
