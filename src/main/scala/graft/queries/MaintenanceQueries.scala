@@ -96,6 +96,56 @@ object MaintenanceQueries {
       |FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
       |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin
 
+  /** Tombstone retention compaction — the vacuum closing the CDC loop
+    * (`cdc_apply` consumes, `streaming_cdc_upsert` persists tombstones,
+    * this reclaims them): the WHOLE event changelog merges latest-wins
+    * per key with `error` tombstones RETAINED as state rows, then
+    * `UpsertSink.compactTombstones` physically drops the tombstones at or
+    * below the 3/4-point replay horizon (sources provably past it — no
+    * stale upsert can arrive). The gated result is the READ VIEW of the
+    * compacted state, and its oracle is simply "latest event per user,
+    * deleted keys absent" — compaction changing NOTHING visible is the
+    * invariant under test; MaintenanceSpec pins the physical half (the
+    * pre-horizon tombstones are gone, the post-horizon ones survive).
+    * Scale shape: one latest-row window per key plus a row-local filter —
+    * at warehouse scale the filter folds into the next state rewrite. */
+  private val cdcStateCompaction: Q = (s, dir) => {
+    val st = changelogState(s, dir)
+    val t2 = st.agg(
+        expr("min(us) + 3 * ((max(us) - min(us)) div 4)").cast("long"))
+      .head().getLong(0)
+    graft.streaming.UpsertSink.readView(
+        graft.streaming.UpsertSink.compactTombstones(st, t2, "us"))
+      .select(col("user_id"), col("c_state").as("state"), col("value_fp"))
+  }
+
+  /** Full-changelog latest-wins state with retained tombstones: every
+    * event is a change (`error` = `'D'`), merged per user. Shared by the
+    * compaction gate and MaintenanceSpec. */
+  private[graft] def changelogState(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      when(col("event_type") === "error", "D").otherwise("U").as("op"),
+      col("event_type").as("c_state"),
+      round(col("value") * 100).cast("long").as("value_fp"))
+    graft.streaming.UpsertSink.mergeLatest(None, ev, "user_id", "us", "event_id")
+  }
+
+  private val cdcStateCompactionSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS v_fp
+      |  FROM events),
+      |last AS (SELECT user_id, event_type, v_fp FROM (
+      |           SELECT user_id, event_type, v_fp, row_number() OVER (
+      |             PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |           FROM ev) WHERE rn = 1)
+      |SELECT user_id, event_type AS state, v_fp AS value_fp
+      |FROM last WHERE event_type <> 'error'""".stripMargin
+
   /** Incremental materialized-view refresh: merge an append-only delta's
     * PARTIAL aggregates into the stored MV partials — never rescan the
     * base. The MV here is revenue per order priority with sum / count /
@@ -236,11 +286,13 @@ object MaintenanceQueries {
 
   val all: Map[String, Q] = Map(
     "cdc_apply"              -> cdcApply,
+    "cdc_state_compaction"   -> cdcStateCompaction,
     "incremental_mv_refresh" -> incrementalMvRefresh,
     "profile_columns"        -> profileColumns)
 
   val oracles: Map[String, String] = Map(
     "cdc_apply"              -> cdcApplySql,
+    "cdc_state_compaction"   -> cdcStateCompactionSql,
     "incremental_mv_refresh" -> incrementalMvRefreshSql,
     "profile_columns"        -> profileColumnsSql)
 }

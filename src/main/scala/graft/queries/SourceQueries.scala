@@ -291,7 +291,44 @@ object SourceQueries {
       |SELECT o_orderkey, o_totalprice, o_orderpriority
       |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin
 
+  /** Dynamic partition overwrite — the partition-scoped BACKFILL
+    * primitive: re-deliver one partition's corrected data without
+    * touching its siblings. The gate writes events hive-partitioned by
+    * event_type, then overwrites ONLY the `click` partition (values
+    * re-derived ×2) with `partitionOverwriteMode=dynamic` — the mode
+    * where the overwrite's scope is the set of partitions PRESENT IN THE
+    * DATA, not the whole table. The oracle is the full relation with the
+    * click rows transformed and every other type intact; under the
+    * default STATIC mode the second write would have DELETED the four
+    * untouched partitions, so the oracle's per-type counts prove the
+    * dynamic semantics, not just the arithmetic. At 100 TB this is the
+    * daily backfill shape: rewriting one day/source re-lists and
+    * replaces one directory, never the table. (Write-side option, not a
+    * session conf — no shared-session mutation.) */
+  private val dynamicPartitionOverwrite: Q = (s, dir) => {
+    val outDir = scratchPath("dpo", dir)
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), round(col("value") * 100).cast("long").as("v_fp"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(outDir)
+    ev.filter(col("event_type") === "click")
+      .withColumn("v_fp", col("v_fp") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(outDir)
+    s.read.parquet(outDir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v_fp")).as("sum_fp"))
+  }
+
+  private val dynamicPartitionOverwriteSql =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CASE WHEN event_type = 'click'
+      |                     THEN CAST(round(value * 100) AS BIGINT) * 2
+      |                     ELSE CAST(round(value * 100) AS BIGINT) END)
+      |            AS BIGINT) AS sum_fp
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "dynamic_partition_overwrite" -> dynamicPartitionOverwrite,
     "compact_small_files" -> compactSmallFiles,
     "schema_evolution_read" -> schemaEvolutionRead,
     "format_roundtrip" -> formatRoundtrip,
@@ -302,6 +339,7 @@ object SourceQueries {
     "bucketed_join_colocated" -> bucketedJoinColocated)
 
   val oracles: Map[String, String] = Map(
+    "dynamic_partition_overwrite" -> dynamicPartitionOverwriteSql,
     "compact_small_files" -> compactSmallFilesSql,
     "schema_evolution_read" -> schemaEvolutionReadSql,
     "format_roundtrip" -> formatRoundtripSql,

@@ -48,4 +48,19 @@ object UpsertSink {
     * only once every source's replay horizon has passed them. */
   def readView(state: DataFrame, opCol: String = "op"): DataFrame =
     state.filter(col(opCol) =!= "D")
+
+  /** Retention compaction (the vacuum half of the tombstone contract):
+    * physically drop tombstones whose ordering value is at or below the
+    * REPLAY HORIZON — the point every source has provably progressed
+    * past, so no batch carrying an older upsert for the key can ever
+    * arrive again. A tombstone exists only to outrank upserts older than
+    * itself (see `readView`); once the horizon passes it, it is dead
+    * weight, and dropping it is invariant for readers by construction
+    * (`readView` never surfaced it). Live rows are never touched —
+    * compaction bounds state growth under sustained deletes without
+    * changing a single visible row. Row-local filter: at warehouse scale
+    * this folds into the next state rewrite for free. */
+  def compactTombstones(state: DataFrame, horizonOrd: Long, ord: String,
+                        opCol: String = "op"): DataFrame =
+    state.filter(col(opCol) =!= "D" || col(ord) > horizonOrd)
 }

@@ -56,6 +56,27 @@ class MaintenanceSpec extends SparkSpec {
     assert(stored.count() <= 5, "stored MV is not group-cardinality")
   }
 
+  test("cdc_state_compaction: drops exactly the pre-horizon tombstones, view-invariant") {
+    val st = graft.queries.MaintenanceQueries.changelogState(spark, sf001)
+      .cache()
+    val t2 = st.agg(expr("min(us) + 3 * ((max(us) - min(us)) div 4)"))
+      .head().getLong(0)
+    val compacted = graft.streaming.UpsertSink.compactTombstones(st, t2, "us")
+    val droppable = st.filter(col("op") === "D" && col("us") <= t2).count()
+    val survivors = st.filter(col("op") === "D" && col("us") > t2).count()
+    assert(droppable > 0, "fixture has no pre-horizon tombstones — vacuous")
+    assert(compacted.filter(col("op") === "D").count() == survivors,
+      "compaction must drop ALL pre-horizon tombstones and ONLY those")
+    assert(compacted.count() == st.count() - droppable,
+      "compaction touched a live row")
+    val viewBefore = graft.streaming.UpsertSink.readView(st)
+    val viewAfter = graft.streaming.UpsertSink.readView(compacted)
+    assert(viewBefore.exceptAll(viewAfter).isEmpty &&
+      viewAfter.exceptAll(viewBefore).isEmpty,
+      "compaction changed the read view")
+    st.unpersist()
+  }
+
   test("profile_columns: one scan, Expand-based multi-distinct, sane metrics") {
     val df = run("profile_columns")
     val plan = df.queryExecution.executedPlan.toString
