@@ -59,8 +59,15 @@ object UniqueUsers {
     * oracle can't reproduce engine-specific HLL values, but it can assert
     * the exact side AND that the bound held (oracle emits literal TRUE —
     * any out-of-bound estimate hash-mismatches the gate). */
+  /* rsd sizing: HLL register count ∝ 1/rsd² and every per-GROUP partial
+   * ships that many registers through the shuffle — rsd 0.01 is 2^14
+   * registers ≈ 16 KB × groups × tasks of partial traffic for a gate
+   * whose own acceptance bound is 5%. rsd 0.02 (≈4 KB) keeps an ~2.5×
+   * margin under the bound (and small per-minute cardinalities sit in
+   * the bias-corrected regime where realized error is far below rsd)
+   * while cutting the measured gate time ~4× at sf0.1. */
   def perMinuteApproxChecked(events: DataFrame, eventTime: Column, idCol: Column,
-                             rsd: Double = 0.01, relBound: Double = 0.05,
+                             rsd: Double = 0.02, relBound: Double = 0.05,
                              absSlack: Int = 5): DataFrame =
     events
       .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))

@@ -24,7 +24,10 @@ object AdvancedQueries {
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
       .agg(
-        expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.9), 10000)")
+        // accuracy 2000 (not the 10000 default): partial state per group
+        // is ∝ accuracy and ships through the shuffle; rank error 1/2000
+        // sits ~40× inside the 2%-of-value acceptance bound below
+        expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75, 0.9), 2000)")
           .as("qa"),
         expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").as("qe"),
         expr("approx_count_distinct(o_custkey)").as("ac"),
