@@ -284,13 +284,76 @@ object MaintenanceQueries {
         num("l_shipdate", "sd")).mkString("\nUNION ALL\n")
   }
 
+  /** Order-independent table checksum — the reconciliation primitive for
+    * validating a 100 TB replica/migration without moving the data: each
+    * row folds to a 60-bit md5-prefix hash of its canonical serialization
+    * (explicit `|`-joined column order with fixed-point/epoch
+    * normalization — the same engine-replayable hashing every dedup gate
+    * uses; NOT Spark's `hash()`, which no other engine reproduces), and a
+    * COMMUTATIVE fold (sum + xor + count per group) collapses them so
+    * partition order, file order, and merge order all cancel out. Two
+    * independent engines computing the same digest over the same logical
+    * rows agree bit-for-bit — which is literally what this gate's DuckDB
+    * compare demonstrates. 40-bit prefix (not the dedup 60-bit
+    * convention): the SUM digest of n rows needs n·2^bits to fit a
+    * signed 64-bit long without ANSI overflow (600 k × 2^40 ≈ 6.6×10^17
+    * < 2^63; a production digest over trillions of rows folds mod
+    * 2^61−1 instead — collisions are irrelevant to a digest, overflow is
+    * not). Per-group digests (here: per l_returnflag +
+    * an ALL rollup) localize a mismatch to a group instead of one
+    * table-wide boolean. Scale shape: one scan, map-side-combinable
+    * all the way — the digest of a 100 TB table is one aggregate. */
+  /** The digest fold over any lineitem-shaped relation — shared by the
+    * gate and MaintenanceSpec (which applies it to physically reordered
+    * and row-tampered copies). */
+  private[graft] def lineitemDigest(
+      src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val li = src.select(
+      col("l_returnflag").as("g"),
+      conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity") * 100).cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_returnflag"), col("l_linestatus"),
+        unix_timestamp(col("l_shipdate")))), 1, 10), 16, 10)
+        .cast("long").as("h"))
+    def digests(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("h")).as("sum_h"),
+      expr("bit_xor(h)").as("xor_h"))
+    digests(li.groupBy(col("g"))).unionByName(
+      digests(li.withColumn("g", lit("ALL")).groupBy(col("g"))))
+  }
+
+  private val tableChecksum: Q = (s, dir) =>
+    lineitemDigest(Tables.lineitem(s, dir))
+
+  private val tableChecksumSql = {
+    val h = """CAST(('0x' || substring(md5(
+              |   CAST(l_orderkey AS VARCHAR) || '|' ||
+              |   CAST(l_linenumber AS VARCHAR) || '|' ||
+              |   CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' ||
+              |   CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+              |   l_returnflag || '|' || l_linestatus || '|' ||
+              |   CAST(CAST(epoch(l_shipdate) AS BIGINT) AS VARCHAR)), 1, 10))
+              |  AS BIGINT)""".stripMargin
+    s"""WITH r AS (SELECT l_returnflag AS g, $h AS h FROM lineitem),
+       |both_g AS (SELECT g, h FROM r UNION ALL SELECT 'ALL' AS g, h FROM r)
+       |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(sum(h) AS BIGINT) AS sum_h,
+       |       CAST(bit_xor(h) AS BIGINT) AS xor_h
+       |FROM both_g GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "table_checksum"         -> tableChecksum,
     "cdc_apply"              -> cdcApply,
     "cdc_state_compaction"   -> cdcStateCompaction,
     "incremental_mv_refresh" -> incrementalMvRefresh,
     "profile_columns"        -> profileColumns)
 
   val oracles: Map[String, String] = Map(
+    "table_checksum"         -> tableChecksumSql,
     "cdc_apply"              -> cdcApplySql,
     "cdc_state_compaction"   -> cdcStateCompactionSql,
     "incremental_mv_refresh" -> incrementalMvRefreshSql,

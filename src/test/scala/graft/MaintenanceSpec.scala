@@ -77,6 +77,34 @@ class MaintenanceSpec extends SparkSpec {
     st.unpersist()
   }
 
+  test("table_checksum: invariant under physical reordering, sensitive to one row") {
+    import graft.queries.MaintenanceQueries.lineitemDigest
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      lineitemDigest(df).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val li = Tables.lineitem(spark, sf001)
+    val base = digest(li)
+    // same logical rows through a different physical layout (repartition
+    // + per-partition resort + parquet write/read roundtrip) → identical
+    // digest: the canonical serialization survives layout and storage
+    val shuffledDir = graft.queries.scratchPath("cksum_shuffled", sf001)
+    li.repartition(7, col("l_suppkey"))
+      .sortWithinPartitions(col("l_extendedprice"))
+      .write.mode("overwrite").parquet(shuffledDir)
+    assert(digest(spark.read.parquet(shuffledDir)) == base,
+      "digest changed under physical reordering")
+    // one tampered row must flip its group's digest AND the ALL rollup
+    val victim = li.orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber")).head()
+    val tampered = li.withColumn("l_quantity",
+      when(col("l_orderkey") === victim.getLong(0)
+          && col("l_linenumber") === victim.getInt(1),
+        col("l_quantity") + 0.01).otherwise(col("l_quantity")))
+    val diff = base -- digest(tampered)
+    assert(diff.size == 2 && diff.exists(_._1 == "ALL"),
+      s"one-row tamper should flip exactly its group + ALL, flipped: $diff")
+  }
+
   test("profile_columns: one scan, Expand-based multi-distinct, sane metrics") {
     val df = run("profile_columns")
     val plan = df.queryExecution.executedPlan.toString
