@@ -759,7 +759,78 @@ object EventQueries {
       |            ELSE FALSE END AS is_anomaly
       |FROM w""".stripMargin
 
+  /** Time-series resampling with forward fill — the gap-filling primitive
+    * every metrics/sensor pipeline needs before aligned arithmetic:
+    * per-user irregular events become a REGULAR hourly grid from the
+    * user's first to last observation, each grid point carrying the last
+    * value observed at or before it.
+    *
+    * Shape, chosen for scale: (1) collapse events to one observation per
+    * (user, hour) — latest by (µs, event_id), the event-scale reduction
+    * step; (2) generate each user's grid ROW-LOCALLY from its (min, max)
+    * hour span via `sequence` + `explode` — no time dimension table, no
+    * join against a calendar; (3) one left join of grid to observations
+    * on (user, hour) — both sides grid/observation-cardinality; (4)
+    * forward-fill as a single running `last(_, ignoreNulls)` window per
+    * user — NO per-gap self-join or as-of lookup, one sort per user
+    * partition. Output size users × span is the resampled series itself
+    * — inherent to the operator, not overhead. Integer epoch-second and
+    * fixed-point arithmetic throughout; `is_observed` distinguishes
+    * measured from filled points. */
+  private val resampleFfill: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val perHour = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v_fp"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"), col("h"))
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("h"), col("v_fp"))
+    val grid = perHour.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val ffw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(perHour, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        last(col("v_fp"), ignoreNulls = true).over(ffw).as("v_ff"),
+        col("v_fp").isNotNull.as("is_observed"))
+  }
+
+  private val resampleFfillSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         CAST(round(value * 100) AS BIGINT) AS v_fp
+      |  FROM events),
+      |perh AS (SELECT user_id, h, v_fp FROM (
+      |           SELECT user_id, h, v_fp, row_number() OVER (
+      |             PARTITION BY user_id, h
+      |             ORDER BY us DESC, event_id DESC) AS rn
+      |           FROM ev) WHERE rn = 1),
+      |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+      |          FROM perh GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(generate_series(h0, h1, 3600)) AS h
+      |         FROM spans)
+      |SELECT g.user_id, g.h,
+      |       last_value(p.v_fp IGNORE NULLS) OVER (
+      |         PARTITION BY g.user_id ORDER BY g.h
+      |         ROWS UNBOUNDED PRECEDING) AS v_ff,
+      |       p.v_fp IS NOT NULL AS is_observed
+      |FROM grid g LEFT JOIN perh p
+      |  ON g.user_id = p.user_id AND g.h = p.h""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "resample_ffill"          -> resampleFfill,
     "cohort_retention"        -> cohortRetention,
     "rolling_zscore"          -> rollingZscore,
     "unique_users_per_minute" -> uniqueUsersPerMinute,
@@ -789,6 +860,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "cohort_retention"        -> cohortRetentionSql,
+    "resample_ffill"          -> resampleFfillSql,
     "rolling_zscore"          -> rollingZscoreSql,
     "unique_users_per_minute" -> uniqueUsersPerMinuteSql,
     "unique_users_two_phase"  -> uniqueUsersPerMinuteSql,

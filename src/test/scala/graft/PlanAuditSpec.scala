@@ -363,7 +363,8 @@ class PlanAuditSpec extends SparkSpec {
       "bpe_encode", "bucketed_join_colocated", "compact_small_files",
       "dsir_importance", "knn_ivf_recall", "knn_ivf_trained",
       "ngram_lm_score", "profile_columns", "supplier_triangles",
-      "variant_nested_extract", "streaming_cdc_upsert", "table_checksum")
+      "variant_nested_extract", "streaming_cdc_upsert", "table_checksum",
+      "resample_ffill")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
