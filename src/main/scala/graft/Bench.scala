@@ -41,7 +41,10 @@ object Bench {
     "kmeans_centroids", "multimodal_pipeline", "tfidf_top_terms",
     "text_quality", "pack_sequences", "supplier_pagerank",
     "kmv_intersection", "range_join_orders", "window_analytics",
-    "pipeline_end_to_end", "c4_line_filter")
+    "pipeline_end_to_end", "c4_line_filter",
+    // round-7 families: one maintenance + one time-series representative
+    // (30 entries ≈ 1.3 KB worst case vs the 1.9 KB cap)
+    "cdc_apply", "resample_ffill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
