@@ -829,7 +829,57 @@ object EventQueries {
       |FROM grid g LEFT JOIN perh p
       |  ON g.user_id = p.user_id AND g.h = p.h""".stripMargin
 
+  /** Hourly OHLC downsampling — order-aware aggregation WITHOUT windows:
+    * open/close are the first/last values by event order inside each
+    * (user, hour) bucket, computed by `min_by`/`max_by` in the SAME
+    * single-pass grouped aggregate as high/low/count. That is the
+    * operator under test: at 100 TB a window (sort per partition) for
+    * "first/last per group" pays a per-group sort the hash aggregate
+    * never does — min_by carries one (value, ord) candidate per group
+    * per task, map-side combined like any other agg.
+    *
+    * The ordinal must be IDENTICAL in both engines and fit a BIGINT:
+    * within-hour µs offset (< 3.6e9) × 2³¹ + event_id — ≤ 7.7e18 < 2⁶³,
+    * total order (event_id unique), replayable integer arithmetic.
+    * (A global µs × anything overflows; scoping the ordinal to the
+    * GROUP is what makes the composite fit — the ordering only ever
+    * compares within a bucket.) */
+  private val ohlcHourly: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value") * 100).cast("long").as("v_fp"))
+      .withColumn("ord",
+        (col("us") - col("h") * lit(1000000L)) * lit(2147483648L) +
+          col("event_id"))
+    ev.groupBy(col("user_id"), col("h")).agg(
+      min_by(col("v_fp"), col("ord")).as("open_fp"),
+      max(col("v_fp")).as("high_fp"),
+      min(col("v_fp")).as("low_fp"),
+      max_by(col("v_fp"), col("ord")).as("close_fp"),
+      count(lit(1)).as("n_events"))
+  }
+
+  private val ohlcHourlySql =
+    """WITH ev AS (
+      |  SELECT user_id,
+      |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+      |         (epoch_us(date_trunc('microseconds', ts))
+      |           - CAST(epoch(date_trunc('hour', ts)) AS BIGINT) * 1000000)
+      |           * 2147483648 + event_id AS ord,
+      |         CAST(round(value * 100) AS BIGINT) AS v_fp
+      |  FROM events)
+      |SELECT user_id, h,
+      |       arg_min(v_fp, ord) AS open_fp,
+      |       CAST(max(v_fp) AS BIGINT) AS high_fp,
+      |       CAST(min(v_fp) AS BIGINT) AS low_fp,
+      |       arg_max(v_fp, ord) AS close_fp,
+      |       CAST(count(*) AS BIGINT) AS n_events
+      |FROM ev GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "ohlc_hourly"             -> ohlcHourly,
     "resample_ffill"          -> resampleFfill,
     "cohort_retention"        -> cohortRetention,
     "rolling_zscore"          -> rollingZscore,
@@ -860,6 +910,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "cohort_retention"        -> cohortRetentionSql,
+    "ohlc_hourly"             -> ohlcHourlySql,
     "resample_ffill"          -> resampleFfillSql,
     "rolling_zscore"          -> rollingZscoreSql,
     "unique_users_per_minute" -> uniqueUsersPerMinuteSql,

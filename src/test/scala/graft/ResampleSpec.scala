@@ -32,6 +32,38 @@ class ResampleSpec extends SparkSpec {
       "a filled (unobserved) grid point changed the running value")
   }
 
+  test("ohlc_hourly ≡ window-based first/last; plans as sort-free hash aggregate") {
+    val ohlc = Queries.all("ohlc_hourly")(spark, sf001)
+    // reference semantics the slow way: first/last per (user, hour) via
+    // a per-group sort window over the same composite ordinal
+    val ev = graft.sources.Tables.events(spark, sf001).select(
+      col("user_id"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+      unix_micros(col("ts")).as("us"), col("event_id"),
+      round(col("value") * 100).cast("long").as("v_fp"))
+      .withColumn("ord",
+        (col("us") - col("h") * lit(1000000L)) * lit(2147483648L) +
+          col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("h")).orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val viaWindow = ev
+      .withColumn("open_fp", first(col("v_fp")).over(w))
+      .withColumn("close_fp", last(col("v_fp")).over(w))
+      .groupBy(col("user_id"), col("h"))
+      .agg(first(col("open_fp")).as("open_fp"),
+        max(col("v_fp")).as("high_fp"), min(col("v_fp")).as("low_fp"),
+        first(col("close_fp")).as("close_fp"),
+        count(lit(1)).as("n_events"))
+    assert(ohlc.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(ohlc).isEmpty,
+      "min_by/max_by aggregate diverges from the window-based first/last")
+    val plan = ohlc.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") && !plan.contains("Window"),
+      s"OHLC should plan as a windowless hash aggregate:\n$plan")
+  }
+
   test("observed grid points reproduce the per-hour latest event value") {
     val perHour = graft.sources.Tables.events(spark, sf001)
       .select(col("user_id"),
