@@ -58,10 +58,11 @@ object QuantileSketch {
     * merged estimates carry the same guarantee as direct ones. Input is
     * sketch rows only. */
   def merge(sketchRows: DataFrame, label: String, k: Int): DataFrame =
+    // global top-k as orderBy + limit → TakeOrderedAndProject (per-partition
+    // k then one k-row reduction), NOT a single-partition global sort window
     sketchRows
-      .withColumn("_qk_r", row_number().over(
-        Window.orderBy(col("_qk_h"), col("_qk_v"))))
-      .filter(col("_qk_r") <= k)
+      .orderBy(col("_qk_h"), col("_qk_v"))
+      .limit(k)
       .select(lit(label).as("_qk_g"), col("_qk_h"), col("_qk_v"))
 
   /** (scope, q, est) for each requested quantile from sketch rows only:

@@ -777,10 +777,33 @@ object EventQueries {
     * — inherent to the operator, not overhead. Integer epoch-second and
     * fixed-point arithmetic throughout; `is_observed` distinguishes
     * measured from filled points. */
+  /** The row-local grid for `resample_ffill`, with a LOUD span cap: each
+    * user's grid is one `sequence()` array before the explode, so a
+    * pathological span (decades of hourly buckets from one stray
+    * timestamp) would build a multi-MB row and fail as a quiet executor
+    * OOM. `maxGridRows` hourly points (default 200 000 ≈ 23 years ≈
+    * 1.6 MB of longs — far beyond any sane resample span, far below task
+    * memory) turns that into an error naming the user. The `assert_true`
+    * is folded into the sequence's upper bound (passes ⇒ null ⇒ +0), so
+    * column pruning can never drop the guard. */
+  private[graft] def resampleGrid(
+      perHour: org.apache.spark.sql.DataFrame,
+      maxGridRows: Long = 200000L): org.apache.spark.sql.DataFrame =
+    perHour.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(
+          col("h0"),
+          col("h1") + coalesce(
+            assert_true(
+              (col("h1") - col("h0")) / lit(3600L) < lit(maxGridRows),
+              concat(lit(s"resample_ffill: grid span exceeds $maxGridRows" +
+                " hourly points for user "), col("user_id")))
+              .cast("long"),
+            lit(0L)),
+          lit(3600L))).as("h"))
+
   private val resampleFfill: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"))
-      .orderBy(col("us").desc, col("event_id").desc)
     val perHour = Tables.events(s, dir)
       .select(col("user_id"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
@@ -792,10 +815,7 @@ object EventQueries {
           .orderBy(col("us").desc, col("event_id").desc)))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("h"), col("v_fp"))
-    val grid = perHour.groupBy(col("user_id"))
-      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val grid = resampleGrid(perHour)
     val ffw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("h"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -838,12 +858,15 @@ object EventQueries {
     * never does — min_by carries one (value, ord) candidate per group
     * per task, map-side combined like any other agg.
     *
-    * The ordinal must be IDENTICAL in both engines and fit a BIGINT:
-    * within-hour µs offset (< 3.6e9) × 2³¹ + event_id — ≤ 7.7e18 < 2⁶³,
-    * total order (event_id unique), replayable integer arithmetic.
-    * (A global µs × anything overflows; scoping the ordinal to the
-    * GROUP is what makes the composite fit — the ordering only ever
-    * compares within a bucket.) */
+    * The ordinal must be IDENTICAL in both engines and order like the
+    * lexicographic pair (µs, event_id): packed as µs × 2⁶⁴ + event_id in
+    * 128-bit-wide exact arithmetic — decimal(38,0) in Spark, HUGEINT in
+    * the oracle (~3×10³⁴ ≪ both domains). Because consecutive µs values
+    * differ by ≥ 2⁶⁴ and any two BIGINT event_ids differ by < 2⁶⁴, the
+    * packing is order-isomorphic to the pair for EVERY bigint event_id —
+    * no width precondition, nothing to overflow at any scale (DuckDB
+    * arg_min/arg_max accept no struct ordinal, so a row-value comparison
+    * is not portable here). */
   private val ohlcHourly: Q = (s, dir) => {
     val ev = Tables.events(s, dir).select(
       col("user_id"),
@@ -851,8 +874,9 @@ object EventQueries {
       unix_micros(col("ts")).as("us"), col("event_id"),
       round(col("value") * 100).cast("long").as("v_fp"))
       .withColumn("ord",
-        (col("us") - col("h") * lit(1000000L)) * lit(2147483648L) +
-          col("event_id"))
+        col("us").cast("decimal(20,0)") *
+          lit(new java.math.BigDecimal("18446744073709551616")) +
+          col("event_id").cast("decimal(20,0)"))
     ev.groupBy(col("user_id"), col("h")).agg(
       min_by(col("v_fp"), col("ord")).as("open_fp"),
       max(col("v_fp")).as("high_fp"),
@@ -865,9 +889,8 @@ object EventQueries {
     """WITH ev AS (
       |  SELECT user_id,
       |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
-      |         (epoch_us(date_trunc('microseconds', ts))
-      |           - CAST(epoch(date_trunc('hour', ts)) AS BIGINT) * 1000000)
-      |           * 2147483648 + event_id AS ord,
+      |         CAST(epoch_us(date_trunc('microseconds', ts)) AS HUGEINT)
+      |           * 18446744073709551616 + event_id AS ord,
       |         CAST(round(value * 100) AS BIGINT) AS v_fp
       |  FROM events)
       |SELECT user_id, h,

@@ -286,7 +286,7 @@ object MaintenanceQueries {
 
   /** Order-independent table checksum — the reconciliation primitive for
     * validating a 100 TB replica/migration without moving the data: each
-    * row folds to a 60-bit md5-prefix hash of its canonical serialization
+    * row folds to a 40-bit md5-prefix hash of its canonical serialization
     * (explicit `|`-joined column order with fixed-point/epoch
     * normalization — the same engine-replayable hashing every dedup gate
     * uses; NOT Spark's `hash()`, which no other engine reproduces), and a
@@ -295,11 +295,13 @@ object MaintenanceQueries {
     * independent engines computing the same digest over the same logical
     * rows agree bit-for-bit — which is literally what this gate's DuckDB
     * compare demonstrates. 40-bit prefix (not the dedup 60-bit
-    * convention): the SUM digest of n rows needs n·2^bits to fit a
-    * signed 64-bit long without ANSI overflow (600 k × 2^40 ≈ 6.6×10^17
-    * < 2^63; a production digest over trillions of rows folds mod
-    * 2^61−1 instead — collisions are irrelevant to a digest, overflow is
-    * not). Per-group digests (here: per l_returnflag +
+    * convention) keeps each per-row term far below the fold modulus; the
+    * SUM digest accumulates in 38-digit decimal (exact to ~10^26 rows of
+    * 2^40 terms — beyond any table) and is then reduced mod 2^61−1, so
+    * the digest is overflow-free at ANY row count in both engines
+    * (DuckDB's sum promotes to HUGEINT before the identical mod;
+    * collisions are irrelevant to a digest, overflow is not).
+    * Per-group digests (here: per l_returnflag +
     * an ALL rollup) localize a mismatch to a group instead of one
     * table-wide boolean. Scale shape: one scan, map-side-combinable
     * all the way — the digest of a 100 TB table is one aggregate. */
@@ -317,9 +319,15 @@ object MaintenanceQueries {
         col("l_returnflag"), col("l_linestatus"),
         unix_timestamp(col("l_shipdate")))), 1, 10), 16, 10)
         .cast("long").as("h"))
+    // Mersenne-prime fold: exact wide sum (decimal 38 ≈ 10^38 headroom over
+    // 2^40-bounded terms), reduced mod 2^61-1 so the published digest is a
+    // BIGINT at any relation size — no wrap in Spark, no HUGEINT->BIGINT
+    // cast failure in the oracle.
+    val mersenne61 = lit(new java.math.BigDecimal(2305843009213693951L))
     def digests(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
       count(lit(1)).as("n_rows"),
-      sum(col("h")).as("sum_h"),
+      (sum(col("h").cast("decimal(38,0)")) % mersenne61)
+        .cast("long").as("sum_h"),
       expr("bit_xor(h)").as("xor_h"))
     digests(li.groupBy(col("g"))).unionByName(
       digests(li.withColumn("g", lit("ALL")).groupBy(col("g"))))
@@ -340,7 +348,7 @@ object MaintenanceQueries {
     s"""WITH r AS (SELECT l_returnflag AS g, $h AS h FROM lineitem),
        |both_g AS (SELECT g, h FROM r UNION ALL SELECT 'ALL' AS g, h FROM r)
        |SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
-       |       CAST(sum(h) AS BIGINT) AS sum_h,
+       |       CAST(sum(h) % 2305843009213693951 AS BIGINT) AS sum_h,
        |       CAST(bit_xor(h) AS BIGINT) AS xor_h
        |FROM both_g GROUP BY 1""".stripMargin
   }

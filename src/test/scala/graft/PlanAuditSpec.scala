@@ -330,6 +330,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("cdc gates: latest-row windows pre-shrink via WindowGroupLimit") {
+    // SCALING.md attributes cdc_apply/cdc_state_compaction's sub-linearity
+    // partly to WindowGroupLimit: Spark's rank<=k pushdown keeps only each
+    // key's top row per partition BEFORE the window's shuffle+sort, so the
+    // latest-change-per-key step moves ~|keys| rows, not |changelog| rows.
+    // Pin the claim in the executed plan.
+    for (name <- Seq("cdc_apply", "cdc_state_compaction")) {
+      val p = plan(name)
+      assert(p.contains("WindowGroupLimit"),
+        s"$name: latest-row window lost its WindowGroupLimit pre-shrink:\n$p")
+    }
+  }
+
   test("PLANS.md pins every query whose sf0.1 median exceeds 1 s") {
     // The audit-trail contract (VERDICT r6 item 4): any query expensive
     // enough to matter (>1 s median in BENCH_DETAIL.json at sf0.1) must

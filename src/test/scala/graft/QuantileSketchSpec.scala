@@ -35,6 +35,20 @@ class QuantileSketchSpec extends SparkSpec {
     assert(merged.size == k)
   }
 
+  test("merge plans as TakeOrderedAndProject, never a partition-less Window") {
+    val k = 16
+    val df = rows("a", 200, 1).toDF("g", "h", "v")
+    val sk = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
+    val plan = QuantileSketch.merge(sk, "ALL", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should be TakeOrderedAndProject:\n$plan")
+    // the sketch phase's Window is group-partitioned; merge must add no
+    // single-partition global-sort Window
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      s"merge introduced a partition-less Window:\n$plan")
+  }
+
   test("quantiles are exact rank-picks when the group fits the sketch") {
     val k = 64
     val data = rows("g1", 40, 3) // 40 < k: sketch IS the population

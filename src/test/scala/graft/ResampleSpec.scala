@@ -35,17 +35,17 @@ class ResampleSpec extends SparkSpec {
   test("ohlc_hourly ≡ window-based first/last; plans as sort-free hash aggregate") {
     val ohlc = Queries.all("ohlc_hourly")(spark, sf001)
     // reference semantics the slow way: first/last per (user, hour) via
-    // a per-group sort window over the same composite ordinal
+    // a per-group sort window over the event order (µs, event_id) —
+    // lexicographic here, so it independently checks the aggregate's
+    // packed decimal ordinal really orders like the pair
     val ev = graft.sources.Tables.events(spark, sf001).select(
       col("user_id"),
       unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
       unix_micros(col("ts")).as("us"), col("event_id"),
       round(col("value") * 100).cast("long").as("v_fp"))
-      .withColumn("ord",
-        (col("us") - col("h") * lit(1000000L)) * lit(2147483648L) +
-          col("event_id"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id"), col("h")).orderBy(col("ord"))
+      .partitionBy(col("user_id"), col("h"))
+      .orderBy(col("us"), col("event_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val viaWindow = ev
@@ -62,6 +62,27 @@ class ResampleSpec extends SparkSpec {
     val plan = ohlc.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate") && !plan.contains("Window"),
       s"OHLC should plan as a windowless hash aggregate:\n$plan")
+  }
+
+  test("pathological grid span fails loudly, never as an executor OOM") {
+    import spark.implicits._
+    // one user whose observations sit 100 years apart: the grid would be
+    // ~876k hourly points in ONE sequence() array — the guard must throw
+    // a message naming the user before any array is built
+    val century = Seq(("u_runaway", 0L, 1L), ("u_runaway", 3155760000L, 2L))
+      .toDF("user_id", "h", "v_fp")
+    val ex = intercept[Exception] {
+      graft.queries.EventQueries.resampleGrid(century).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null &&
+      m.contains("grid span exceeds") && m.contains("u_runaway")),
+      s"expected the span-guard message, got: $ex")
+    // sane spans pass through the same guarded path untouched
+    val ok = Seq(("u_ok", 0L, 1L), ("u_ok", 7200L, 2L))
+      .toDF("user_id", "h", "v_fp")
+    assert(graft.queries.EventQueries.resampleGrid(ok).count() == 3)
   }
 
   test("observed grid points reproduce the per-hour latest event value") {
