@@ -20,7 +20,8 @@ object Queries {
     EventQueries.all ++ RelationalQueries.all ++ TextQueries.all ++
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
       AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all ++
-      LineQueries.all ++ CorpusStatsQueries.all ++ MaintenanceQueries.all
+      LineQueries.all ++ CorpusStatsQueries.all ++ MaintenanceQueries.all ++
+      AnalyticsQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
@@ -28,5 +29,5 @@ object Queries {
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles ++
       LineQueries.oracles ++ CorpusStatsQueries.oracles ++
-      MaintenanceQueries.oracles
+      MaintenanceQueries.oracles ++ AnalyticsQueries.oracles
 }

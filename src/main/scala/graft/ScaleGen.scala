@@ -73,6 +73,19 @@ object ScaleGen {
       .withColumn("user_id", col("user_id") + lit(k * 1000000L))
       .withColumn("event_id", col("event_id") + lit(k * 100000000L))
 
+  /** lineitem/orders replica k: orderkeys shift together into disjoint
+    * ranges (join consistency preserved); dim keys (cust/part/supp) stay
+    * UNCHANGED — the fact side grows k× against fixed dims, the
+    * fact-outgrows-dims shape a real 100 TB warehouse has, which is what
+    * scales the maintenance family (checksum, MV refresh, profiling) and
+    * keeps every dim join meaningful. Dates/prices verbatim: the digest,
+    * group and window structure carries k× the rows per group. */
+  private def lineitemReplica(li: DataFrame, k: Int): DataFrame =
+    li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 1000000000L))
+
+  private def ordersReplica(o: DataFrame, k: Int): DataFrame =
+    o.withColumn("o_orderkey", col("o_orderkey") + lit(k * 1000000000L))
+
   /** embeddings replica k: ids shifted, coordinates perturbed (identity at k=0). */
   private def embReplica(embs: DataFrame, k: Int): DataFrame = {
     val shifted = embs.withColumn("vec_id", col("vec_id") + lit(k * 10000000L))
@@ -82,10 +95,17 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleGen <srcSfDir> <outDir> [copies=10]")
+    require(args.length >= 2,
+      "usage: ScaleGen <srcSfDir> <outDir> [copies=10] [tables=all]")
     val src    = args(0)
     val out    = args(1)
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional comma-list restricting which replicated tables are written
+    // (e.g. "documents,embeddings" for a 1000x corpus without paying for
+    // 1000x lineitem); unreplicated star tables always copy verbatim.
+    val wanted: String => Boolean = if (args.length > 3) {
+      val s = args(3).split(",").map(_.trim).toSet; s
+    } else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -98,30 +118,38 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = graft.sources.Tables.documents(spark, src)
-    val embs = graft.sources.Tables.embeddings(spark, src)
-    (0 until copies).map(docReplica(docs, _)).reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    (0 until copies).map(embReplica(embs, _)).reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    val events = graft.sources.Tables.events(spark, src)
-    (0 until copies).map(eventsReplica(events, _)).reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
-
-    // remaining tables verbatim (heavy paths don't read them, but the dir
-    // stays a drop-in SPARK_GRAFT_SF_DIR for any registry query)
-    val others = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem")
-    others.foreach { t =>
+    def copyVerbatim(t: String): Unit = {
       val from = java.nio.file.Paths.get(s"$src/$t.parquet")
       val to   = java.nio.file.Paths.get(s"$out/$t.parquet")
       java.nio.file.Files.createDirectories(to.getParent)
       java.nio.file.Files.copy(from, to,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+
+    // an excluded replicated table still copies verbatim at 1x, so the out
+    // dir stays a drop-in SPARK_GRAFT_SF_DIR for every registry query
+    def writeReplicated(name: String, rep: Int => DataFrame): Unit =
+      if (wanted(name))
+        (0 until copies).map(rep).reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      else copyVerbatim(name)
+
+    val docs = graft.sources.Tables.documents(spark, src)
+    val embs = graft.sources.Tables.embeddings(spark, src)
+    writeReplicated("documents", docReplica(docs, _))
+    writeReplicated("embeddings", embReplica(embs, _))
+    lazy val events = graft.sources.Tables.events(spark, src)
+    writeReplicated("events", eventsReplica(events, _))
+    lazy val li = graft.sources.Tables.lineitem(spark, src)
+    writeReplicated("lineitem", lineitemReplica(li, _))
+    lazy val ords = graft.sources.Tables.orders(spark, src)
+    writeReplicated("orders", ordersReplica(ords, _))
+
+    // remaining tables verbatim (heavy paths don't read them, but the dir
+    // stays a drop-in SPARK_GRAFT_SF_DIR for any registry query)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(copyVerbatim)
     println(s"[scalegen] wrote $copies x $src -> $out")
     spark.stop()
   }

@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Sequence analytics + robust statistics over the `events` table —
+  * round-8 additions to the product-analytics family (funnels, Markov
+  * transitions, CUSUM drift, winsorization, point-in-time dimension
+  * lookup). Reference-absent (the reference computes one windowed
+  * distinct count); these are the operators the same event stream feeds
+  * in a production analytics warehouse, each held to the engine's
+  * conventions: integer/fixed-point arithmetic wherever a decision or a
+  * sum crosses engines, bounded per-entity windows, group-cardinality
+  * joins, no global sorts.
+  */
+object AnalyticsQueries {
+
+  /** Ordered funnel conversion (view → click → purchase): step k counts
+    * users whose FIRST step-k event occurs strictly after their step-k−1
+    * completion time — the textbook ordered funnel, not mere presence.
+    *
+    * Shape: three user-keyed conditional min-aggregates chained by
+    * user-cardinality joins (each stage's relation is ≤ |users| rows, so
+    * Catalyst broadcasts or reuses the user_id hash partitioning — never
+    * an event-scale re-shuffle). Lag sums are exact integer µs. */
+  private val funnelConversion: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("us") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("us") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t3"), min(col("t2")).as("t2"))
+    t1.agg(count(lit(1)).as("users"), lit(0L).as("sum_lag_us"))
+      .select(lit("1_view").as("step"), col("users"), col("sum_lag_us"))
+      .unionByName(t2.agg(count(lit(1)).as("users"),
+          sum(col("t2") - col("t1")).as("sum_lag_us"))
+        .select(lit("2_click").as("step"), col("users"), col("sum_lag_us")))
+      .unionByName(t3.agg(count(lit(1)).as("users"),
+          sum(col("t3") - col("t2")).as("sum_lag_us"))
+        .select(lit("3_purchase").as("step"), col("users"), col("sum_lag_us")))
+  }
+
+  private val funnelConversionSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         event_type
+      |  FROM events),
+      |t1 AS (SELECT user_id, min(us) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (SELECT e.user_id, min(e.us) AS t2, min(t.t1) AS t1
+      |       FROM ev e JOIN t1 t ON e.user_id = t.user_id AND e.us > t.t1
+      |       WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (SELECT e.user_id, min(e.us) AS t3, min(t.t2) AS t2
+      |       FROM ev e JOIN t2 t ON e.user_id = t.user_id AND e.us > t.t2
+      |       WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS users,
+      |       CAST(0 AS BIGINT) AS sum_lag_us FROM t1
+      |UNION ALL
+      |SELECT '2_click', CAST(count(*) AS BIGINT),
+      |       CAST(sum(t2 - t1) AS BIGINT) FROM t2
+      |UNION ALL
+      |SELECT '3_purchase', CAST(count(*) AS BIGINT),
+      |       CAST(sum(t3 - t2) AS BIGINT) FROM t3""".stripMargin
+
+  /** First-order Markov transition matrix of the event stream: successor
+    * pairs per user (one lag window over bounded per-user partitions),
+    * global pair counts, and the per-source transition probability in
+    * 1e-6 fixed point via INTEGER floor division — engine-exact, no
+    * float ratio crosses the oracle. The 25-row result is the sequence
+    * model product analytics and session-based recommenders start from. */
+  private val eventTransitions: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_fp", expr("1000000 * n div sum(n) OVER " +
+        "(PARTITION BY from_type)"))
+  }
+
+  private val eventTransitionsSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type, 1) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id)
+      |           AS from_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT from_type, event_type AS to_type, count(*) AS n
+      |  FROM ordered WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+      |       CAST(1000000 * n // sum(n) OVER (PARTITION BY from_type)
+      |            AS BIGINT) AS p_fp
+      |FROM pairs""".stripMargin
+
+  /** CUSUM drift detection per user — the classic one-sided cumulative-sum
+    * changepoint statistic S_i = max(0, S_{i-1} + (x_i − µ)), a
+    * NON-ASSOCIATIVE left fold (like `ewma_user_value`): each user's
+    * bounded history collects into one sorted array and folds row-locally
+    * via HOF `aggregate`, carrying (running S, max S, crossings) in one
+    * struct accumulator. Everything is 1e-2 fixed-point integer — µ is
+    * the user's floor-divided mean, the threshold is integer — so the
+    * fold replays bit-for-bit in the oracle's recursive CTE. */
+  private val cusumChangepoint: Q = (s, dir) => {
+    val h = 100000L // 1000.00 units in 1e-2 fixed point
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("u"),
+        col("event_id").as("e"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"),
+        sort_array(collect_list(struct(col("u"), col("e"), col("v"))))
+          .as("arr"))
+      .withColumn("mu_fp", expr("sv div n_events"))
+      .select(col("user_id"), col("n_events"), col("mu_fp"),
+        expr(s"""aggregate(arr,
+                named_struct('s', CAST(0 AS BIGINT),
+                             'mx', CAST(0 AS BIGINT),
+                             'k', CAST(0 AS BIGINT)),
+                (acc, x) -> named_struct(
+                  's', greatest(CAST(0 AS BIGINT), acc.s + x.v - mu_fp),
+                  'mx', greatest(acc.mx,
+                    greatest(CAST(0 AS BIGINT), acc.s + x.v - mu_fp)),
+                  'k', acc.k + CASE WHEN
+                    greatest(CAST(0 AS BIGINT), acc.s + x.v - mu_fp) > ${h}L
+                    THEN 1 ELSE 0 END),
+                acc -> acc)""").as("c"))
+      .select(col("user_id"), col("n_events"), col("mu_fp"),
+        col("c.mx").as("max_cusum_fp"), col("c.k").as("n_over"))
+  }
+
+  private val cusumChangepointSql =
+    """WITH RECURSIVE base AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+      |         row_number() OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+      |  FROM events),
+      |mu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |              sum(v) // count(*) AS mu_fp
+      |       FROM base GROUP BY 1),
+      |rec AS (
+      |  SELECT b.user_id, b.rn,
+      |         greatest(0, b.v - m.mu_fp) AS s,
+      |         greatest(0, b.v - m.mu_fp) AS mx,
+      |         CASE WHEN greatest(0, b.v - m.mu_fp) > 100000
+      |              THEN 1 ELSE 0 END AS k
+      |  FROM base b JOIN mu m ON b.user_id = m.user_id WHERE b.rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.rn,
+      |         greatest(0, r.s + b.v - m.mu_fp),
+      |         greatest(r.mx, greatest(0, r.s + b.v - m.mu_fp)),
+      |         r.k + CASE WHEN greatest(0, r.s + b.v - m.mu_fp) > 100000
+      |                    THEN 1 ELSE 0 END
+      |  FROM rec r
+      |  JOIN base b ON b.user_id = r.user_id AND b.rn = r.rn + 1
+      |  JOIN mu m ON b.user_id = m.user_id),
+      |last AS (SELECT user_id, max(rn) AS mx_rn FROM base GROUP BY 1)
+      |SELECT r.user_id, m.n AS n_events,
+      |       CAST(m.mu_fp AS BIGINT) AS mu_fp,
+      |       CAST(r.mx AS BIGINT) AS max_cusum_fp,
+      |       CAST(r.k AS BIGINT) AS n_over
+      |FROM rec r
+      |JOIN last l ON r.user_id = l.user_id AND r.rn = l.mx_rn
+      |JOIN mu m ON r.user_id = m.user_id""".stripMargin
+
+  /** Winsorization — per-type p05/p95 DISCRETE-rank bounds (the
+    * quantile_sketch rank-pick convention: value at ascending rank
+    * ceil(q·n), integer-exact in both engines, no interpolation float),
+    * then every value clipped into [lo, hi]. Bounds come from one ranked
+    * window pass over per-type partitions; the 5-row bounds relation
+    * broadcasts back onto the stream. Reports the clip counts and the
+    * winsorized fixed-point sum — the robust-mean building block. */
+  private val winsorizeValues: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("event_id"), round(col("value") * 100).cast("long").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+    val ranked = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val bounds = ranked
+      .filter(col("rn") === ceil(lit(0.05) * col("n")) ||
+        col("rn") === ceil(lit(0.95) * col("n")))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("rn") === ceil(lit(0.05) * col("n")), col("v")))
+          .as("lo_fp"),
+        min(when(col("rn") === ceil(lit(0.95) * col("n")), col("v")))
+          .as("hi_fp"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lo_fp")).as("lo_fp"), min(col("hi_fp")).as("hi_fp"),
+        count_if(col("v") < col("lo_fp")).as("n_low"),
+        count_if(col("v") > col("hi_fp")).as("n_high"),
+        sum(greatest(col("lo_fp"), least(col("hi_fp"), col("v"))))
+          .as("sum_wins_fp"))
+  }
+
+  private val winsorizeValuesSql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |ranked AS (
+      |  SELECT event_type, v,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY v, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |bounds AS (
+      |  SELECT event_type,
+      |         min(CASE WHEN rn = ceil(0.05 * n) THEN v END) AS lo_fp,
+      |         min(CASE WHEN rn = ceil(0.95 * n) THEN v END) AS hi_fp
+      |  FROM ranked
+      |  WHERE rn = ceil(0.05 * n) OR rn = ceil(0.95 * n)
+      |  GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(b.lo_fp) AS BIGINT) AS lo_fp,
+      |       CAST(min(b.hi_fp) AS BIGINT) AS hi_fp,
+      |       CAST(sum(CASE WHEN e.v < b.lo_fp THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_low,
+      |       CAST(sum(CASE WHEN e.v > b.hi_fp THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_high,
+      |       CAST(sum(greatest(b.lo_fp, least(b.hi_fp, e.v))) AS BIGINT)
+      |         AS sum_wins_fp
+      |FROM ev e JOIN bounds b ON e.event_type = b.event_type
+      |GROUP BY 1""".stripMargin
+
+  /** Point-in-time dimension lookup — the fact-enrichment join every
+    * warehouse with SCD2 dimensions runs: each purchase event probes the
+    * user-state INTERVAL dimension (the `scd2_user_state` derivation,
+    * inlined) at the instant JUST BEFORE the purchase (us − 1), answering
+    * "what state was the user in when they bought". Join mechanics under
+    * test: equi-join on the entity key with the interval-containment
+    * residual — per-user run counts are bounded, so each probe meets a
+    * handful of intervals, and intervals TILE (lead-closed), so at most
+    * one survives containment. LEFT join keeps first-event purchases
+    * (no prior state) with a NULL. */
+  private val scd2PointInTime: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("user_id").as("iv_user"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val probes = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - 1).as("pt"))
+    probes.join(iv,
+        probes("user_id") === iv("iv_user") &&
+          col("pt") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("pt") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"),
+        col("state").as("prior_state"))
+  }
+
+  private val scd2PointInTimeSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_type, event_id,
+      |         date_trunc('microseconds', ts) AS tsu,
+      |         lag(event_type, 1) OVER (
+      |           PARTITION BY user_id
+      |           ORDER BY date_trunc('microseconds', ts), event_id)
+      |           AS prev_state
+      |  FROM events),
+      |iv AS (
+      |  SELECT user_id AS iv_user, event_type AS state,
+      |         epoch_us(tsu) AS valid_from_us,
+      |         lead(epoch_us(tsu), 1) OVER (
+      |           PARTITION BY user_id ORDER BY tsu, event_id)
+      |           AS valid_to_us
+      |  FROM ordered
+      |  WHERE prev_state IS NULL OR prev_state <> event_type),
+      |probes AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) - 1 AS pt
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, i.state AS prior_state
+      |FROM probes p LEFT JOIN iv i
+      |  ON p.user_id = i.iv_user
+      | AND p.pt >= i.valid_from_us
+      | AND (i.valid_to_us IS NULL OR p.pt < i.valid_to_us)""".stripMargin
+
+  val all: Map[String, Q] = Map(
+    "funnel_conversion"    -> funnelConversion,
+    "event_transitions"    -> eventTransitions,
+    "cusum_changepoint"    -> cusumChangepoint,
+    "winsorize_values"     -> winsorizeValues,
+    "scd2_point_in_time"   -> scd2PointInTime)
+
+  val oracles: Map[String, String] = Map(
+    "funnel_conversion"    -> funnelConversionSql,
+    "event_transitions"    -> eventTransitionsSql,
+    "cusum_changepoint"    -> cusumChangepointSql,
+    "winsorize_values"     -> winsorizeValuesSql,
+    "scd2_point_in_time"   -> scd2PointInTimeSql)
+}
