@@ -21,7 +21,7 @@ object Queries {
       SimilarityQueries.all ++ StreamingQueries.all ++ MultimodalQueries.all ++
       AdvancedQueries.all ++ SqlQueries.all ++ SourceQueries.all ++
       LineQueries.all ++ CorpusStatsQueries.all ++ MaintenanceQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++ SetSimilarityQueries.all
 
   val oracles: Map[String, String] =
     EventQueries.oracles ++ RelationalQueries.oracles ++
@@ -29,5 +29,6 @@ object Queries {
       StreamingQueries.oracles ++ MultimodalQueries.oracles ++
       AdvancedQueries.oracles ++ SqlQueries.oracles ++ SourceQueries.oracles ++
       LineQueries.oracles ++ CorpusStatsQueries.oracles ++
-      MaintenanceQueries.oracles ++ AnalyticsQueries.oracles
+      MaintenanceQueries.oracles ++ AnalyticsQueries.oracles ++
+      SetSimilarityQueries.oracles
 }

@@ -543,7 +543,72 @@ object AdvancedQueries {
        |FROM d""".stripMargin
   }
 
+  // ── equi-depth histogram (ANALYZE-style statistics collection) ────────
+  // The optimizer-statistics pass over a 100 TB column has exactly this
+  // shape: bucket BOUNDARIES come from the mergeable bottom-k sketch
+  // (one pass, driver-scale sketch rows — never a global sort of the
+  // data; the per-boundary sampling error is the standard equi-depth
+  // trade), then ONE exact scan assigns each row its bucket by counting
+  // boundaries <= v against the broadcast 15-element boundary array and
+  // aggregates count/min/max per bucket. Everything after the sketch is
+  // integer on fixed-point cents; the sketch itself is deterministic
+  // order statistics over the 60-bit md5 hash, so DuckDB replays
+  // boundaries AND assignment bit-for-bit — an exactly-gateable
+  // approximate histogram.
+  private val EdhK = 256
+  private val EdhB = 16
+
+  private val equiDepthHistogram: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val rows = Tables.lineitem(s, dir).select(
+      lit("ALL").as("g"),
+      conv(substring(md5(
+        concat(col("l_orderkey"), lit("_"), col("l_linenumber"))), 1, 15),
+        16, 10).cast("long").as("h"),
+      round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .localCheckpoint()
+    val sk = QuantileSketch.sketch(rows, col("g"), col("h"), col("v"), EdhK)
+    val qs = (1 until EdhB).map(_.toDouble / EdhB) // dyadic: exact doubles
+    val bounds = QuantileSketch.quantiles(sk, qs)
+      .agg(sort_array(collect_list(col("est"))).as("bs"))
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("bs"), b => b <= col("v"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  private val equiDepthHistogramSql = {
+    val qsVals = (1 until EdhB).map(i => s"(${i.toDouble / EdhB})")
+      .mkString(",")
+    s"""WITH r AS (
+       |  SELECT CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
+       |              || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+       |              AS BIGINT) AS h,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+       |  FROM lineitem),
+       |sk AS (SELECT h, v FROM (
+       |         SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk
+       |         FROM r) WHERE rk <= $EdhK),
+       |qs(q) AS (VALUES $qsVals),
+       |bounds AS (
+       |  SELECT t.v AS b FROM (
+       |    SELECT v, h, row_number() OVER (ORDER BY v, h) AS rk,
+       |           count(*) OVER () AS n
+       |    FROM sk) t, qs
+       |  WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT))
+       |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |       CAST(min(v) AS BIGINT) AS min_v,
+       |       CAST(max(v) AS BIGINT) AS max_v
+       |FROM (SELECT v, (SELECT count(*) FROM bounds WHERE b <= rr.v)
+       |               AS bucket
+       |      FROM r rr)
+       |GROUP BY 1""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "equi_depth_histogram" -> equiDepthHistogram,
     "zorder_layout"        -> zorderLayout,
     "asof_click_attribution" -> asofClickAttribution,
     "asof_native_attribution" -> asofNativeAttribution,
@@ -568,6 +633,7 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "equi_depth_histogram" -> equiDepthHistogramSql,
     "zorder_layout"        -> zorderLayoutSql,
     "asof_click_attribution" -> asofClickAttributionSql,
     "asof_native_attribution" -> asofClickAttributionSql, // same oracle: custom exec pinned to composed semantics
