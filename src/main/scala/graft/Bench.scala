@@ -43,8 +43,10 @@ object Bench {
     "kmv_intersection", "range_join_orders", "window_analytics",
     "pipeline_end_to_end", "c4_line_filter",
     // round-7 families: one maintenance + one time-series representative
-    // (30 entries ≈ 1.3 KB worst case vs the 1.9 KB cap)
-    "cdc_apply", "resample_ffill")
+    "cdc_apply", "resample_ffill",
+    // round-8 families: one sequence-analytics + one exact-similarity
+    // representative (32 entries ≈ 1.4 KB worst case vs the 1.9 KB cap)
+    "funnel_conversion", "prefix_filter_jaccard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

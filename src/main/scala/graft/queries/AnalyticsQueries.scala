@@ -301,7 +301,120 @@ object AnalyticsQueries {
       | AND p.pt >= i.valid_from_us
       | AND (i.valid_to_us IS NULL OR p.pt < i.valid_to_us)""".stripMargin
 
+  /** Exact-count stratified split — `dataset_split` assigns per-doc hash
+    * buckets (proportions hold only in expectation); this produces EXACT
+    * floor-count 80/10/10 per stratum: docs rank by a deterministic
+    * split-hash within their source, and the boundaries are integer
+    * cross-multiplications of the rank (rn·10 ≤ n·8 → train). One
+    * hash-partitioned window per stratum at gate scale; at warehouse
+    * scale the exact rank is replaced by sketch-derived hash thresholds
+    * (the `equi_depth_histogram` machinery) — the gate pins the exact
+    * semantics the sketch path approximates. */
+  private val exactStratifiedSplit: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .withColumn("h", conv(substring(
+        md5(concat(lit("split_"), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("split",
+        when(col("rn") * 10 <= col("n") * 8, "train")
+          .when(col("rn") * 10 <= col("n") * 9, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  private val exactStratifiedSplitSql =
+    """WITH ranked AS (
+      |  SELECT source,
+      |         row_number() OVER (
+      |           PARTITION BY source
+      |           ORDER BY CAST(('0x' || substring(
+      |             md5('split_' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |             AS BIGINT), doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN rn * 10 <= n * 8 THEN 'train'
+      |            WHEN rn * 10 <= n * 9 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       CAST(count(*) AS BIGINT) AS n_docs
+      |FROM ranked GROUP BY 1, 2""".stripMargin
+
+  /** MAD outlier flags — the robust counterpart of `rolling_zscore`'s
+    * mean/σ test: per type, the DISCRETE median (rank (n+1) div 2 —
+    * pure integer rank arithmetic, no 0.5·n double anywhere) and the
+    * median absolute deviation, then \|v − med\| > 3·MAD flags in exact
+    * fixed point. Two ranked window passes over per-type partitions, the
+    * 5-row med/MAD tables broadcast back — the ~50%-breakdown-point
+    * outlier rule a long-tailed metric needs where one spike poisons a
+    * mean-based z-score. */
+  private val madOutliers: Q = (s, dir) => {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("event_id"), round(col("value") * 100).cast("long").as("v"))
+    def rankPick(df: org.apache.spark.sql.DataFrame, valueCol: String,
+        outCol: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(outCol))
+    }
+    val med = rankPick(ev, "v", "med_fp")
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("v") - col("med_fp")))
+    val mad = rankPick(dev.select(col("event_type"), col("event_id"),
+      col("d")), "d", "mad_fp")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med_fp")).as("med_fp"), min(col("mad_fp")).as("mad_fp"),
+        count_if(col("d") > col("mad_fp") * 3).as("n_outliers"))
+  }
+
+  private val madOutliersSql =
+    """WITH ev AS (
+      |  SELECT event_type, event_id,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |medr AS (
+      |  SELECT event_type, v,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY v, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM ev),
+      |med AS (SELECT event_type, v AS med_fp FROM medr
+      |        WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT e.event_type, e.event_id,
+      |               abs(e.v - m.med_fp) AS d, m.med_fp
+      |        FROM ev e JOIN med m ON e.event_type = m.event_type),
+      |madr AS (
+      |  SELECT event_type, d,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY d, event_id) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (SELECT event_type, d AS mad_fp FROM madr
+      |        WHERE rn = (n + 1) // 2)
+      |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(dev.med_fp) AS BIGINT) AS med_fp,
+      |       CAST(min(mad.mad_fp) AS BIGINT) AS mad_fp,
+      |       CAST(sum(CASE WHEN dev.d > mad.mad_fp * 3 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "exact_stratified_split" -> exactStratifiedSplit,
+    "mad_outliers"         -> madOutliers,
     "funnel_conversion"    -> funnelConversion,
     "event_transitions"    -> eventTransitions,
     "cusum_changepoint"    -> cusumChangepoint,
@@ -309,6 +422,8 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "exact_stratified_split" -> exactStratifiedSplitSql,
+    "mad_outliers"         -> madOutliersSql,
     "funnel_conversion"    -> funnelConversionSql,
     "event_transitions"    -> eventTransitionsSql,
     "cusum_changepoint"    -> cusumChangepointSql,

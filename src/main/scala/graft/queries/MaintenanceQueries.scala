@@ -353,7 +353,127 @@ object MaintenanceQueries {
        |FROM both_g GROUP BY 1""".stripMargin
   }
 
+  /** Merkle-style bucket diff — `table_checksum` answers "are the two
+    * replicas identical?"; this answers the follow-up a real
+    * reconciliation needs: WHICH rows differ, without shipping either
+    * table. Rows bucket by key-hash mod 256; each side folds each bucket
+    * to a (count, mod-2⁶¹−1 sum, xor) digest (one aggregate pass per
+    * side, map-side combinable — the leaf level of a Merkle tree);
+    * buckets whose digests disagree become the SUSPECT set, and only
+    * rows landing in suspect buckets (a semi-join against the tiny
+    * bucket list) are key-joined and value-compared. Cost: two digest
+    * passes + row-level work ∝ \|suspect buckets\|, not \|table\| — at a
+    * 1/256 bucketing and d differing rows, the row join touches ≤
+    * d·(n/256)-ish rows. The "replica" here derives deterministically
+    * (every 997th order's first line gets a one-cent price bump), and
+    * the oracle replays tamper, digests, suspects, and the row diff. */
+  private val merkleBucketDiff: Q = (s, dir) => {
+    val nBuckets = 256
+    val base = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+      round(col("l_extendedprice") * 100).cast("long").as("p"))
+    def keyed(df: org.apache.spark.sql.DataFrame,
+        pCol: org.apache.spark.sql.Column) = df.select(
+      col("ok"), col("ln"),
+      pCol.as("p"),
+      pmod(conv(substring(md5(concat_ws("|", col("ok"), col("ln"))), 1, 15),
+        16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"))
+      .withColumn("row_h",
+        conv(substring(md5(concat_ws("|", col("ok"), col("ln"), col("p"))),
+          1, 10), 16, 10).cast("long"))
+    val a = keyed(base, col("p"))
+    val b = keyed(base,
+      when(col("ok") % 997 === 0 && col("ln") === 1, col("p") + 1)
+        .otherwise(col("p")))
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("bucket")).agg(
+        count(lit(1)).as("n"),
+        (sum(col("row_h").cast("decimal(38,0)")) %
+          lit(new java.math.BigDecimal(2305843009213693951L)))
+          .cast("long").as("sh"),
+        expr("bit_xor(row_h)").as("xh"))
+    val suspects = digest(a).as("da")
+      .join(digest(b).as("db"), Seq("bucket"), "full_outer")
+      .filter(col("da.n") =!= col("db.n") || col("da.sh") =!= col("db.sh") ||
+        col("da.xh") =!= col("db.xh") ||
+        col("da.n").isNull || col("db.n").isNull)
+      .select(col("bucket"))
+    // the fixture key (ok, ln) is NOT unique, so a row-by-row key join
+    // would fan out m×n per duplicate key and cross-compare unrelated
+    // rows; collapse each side to a per-KEY digest (count, price sum,
+    // row-hash xor) first — the diff is then well-defined for any key
+    // multiplicity, and the verdict localizes to keys, the granularity
+    // a repair job actually re-copies
+    def perKey(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(suspects), "bucket")
+        .groupBy(col("bucket"), col("ok"), col("ln"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
+          expr("bit_xor(row_h)").as("xh"))
+    perKey(a).as("ka")
+      .join(perKey(b).as("kb"), Seq("bucket", "ok", "ln"))
+      .filter(col("ka.n") =!= col("kb.n") ||
+        col("ka.sum_p") =!= col("kb.sum_p") ||
+        col("ka.xh") =!= col("kb.xh"))
+      .select(col("ok").as("l_orderkey"), col("ln").as("l_linenumber"),
+        col("bucket"),
+        col("ka.sum_p").as("price_a_fp"), col("kb.sum_p").as("price_b_fp"))
+  }
+
+  private val merkleBucketDiffSql =
+    """WITH base AS (
+      |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+      |  FROM lineitem),
+      |a AS (SELECT ok, ln, p,
+      |             CAST(('0x' || substring(md5(CAST(ok AS VARCHAR) || '|' ||
+      |                  CAST(ln AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+      |               AS bucket,
+      |             CAST(('0x' || substring(md5(CAST(ok AS VARCHAR) || '|' ||
+      |                  CAST(ln AS VARCHAR) || '|' || CAST(p AS VARCHAR)),
+      |                  1, 10)) AS BIGINT) AS row_h
+      |      FROM base),
+      |b0 AS (SELECT ok, ln,
+      |              CASE WHEN ok % 997 = 0 AND ln = 1 THEN p + 1 ELSE p END
+      |                AS p
+      |       FROM base),
+      |b AS (SELECT ok, ln, p,
+      |             CAST(('0x' || substring(md5(CAST(ok AS VARCHAR) || '|' ||
+      |                  CAST(ln AS VARCHAR)), 1, 15)) AS BIGINT) % 256
+      |               AS bucket,
+      |             CAST(('0x' || substring(md5(CAST(ok AS VARCHAR) || '|' ||
+      |                  CAST(ln AS VARCHAR) || '|' || CAST(p AS VARCHAR)),
+      |                  1, 10)) AS BIGINT) AS row_h
+      |      FROM b0),
+      |da AS (SELECT bucket, count(*) AS n,
+      |              CAST(sum(row_h) % 2305843009213693951 AS BIGINT) AS sh,
+      |              bit_xor(row_h) AS xh
+      |       FROM a GROUP BY 1),
+      |db AS (SELECT bucket, count(*) AS n,
+      |              CAST(sum(row_h) % 2305843009213693951 AS BIGINT) AS sh,
+      |              bit_xor(row_h) AS xh
+      |       FROM b GROUP BY 1),
+      |suspects AS (
+      |  SELECT coalesce(da.bucket, db.bucket) AS bucket
+      |  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+      |  WHERE da.n IS DISTINCT FROM db.n OR da.sh IS DISTINCT FROM db.sh
+      |     OR da.xh IS DISTINCT FROM db.xh),
+      |ka AS (SELECT a.bucket, a.ok, a.ln, count(*) AS n,
+      |              sum(a.p) AS sum_p, bit_xor(a.row_h) AS xh
+      |       FROM a JOIN suspects s ON a.bucket = s.bucket
+      |       GROUP BY 1, 2, 3),
+      |kb AS (SELECT b.bucket, b.ok, b.ln, count(*) AS n,
+      |              sum(b.p) AS sum_p, bit_xor(b.row_h) AS xh
+      |       FROM b JOIN suspects s ON b.bucket = s.bucket
+      |       GROUP BY 1, 2, 3)
+      |SELECT ka.ok AS l_orderkey, ka.ln AS l_linenumber, ka.bucket,
+      |       CAST(ka.sum_p AS BIGINT) AS price_a_fp,
+      |       CAST(kb.sum_p AS BIGINT) AS price_b_fp
+      |FROM ka JOIN kb ON ka.bucket = kb.bucket AND ka.ok = kb.ok
+      |                AND ka.ln = kb.ln
+      |WHERE ka.n <> kb.n OR ka.sum_p <> kb.sum_p OR ka.xh <> kb.xh""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "merkle_bucket_diff"     -> merkleBucketDiff,
     "table_checksum"         -> tableChecksum,
     "cdc_apply"              -> cdcApply,
     "cdc_state_compaction"   -> cdcStateCompaction,
@@ -361,6 +481,7 @@ object MaintenanceQueries {
     "profile_columns"        -> profileColumns)
 
   val oracles: Map[String, String] = Map(
+    "merkle_bucket_diff"     -> merkleBucketDiffSql,
     "table_checksum"         -> tableChecksumSql,
     "cdc_apply"              -> cdcApplySql,
     "cdc_state_compaction"   -> cdcStateCompactionSql,

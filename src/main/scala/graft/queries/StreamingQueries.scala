@@ -1181,7 +1181,101 @@ object StreamingQueries {
       |WHERE n.n_tokens >= $PsiMinTokens""".stripMargin
   }
 
+  /** Streaming ordered funnel — `funnel_conversion`'s incremental half,
+    * run through the versioned foreachBatch state sink and gated against
+    * the batch funnel oracle VERBATIM (the `streaming_cdc_upsert`
+    * pattern): per-user funnel state (t1, t2, t3) merges with each
+    * micro-batch's conditional-min chain, where each step's batch
+    * candidates are filtered against the step-(k−1) time AS MERGED THIS
+    * BATCH (so view→click inside one batch converts, and a click
+    * delivered before any view can never convert — order semantics
+    * preserved incrementally; batches are time-split, so a later batch
+    * can only APPEND to the timeline, which is what makes the funnel
+    * recurrence mergeable). Per batch: three batch-sized conditional
+    * aggregates + key-cardinality joins against state — cost ∝ batch +
+    * touched users, never a history re-scan. */
+  private val streamingFunnel: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(scratchPath("sfunnel", dir))
+    freshDir(tmp)
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val evAll = s.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val mid = evAll.agg(
+      expr("min(ts) + (max(ts) - min(ts)) div 2").cast("long").as("t"))
+      .head().getLong(0)
+
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t1", LongType),
+      StructField("t2", LongType), StructField("t3", LongType)))
+    var current: Option[String] = None
+    val merges = new AtomicInteger(0)
+    val frames = s.readStream.schema(
+        StructType(graft.model.Schemas.eventsRawMicros.fields.filter(f =>
+          Seq("user_id", "event_id", "ts", "event_type").contains(f.name))))
+      .parquet(s"$in/*.parquet")
+    setStatePartitions(s, 4)
+    val q = frames.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          val st = current.map(s.read.parquet(_)).getOrElse(
+            s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              stateSchema))
+          val b1 = df.filter(col("event_type") === "view")
+            .groupBy(col("user_id")).agg(min(col("ts")).as("bt1"))
+          // least() skips nulls: an unreached step stays null until its
+          // first candidate, then only ever decreases (it can't — later
+          // batches carry later times; least() makes that explicit)
+          val s1 = st.join(b1, Seq("user_id"), "full_outer")
+            .select(col("user_id"), least(col("t1"), col("bt1")).as("t1"),
+              col("t2"), col("t3"))
+          val b2 = df.filter(col("event_type") === "click")
+            .join(s1.select(col("user_id"), col("t1")), "user_id")
+            .filter(col("ts") > col("t1"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("bt2"))
+          val s2 = s1.join(b2, Seq("user_id"), "left")
+            .select(col("user_id"), col("t1"),
+              least(col("t2"), col("bt2")).as("t2"), col("t3"))
+          val b3 = df.filter(col("event_type") === "purchase")
+            .join(s2.select(col("user_id"), col("t2")), "user_id")
+            .filter(col("ts") > col("t2"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as("bt3"))
+          val s3 = s2.join(b3, Seq("user_id"), "left")
+            .select(col("user_id"), col("t1"), col("t2"),
+              least(col("t3"), col("bt3")).as("t3"))
+          val out = tmp.resolve(s"state_v$id").toString
+          s3.write.mode("overwrite").parquet(out)
+          current = Some(out)
+          merges.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      writeOneFile(evAll.filter(col("ts") <= mid), in, "batch1.parquet")
+      q.processAllAvailable()
+      writeOneFile(evAll.filter(col("ts") > mid), in, "batch2.parquet")
+      q.processAllAvailable()
+    } finally drainStop(q)
+    require(merges.get() == 2,
+      s"funnel gate expected exactly 2 merged batches, saw ${merges.get()}")
+    val st = s.read.parquet(current.get)
+    st.agg(count(col("t1")).as("users"), lit(0L).as("sum_lag_us"))
+      .select(lit("1_view").as("step"), col("users"), col("sum_lag_us"))
+      .unionByName(st.filter(col("t2").isNotNull)
+        .agg(count(lit(1)).as("users"),
+          sum(col("t2") - col("t1")).as("sum_lag_us"))
+        .select(lit("2_click").as("step"), col("users"), col("sum_lag_us")))
+      .unionByName(st.filter(col("t3").isNotNull)
+        .agg(count(lit(1)).as("users"),
+          sum(col("t3") - col("t2")).as("sum_lag_us"))
+        .select(lit("3_purchase").as("step"), col("users"),
+          col("sum_lag_us")))
+  }
+
   val all: Map[String, Q] = Map(
+    "streaming_funnel" -> streamingFunnel,
     "pipeline_streaming_ingest" -> pipelineStreamingIngest,
     "streaming_upsert_sink" -> streamingUpsertSink,
     "streaming_cdc_upsert" -> streamingCdcUpsert,
@@ -1201,6 +1295,9 @@ object StreamingQueries {
   ).map { case (n, f) => n -> isolated(f) }
 
   val oracles: Map[String, String] = Map(
+    // incremental funnel state ≡ the batch ordered funnel — same oracle,
+    // verbatim: the streaming-equals-batch parity statement
+    "streaming_funnel" -> AnalyticsQueries.oracles("funnel_conversion"),
     // the merged upsert table ≡ the batch last-event query — parity
     "streaming_upsert_sink" ->
       """SELECT user_id, event_id AS last_event_id,

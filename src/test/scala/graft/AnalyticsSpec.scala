@@ -101,6 +101,37 @@ class AnalyticsSpec extends SparkSpec {
       s"interval containment must ride the user_id equi-join:\n$p")
   }
 
+  test("exact_stratified_split: per-stratum counts are exact floors") {
+    val got = Queries.all("exact_stratified_split")(spark, sf001)
+      .select($"source", $"split", $"n_docs")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    got.foreach { case (src, m) =>
+      val n = m.values.sum
+      assert(m("train") == n * 8 / 10, s"$src train ${m("train")} != ${n * 8 / 10}")
+      assert(m("train") + m.getOrElse("val", 0L) == n * 9 / 10,
+        s"$src train+val must be floor(0.9n)")
+      assert(m.values.forall(_ > 0), s"$src: every split populated")
+    }
+  }
+
+  test("mad_outliers: hand-computed median, MAD and flags") {
+    // values (fp): 10,20,30,40,1000 -> med = rank 3 -> 30;
+    // |v-30|: 20,10,0,10,970 -> sorted 0,10,10,20,970 -> mad = 10;
+    // outliers: d > 30 -> only 970 (the spike) -> 1
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    Seq(0.10, 0.20, 0.30, 0.40, 10.00).zipWithIndex.map { case (v, i) =>
+      ((i + 1).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i}%02d"),
+        1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.AnalyticsQueries.all("mad_outliers")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("med_fp") == 30)
+    assert(r.getAs[Long]("mad_fp") == 10)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
   test("event_transitions probabilities are integer-exact shares") {
     val rows = Queries.all("event_transitions")(spark, sf001)
       .groupBy($"from_type").agg(sum($"p_fp").as("sum_p"))

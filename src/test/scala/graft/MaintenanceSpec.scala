@@ -119,4 +119,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows.values.forall(_._1 == 0L), "fixture columns have no nulls")
     assert(rows("l_returnflag")._2 == 3L, "l_returnflag NDV should be 3 (A/N/R)")
   }
+
+  test("merkle_bucket_diff: localizes exactly the tampered keys") {
+    val out = run("merkle_bucket_diff").cache()
+    val li = Tables.lineitem(spark, sf001)
+    // the gate's deterministic tamper rule, recomputed independently:
+    // per-KEY verdicts (the fixture key is non-unique)
+    val want = li.filter(col("l_orderkey") % 997 === 0 &&
+        col("l_linenumber") === 1)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct()
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+    val got = out.select(col("l_orderkey"), col("l_linenumber"))
+      .collect().map(r => (r.getLong(0),
+        r.get(1).asInstanceOf[Number].longValue)).toSet
+    assert(got == want, s"diff keys $got != tampered keys $want")
+    assert(want.nonEmpty, "tamper rule must hit the fixture")
+    // every reported key shows the +1-cent-per-tampered-row delta
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("price_b_fp") > r.getAs[Long]("price_a_fp"))
+    }
+  }
 }
