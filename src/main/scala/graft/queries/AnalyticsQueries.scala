@@ -412,7 +412,171 @@ object AnalyticsQueries {
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |GROUP BY 1""".stripMargin
 
+  /** Time-weighted average (TWAP) per user-day — the metrics/finance
+    * aggregate where a value HOLDS until the next observation, so the
+    * mean weights each value by its holding interval, not its sample
+    * count (an event-mean over-weights bursts). Holding interval =
+    * lead(us) − us within the user-day (the last observation holds to
+    * end-of-day); numerator Σ v_fp·Δus stays integer (≤ 5e4 · 8.64e10
+    * per term — BIGINT-safe summed over any day), one lead window per
+    * user-day partition, and the final division is the single 6-dp
+    * double with an identical operation tree in the oracle. */
+  private val twapUserDay: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day"),
+        round(col("value") * 100).cast("long").as("v_fp"))
+      .withColumn("until_us", coalesce(lead(col("us"), 1).over(w),
+        (col("day") + 86400L) * 1000000L))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("v_fp") * (col("until_us") - col("us"))).as("num_fp"),
+        (max(col("until_us")) - min(col("us"))).as("span_us"))
+      .withColumn("twap", round(col("num_fp") / col("span_us") / 100.0, 6))
+  }
+
+  private val twapUserDaySql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us,
+      |         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day,
+      |         CAST(round(value * 100) AS BIGINT) AS v_fp
+      |  FROM events),
+      |held AS (
+      |  SELECT user_id, day, us, v_fp,
+      |         coalesce(lead(us, 1) OVER (
+      |             PARTITION BY user_id, day ORDER BY us, event_id),
+      |           (day + 86400) * 1000000) AS until_us
+      |  FROM ev)
+      |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_obs,
+      |       CAST(sum(v_fp * (until_us - us)) AS BIGINT) AS num_fp,
+      |       CAST(max(until_us) - min(us) AS BIGINT) AS span_us,
+      |       round(CAST(sum(v_fp * (until_us - us)) AS BIGINT)
+      |             / (max(until_us) - min(us)) / 100.0, 6) AS twap
+      |FROM held GROUP BY 1, 2""".stripMargin
+
+  /** Gap-based sessionization, the portable SQL idiom (vs the
+    * Spark-native `session_window` already gated as
+    * `session_window_stats`): a session break is a gap > 30 min from the
+    * previous event; session index = running count of breaks per user
+    * (one lag + one running-sum over the same per-user sort — Spark
+    * plans ONE window exchange for both), then per-session stats. All
+    * integer µs. */
+  private val sessionIdsGap: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("is_break",
+        (col("us") - lag(col("us"), 1).over(w) > 1800000000L).cast("long"))
+      .withColumn("session_idx",
+        sum(coalesce(col("is_break"), lit(0L))).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  private val sessionIdsGapSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, event_id, us,
+      |         CASE WHEN us - lag(us, 1) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS is_break
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |         sum(is_break) OVER (
+      |           PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM marked)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(us) AS BIGINT) AS start_us,
+      |       CAST(max(us) AS BIGINT) AS end_us,
+      |       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      |FROM sess GROUP BY 1, 2""".stripMargin
+
+  /** Association rules (support / confidence / lift) — market-basket
+    * mining over (user, hour) baskets of event types: row-local pair
+    * fan-out from each basket's ≤ 5-element distinct item array (never a
+    * corpus self-join), exact integer support counts, confidence and
+    * lift in 1e-6 fixed point by integer floor division. The A→B and
+    * B→A rules both emit (confidence is directional). */
+  private val assocRules: Q = (s, dir) => {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("h"),
+        col("event_type"))
+      .distinct()
+      .groupBy(col("user_id"), col("h"))
+      .agg(sort_array(collect_set(col("event_type"))).as("items"))
+    val nB = baskets.select(count(lit(1)).as("n_baskets"))
+    val itemCounts = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairCounts = baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val directional = pairCounts.unionByName(
+      pairCounts.select(col("b").as("a"), col("a").as("b"), col("n_ab")))
+    directional
+      .join(broadcast(itemCounts.select(col("item").as("a"),
+        col("n_item").as("n_a"))), "a")
+      .join(broadcast(itemCounts.select(col("item").as("b"),
+        col("n_item").as("n_b"))), "b")
+      .crossJoin(broadcast(nB))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        expr("1000000 * n_ab div n_a").as("conf_fp"),
+        expr("(1000000 * n_ab * n_baskets) div (n_a * n_b)").as("lift_fp"))
+  }
+
+  private val assocRulesSql =
+    """WITH baskets AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+      |         list_sort(list(DISTINCT event_type)) AS items
+      |  FROM events GROUP BY 1, 2),
+      |nb AS (SELECT count(*) AS n_baskets FROM baskets),
+      |items AS (SELECT unnest(items) AS item, user_id, h FROM baskets),
+      |ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.item AS a, y.item AS b, count(*) AS n_ab
+      |  FROM items x JOIN items y
+      |    ON x.user_id = y.user_id AND x.h = y.h AND x.item < y.item
+      |  GROUP BY 1, 2),
+      |dir AS (SELECT a, b, n_ab FROM pairs
+      |        UNION ALL SELECT b, a, n_ab FROM pairs)
+      |SELECT d.a, d.b, CAST(d.n_ab AS BIGINT) AS n_ab,
+      |       CAST(ia.n_item AS BIGINT) AS n_a,
+      |       CAST(ib.n_item AS BIGINT) AS n_b,
+      |       CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+      |       CAST(1000000 * d.n_ab // ia.n_item AS BIGINT) AS conf_fp,
+      |       CAST((1000000 * d.n_ab * nb.n_baskets)
+      |            // (ia.n_item * ib.n_item) AS BIGINT) AS lift_fp
+      |FROM dir d
+      |JOIN ic ia ON d.a = ia.item
+      |JOIN ic ib ON d.b = ib.item
+      |CROSS JOIN nb""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "twap_user_day"        -> twapUserDay,
+    "session_ids_gap"      -> sessionIdsGap,
+    "assoc_rules"          -> assocRules,
     "exact_stratified_split" -> exactStratifiedSplit,
     "mad_outliers"         -> madOutliers,
     "funnel_conversion"    -> funnelConversion,
@@ -422,6 +586,9 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "twap_user_day"        -> twapUserDaySql,
+    "session_ids_gap"      -> sessionIdsGapSql,
+    "assoc_rules"          -> assocRulesSql,
     "exact_stratified_split" -> exactStratifiedSplitSql,
     "mad_outliers"         -> madOutliersSql,
     "funnel_conversion"    -> funnelConversionSql,

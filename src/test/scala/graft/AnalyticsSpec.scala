@@ -132,6 +132,53 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1)
   }
 
+  test("twap weights by holding time, not sample count") {
+    // one user-day: v=1.00 at 00:00, v=3.00 at 12:00 -> each holds 12h
+    // -> twap 2.00 exactly (an event-mean of a bursty day would not be)
+    val dir = java.nio.file.Files.createTempDirectory("twap").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a", 1.00, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "a", 3.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = graft.queries.AnalyticsQueries.all("twap_user_day")(spark, dir)
+      .collect().head
+    assert(r.getAs[Double]("twap") == 2.0)
+    assert(r.getAs[Long]("span_us") == 86400000000L)
+  }
+
+  test("gap sessionization breaks exactly at >30min and indexes runs") {
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    // gaps: 60s (no break), 3940s (break), 100s (no break)
+    Seq(0L, 60L, 4000L, 4100L).zipWithIndex.map { case (sec, i) =>
+      ((i + 1).toLong, new java.sql.Timestamp(1704067200000L + sec * 1000),
+        1L, "a", 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.AnalyticsQueries.all("session_ids_gap")(spark, dir)
+      .select($"session_idx", $"n_events", $"duration_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L, 60000000L), (1L, 2L, 100000000L)))
+  }
+
+  test("association rules: hand-computed support, confidence and lift") {
+    val dir = java.nio.file.Files.createTempDirectory("assoc").toString
+    // baskets (same hour): u1{view,click}, u2{view} -> 2 baskets;
+    // view->click: conf = 1/2, lift = 2*1/(2*1) = 1
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 1L, "view", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 1L, "click", 0.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), 2L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.AnalyticsQueries.all("assoc_rules")(spark, dir)
+      .select($"a", $"b", $"n_ab", $"conf_fp", $"lift_fp")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("view", "click", 1L, 500000L, 1000000L),
+      ("click", "view", 1L, 1000000L, 1000000L)))
+  }
+
   test("event_transitions probabilities are integer-exact shares") {
     val rows = Queries.all("event_transitions")(spark, sf001)
       .groupBy($"from_type").agg(sum($"p_fp").as("sum_p"))
