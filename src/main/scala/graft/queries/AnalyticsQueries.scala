@@ -573,7 +573,92 @@ object AnalyticsQueries {
       |JOIN ic ib ON d.b = ib.item
       |CROSS JOIN nb""".stripMargin
 
+  /** Week-over-week change — the BI period-comparison staple: weekly
+    * fixed-point value totals per type (exact integer cents), previous
+    * week via one lag window over the tiny (type × week) relation, the
+    * integer difference, and ONE 6-dp double ratio at the end (no float
+    * sum, no negative integer division — Spark `div` truncates where
+    * DuckDB `//` floors, so a fixed-point ratio here would diverge on
+    * negative deltas; the double ratio has an identical op tree). */
+  private val wowChange: Q = (s, dir) => {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("week", col("ts"))).as("week"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("total_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_fp", lag(col("total_fp"), 1).over(w))
+      .withColumn("diff_fp", col("total_fp") - col("prev_fp"))
+      .withColumn("pct_change",
+        round(col("diff_fp") / col("prev_fp"), 6))
+  }
+
+  private val wowChangeSql =
+    """WITH weekly AS (
+      |  SELECT event_type,
+      |         CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS week,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |           AS total_fp
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, week, total_fp,
+      |       lag(total_fp, 1) OVER w AS prev_fp,
+      |       total_fp - lag(total_fp, 1) OVER w AS diff_fp,
+      |       round(CAST(total_fp - lag(total_fp, 1) OVER w AS DOUBLE)
+      |             / lag(total_fp, 1) OVER w, 6) AS pct_change
+      |FROM weekly
+      |WINDOW w AS (PARTITION BY event_type ORDER BY week)""".stripMargin
+
+  /** Shannon token entropy per source — the information-density quality
+    * signal data curation ranks corpora by (boilerplate-heavy sources
+    * score low). The cross-row sum is ORDER-DEPENDENT if floated, so
+    * each term is rounded to integer 1e-6 BEFORE the multiply:
+    * term_fp = n_tok · round(1e6 · ln(total/n_tok)) — integer sums are
+    * order-free and engine-identical; the one double division happens
+    * once per source at the end (÷ total ÷ 1e6 ÷ ln 2 → bits). */
+  private val tokenEntropyBySource: Q = (s, dir) => {
+    val counts = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_distinct"))
+    counts.join(broadcast(totals), "source")
+      .withColumn("term_fp",
+        col("n") * round(lit(1e6) * log(col("total") / col("n"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(min(col("total")).as("total_tokens"),
+        min(col("n_distinct")).as("n_distinct"),
+        sum(col("term_fp")).as("sum_term_fp"))
+      .withColumn("entropy_bits",
+        round(col("sum_term_fp") / col("total_tokens") / 1e6 /
+          log(lit(2.0)), 6))
+  }
+
+  private val tokenEntropyBySourceSql =
+    """WITH toks AS (
+      |  SELECT source, w
+      |  FROM (SELECT source, unnest(str_split(text, ' ')) AS w
+      |        FROM documents)
+      |  WHERE w <> ''),
+      |counts AS (SELECT source, w, count(*) AS n FROM toks GROUP BY 1, 2),
+      |totals AS (SELECT source, sum(n) AS total, count(*) AS n_distinct
+      |           FROM counts GROUP BY 1),
+      |terms AS (
+      |  SELECT c.source, t.total, t.n_distinct,
+      |         c.n * CAST(round(1e6 * ln(CAST(t.total AS DOUBLE) / c.n))
+      |                    AS BIGINT) AS term_fp
+      |  FROM counts c JOIN totals t ON c.source = t.source)
+      |SELECT source, CAST(min(total) AS BIGINT) AS total_tokens,
+      |       CAST(min(n_distinct) AS BIGINT) AS n_distinct,
+      |       CAST(sum(term_fp) AS BIGINT) AS sum_term_fp,
+      |       round(CAST(sum(term_fp) AS BIGINT) / CAST(min(total) AS BIGINT)
+      |             / 1e6 / ln(2.0), 6) AS entropy_bits
+      |FROM terms GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "wow_change"           -> wowChange,
+    "token_entropy_by_source" -> tokenEntropyBySource,
     "twap_user_day"        -> twapUserDay,
     "session_ids_gap"      -> sessionIdsGap,
     "assoc_rules"          -> assocRules,
@@ -586,6 +671,8 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "wow_change"           -> wowChangeSql,
+    "token_entropy_by_source" -> tokenEntropyBySourceSql,
     "twap_user_day"        -> twapUserDaySql,
     "session_ids_gap"      -> sessionIdsGapSql,
     "assoc_rules"          -> assocRulesSql,

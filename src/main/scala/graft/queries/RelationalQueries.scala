@@ -1321,6 +1321,68 @@ object RelationalQueries {
         coalesce(col("d"), lit(-1L)).as("hops"))
   }
 
+  /** Weighted single-source shortest paths (Bellman–Ford) over the same
+    * top-5 affinity graph as `supplier_hops`, with an affinity-derived
+    * integer distance per edge — w = ceil(1000 / c): stronger co-supply
+    * is closer, so a 2-hop strong path can beat a 1-hop weak edge (the
+    * case hop-BFS cannot express; the weighted completion of the graph
+    * suite). Integer weights make the fixpoint test and the oracle
+    * replay exact; 12 unrolled MATERIALIZED rounds in the oracle are
+    * sound by fixpoint idempotence (the Bfs/KCore convention). */
+  private val supplierWeightedPaths: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val w = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+    val ew = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("c"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("c")).as("c"))
+      .withColumn("w", expr("(1000 + c - 1) div c"))
+      .select(col("a"), col("b"), col("w"))
+    val seed = Tables.supplier(s, dir)
+      .agg(min(col("s_suppkey"))).head().getLong(0)
+    val dist = graft.operators.WeightedPaths.shortestDistances(
+      ew, seed, maxRounds = 12)
+    Tables.supplier(s, dir)
+      .join(dist, col("s_suppkey") === col("node"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+        coalesce(col("d"), lit(-1L)).as("dist"))
+  }
+
+  private val supplierWeightedPathsSql = {
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, min(d) AS d FROM (
+         |    SELECT node, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, p.d + e.w AS d
+         |    FROM e0 e JOIN d${i - 1} p ON e.a = p.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |w AS (SELECT a.sk AS x, b.sk AS y, count(*) AS c
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.sk <> b.sk GROUP BY 1, 2),
+       |topk AS (SELECT x, y, c FROM (
+       |           SELECT x, y, c, row_number() OVER (
+       |             PARTITION BY x ORDER BY c DESC, y) AS rn FROM w)
+       |         WHERE rn <= 5),
+       |eu AS (SELECT least(x, y) AS a, greatest(x, y) AS b, max(c) AS c
+       |       FROM topk GROUP BY 1, 2),
+       |ewu AS (SELECT a, b, (1000 + c - 1) // c AS w FROM eu),
+       |e0 AS MATERIALIZED (SELECT a, b, w FROM ewu
+       |                    UNION ALL SELECT b, a, w FROM ewu),
+       |d0 AS (SELECT (SELECT min(s_suppkey) FROM supplier) AS node, 0 AS d),
+       |${(1 to 12).map(round).mkString(",\n")}
+       |SELECT s_suppkey, s_name,
+       |       CAST(coalesce(dd.d, -1) AS BIGINT) AS dist
+       |FROM supplier LEFT JOIN d12 dd ON dd.node = s_suppkey""".stripMargin
+  }
+
   private val supplierHopsSql = {
     def round(i: Int) =
       s"""d$i AS MATERIALIZED (
@@ -1387,6 +1449,7 @@ object RelationalQueries {
     "supplier_triangles"  -> supplierTriangles,
     "supplier_kcore"      -> supplierKcore,
     "supplier_hops"       -> supplierHops,
+    "supplier_weighted_paths" -> supplierWeightedPaths,
     "q1_agg"              -> q1Agg,
     "q3_topk_revenue"     -> q3TopkRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -1432,6 +1495,7 @@ object RelationalQueries {
     "supplier_triangles"  -> supplierTrianglesSql,
     "supplier_kcore"      -> supplierKcoreSql,
     "supplier_hops"       -> supplierHopsSql,
+    "supplier_weighted_paths" -> supplierWeightedPathsSql,
     "q1_agg"              -> q1AggSql,
     "q3_topk_revenue"     -> q3TopkRevenueSql,
     "q5_local_supplier_volume" -> q5LocalSupplierVolumeSql,
