@@ -377,7 +377,11 @@ class PlanAuditSpec extends SparkSpec {
       "dsir_importance", "knn_ivf_recall", "knn_ivf_trained",
       "ngram_lm_score", "profile_columns", "supplier_triangles",
       "variant_nested_extract", "streaming_cdc_upsert", "table_checksum",
-      "resample_ffill")
+      "resample_ffill",
+      // round-8 additions measuring >1 s from birth (r8 sweep + solo runs)
+      "merkle_bucket_diff", "prefix_filter_jaccard", "sparse_cosine_pairs",
+      "equi_depth_histogram", "streaming_funnel", "mad_outliers",
+      "supplier_weighted_paths", "assoc_rules")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
