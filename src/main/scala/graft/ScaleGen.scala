@@ -5,11 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic N× corpus synthesizer for local scale testing.
   *
-  * `runMain graft.ScaleGen <srcSfDir> <outDir> [copies=10]` unions
-  * `copies` shifted replicas of `documents` and `embeddings` (the tables
-  * the heavy dedup/ANN/packing paths consume) and copies the remaining
-  * star-schema tables verbatim, producing a directory Verify/Bench can
-  * consume via `SPARK_GRAFT_SF_DIR`.
+  * `runMain graft.ScaleGen <srcSfDir> <outDir> [copies=10] [tables]`
+  * unions `copies` shifted replicas of `documents`, `embeddings`,
+  * `events`, `lineitem` and `orders` (the tables the heavy paths
+  * consume) and copies the remaining star tables verbatim, producing a
+  * directory Verify/Bench can consume via `SPARK_GRAFT_SF_DIR`. The
+  * optional `tables` comma-list restricts replication (excluded tables
+  * copy verbatim) — e.g. a 1000× documents+embeddings corpus without
+  * paying for 1000× lineitem. Do NOT compose runs (10× of 10×): the
+  * per-replica id shifts add rather than compose, colliding key ranges —
+  * always generate each factor directly from the source dir.
   *
   * Replica construction is chosen so the WORKLOAD SHAPE scales, not just
   * the row count:

@@ -381,7 +381,9 @@ class PlanAuditSpec extends SparkSpec {
       // round-8 additions measuring >1 s from birth (r8 sweep + solo runs)
       "merkle_bucket_diff", "prefix_filter_jaccard", "sparse_cosine_pairs",
       "equi_depth_histogram", "streaming_funnel", "mad_outliers",
-      "supplier_weighted_paths", "assoc_rules")
+      "supplier_weighted_paths", "assoc_rules",
+      // crossed 1 s in the r8 216-query sweep (boundary drift)
+      "pipeline_end_to_end")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
