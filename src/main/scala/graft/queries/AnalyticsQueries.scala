@@ -656,7 +656,176 @@ object AnalyticsQueries {
       |             / 1e6 / ln(2.0), 6) AS entropy_bits
       |FROM terms GROUP BY 1""".stripMargin
 
+  /** Population Stability Index — the ML-ops drift metric between the
+    * first and second time halves of each type's value distribution.
+    * Bucket boundaries come from the mergeable bottom-k sketch of the
+    * FIRST half (the reference window, per PSI convention; deterministic
+    * order statistics → oracle-replayable), counts per bucket per half
+    * are exact with +1 Laplace smoothing (PSI is undefined on empty
+    * buckets), and each PSI term (p−q)·ln(p/q) is rounded to integer
+    * 1e-6 BEFORE the sum (the `token_entropy_by_source` trick — float
+    * sums are order-dependent, integer sums are not). The ln argument is
+    * the exact integer cross-ratio (na·tb)/(nb·ta), products < 2⁵³ so
+    * both engines see identical doubles. */
+  private val psiDrift: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val k = 128
+    val nB = 8
+    val ev = Tables.events(s, dir).select(col("event_type").as("g"),
+      col("event_id"), unix_micros(col("ts")).as("us"),
+      conv(substring(md5(concat(lit("psi_"), col("event_id"))), 1, 15),
+        16, 10).cast("long").as("h"),
+      round(col("value") * 100).cast("long").as("v")).localCheckpoint()
+    val mid = ev.agg(expr("min(us) + (max(us) - min(us)) div 2")
+      .cast("long")).head().getLong(0)
+    val first = ev.filter(col("us") <= mid)
+    val sk = QuantileSketch.sketch(first, col("g"), col("h"), col("v"), k)
+    val qs = (1 until nB).map(_.toDouble / nB) // dyadic: exact doubles
+    val bounds = QuantileSketch.quantiles(sk, qs)
+      .groupBy(col("scope").as("g"))
+      .agg(sort_array(collect_list(col("est"))).as("bs"))
+    val bucketed = ev.join(broadcast(bounds), "g")
+      .withColumn("bucket",
+        size(filter(col("bs"), b => b <= col("v"))).cast("long"))
+      .withColumn("half", when(col("us") <= mid, "a").otherwise("b"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(count_if(col("half") === "a").as("na0"),
+        count_if(col("half") === "b").as("nb0"))
+      // +1 Laplace smoothing per bucket (documented; empty buckets would
+      // make ln(p/q) undefined)
+      .select(col("g"), col("bucket"),
+        (col("na0") + 1).as("na"), (col("nb0") + 1).as("nb"))
+    val totals = bucketed.groupBy(col("g"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+    bucketed.join(broadcast(totals), "g")
+      .withColumn("term_fp",
+        round(lit(1e6) *
+          (col("na") / col("ta") - col("nb") / col("tb")) *
+          log((col("na") * col("tb")) / (col("nb") * col("ta"))))
+          .cast("long"))
+      .groupBy(col("g"))
+      .agg(min(col("ta")).as("total_a"), min(col("tb")).as("total_b"),
+        sum(col("term_fp")).as("psi_fp"))
+      .select(col("g").as("event_type"), col("total_a"), col("total_b"),
+        col("psi_fp"))
+  }
+
+  private val psiDriftSql = {
+    val qsVals = (1 until 8).map(i => s"(${i.toDouble / 8})").mkString(",")
+    s"""WITH ev AS (
+       |  SELECT event_type AS g, event_id,
+       |         epoch_us(date_trunc('microseconds', ts)) AS us,
+       |         CAST(('0x' || substring(md5('psi_' ||
+       |              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+       |         CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events),
+       |mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS t FROM ev),
+       |sk AS (SELECT g, h, v FROM (
+       |         SELECT e.g, e.h, e.v, row_number() OVER (
+       |           PARTITION BY e.g ORDER BY e.h, e.v) AS rk
+       |         FROM ev e CROSS JOIN mid WHERE e.us <= mid.t)
+       |       WHERE rk <= 128),
+       |qs(q) AS (VALUES $qsVals),
+       |bounds AS (
+       |  SELECT t.g, t.v AS b FROM (
+       |    SELECT g, v, h, row_number() OVER (
+       |        PARTITION BY g ORDER BY v, h) AS rk,
+       |      count(*) OVER (PARTITION BY g) AS n
+       |    FROM sk) t, qs
+       |  WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT)),
+       |assigned AS (
+       |  SELECT e.g,
+       |         (SELECT count(*) FROM bounds bb
+       |          WHERE bb.g = e.g AND bb.b <= e.v) AS bucket,
+       |         CASE WHEN e.us <= mid.t THEN 'a' ELSE 'b' END AS half
+       |  FROM ev e CROSS JOIN mid),
+       |counts AS (
+       |  SELECT g, bucket,
+       |         sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) + 1 AS na,
+       |         sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) + 1 AS nb
+       |  FROM assigned GROUP BY 1, 2),
+       |totals AS (SELECT g, sum(na) AS ta, sum(nb) AS tb
+       |           FROM counts GROUP BY 1),
+       |terms AS (
+       |  SELECT c.g, t.ta, t.tb,
+       |         CAST(round(1e6 *
+       |           (CAST(c.na AS DOUBLE) / t.ta - CAST(c.nb AS DOUBLE) / t.tb)
+       |           * ln(CAST(c.na * t.tb AS DOUBLE) / (c.nb * t.ta)))
+       |           AS BIGINT) AS term_fp
+       |  FROM counts c JOIN totals t ON c.g = t.g)
+       |SELECT g AS event_type, CAST(min(ta) AS BIGINT) AS total_a,
+       |       CAST(min(tb) AS BIGINT) AS total_b,
+       |       CAST(sum(term_fp) AS BIGINT) AS psi_fp
+       |FROM terms GROUP BY 1""".stripMargin
+  }
+
+  /** Two-proportion A/B z-score — the experimentation-platform readout:
+    * users assign to variants by a deterministic split hash (never by
+    * id parity — correlated with enrollment order), conversion = heavy
+    * purchaser (> 13 purchases — the fixture gives every user ~13, so
+    * "any purchase" is a degenerate p̂ = 1 that zeroes the pooled
+    * variance; caught live as an ANSI divide-by-zero), and the pooled z
+    * statistic is one double chain over four exact integers, 6-dp
+    * rounded. Single-row result. */
+  private val abTestZscore: Q = (s, dir) => {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(when(count_if(col("event_type") === "purchase") > 13, 1L)
+        .otherwise(0L).as("converted"))
+      .withColumn("variant",
+        when(pmod(conv(substring(md5(concat(lit("ab_"), col("user_id"))),
+          1, 15), 16, 10).cast("long"), lit(2L)) === 0, "a").otherwise("b"))
+    users.groupBy()
+      .agg(
+        count_if(col("variant") === "a").as("n_a"),
+        sum(when(col("variant") === "a", col("converted"))
+          .otherwise(0L)).as("conv_a"),
+        count_if(col("variant") === "b").as("n_b"),
+        sum(when(col("variant") === "b", col("converted"))
+          .otherwise(0L)).as("conv_b"))
+      .withColumn("z6", round(
+        (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) /
+          sqrt((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b")) *
+            (lit(1.0) - (col("conv_a") + col("conv_b")) /
+              (col("n_a") + col("n_b"))) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+  }
+
+  private val abTestZscoreSql =
+    """WITH users AS (
+      |  SELECT user_id,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                        THEN 1 ELSE 0 END) > 13
+      |              THEN 1 ELSE 0 END AS converted,
+      |         CASE WHEN CAST(('0x' || substring(md5('ab_' ||
+      |                CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |              THEN 'a' ELSE 'b' END AS variant
+      |  FROM events GROUP BY user_id)
+      |SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_a,
+      |       CAST(sum(CASE WHEN variant = 'a' THEN converted ELSE 0 END)
+      |         AS BIGINT) AS conv_a,
+      |       CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_b,
+      |       CAST(sum(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
+      |         AS BIGINT) AS conv_b,
+      |       round(
+      |         (CAST(sum(CASE WHEN variant = 'a' THEN converted ELSE 0 END)
+      |               AS DOUBLE)
+      |            / sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+      |          - CAST(sum(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
+      |                 AS DOUBLE)
+      |            / sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)) /
+      |         sqrt(CAST(sum(converted) AS DOUBLE) / count(*) *
+      |              (1.0 - CAST(sum(converted) AS DOUBLE) / count(*)) *
+      |              (1.0 / sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+      |               + 1.0 / sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)))
+      |         , 6) AS z6
+      |FROM users""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "psi_drift"            -> psiDrift,
+    "ab_test_zscore"       -> abTestZscore,
     "wow_change"           -> wowChange,
     "token_entropy_by_source" -> tokenEntropyBySource,
     "twap_user_day"        -> twapUserDay,
@@ -671,6 +840,8 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "psi_drift"            -> psiDriftSql,
+    "ab_test_zscore"       -> abTestZscoreSql,
     "wow_change"           -> wowChangeSql,
     "token_entropy_by_source" -> tokenEntropyBySourceSql,
     "twap_user_day"        -> twapUserDaySql,
