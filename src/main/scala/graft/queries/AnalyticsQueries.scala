@@ -823,7 +823,99 @@ object AnalyticsQueries {
       |         , 6) AS z6
       |FROM users""".stripMargin
 
+  /** Distribution window functions — ntile / percent_rank / cume_dist,
+    * the ranking family `window_rank_orders` doesn't cover: quartile
+    * assignment and the two rational-rank statistics per type partition.
+    * percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are ratios of
+    * small exact integers — identical doubles in both engines, no
+    * rounding needed (pinned at 6 dp anyway for hygiene). */
+  private val windowDistributionFuncs: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+  }
+
+  private val windowDistributionFuncsSql =
+    """SELECT event_type, event_id,
+      |       CAST(round(value * 100) AS BIGINT) AS v,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank,
+      |       round(cume_dist() OVER w, 6) AS cume
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type
+      |             ORDER BY CAST(round(value * 100) AS BIGINT), event_id)""".stripMargin
+
+  /** Quantile normalization — map every source's length distribution
+    * onto the GLOBAL distribution (the batch-effect correction
+    * bioinformatics and data-mix balancing use): the target is the
+    * global bottom-k sketch (k = 256 — broadcast, never a global sort);
+    * each doc's within-source midrank quantile q = (2r−1)/(2n_s) picks
+    * the sketch value at INTEGER-ceiling rank ((2r−1)·k + 2n_s − 1) div
+    * (2n_s) — the whole mapping is integer arithmetic on exact ranks,
+    * bit-replayable. Per-source windows are stratum-bounded; the global
+    * sort the naive form needs never happens. */
+  private val quantileNormalize: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val k = 256
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars"),
+      conv(substring(md5(concat(lit("qn_"), col("doc_id"))), 1, 15),
+        16, 10).cast("long").as("h"))
+    // sort INSIDE the collected array (collect_list order is not
+    // guaranteed by an upstream orderBy): value-ascending, hash tiebreak
+    // — the oracle's ORDER BY v, h
+    val sk = QuantileSketch.sketch(
+        docs.withColumn("g", lit("ALL")), col("g"), col("h"), col("n_chars"), k)
+      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
+        " x -> x._qk_v)").as("target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    docs
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source")))
+        .cast("long"))
+      .crossJoin(broadcast(sk))
+      .withColumn("t_rank",
+        expr(s"((2 * r - 1) * $k + 2 * ns - 1) div (2 * ns)"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr("element_at(target, cast(t_rank as int))").as("norm_chars"))
+  }
+
+  private val quantileNormalizeSql = {
+    val k = 256
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars,
+       |         CAST(('0x' || substring(md5('qn_' ||
+       |              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents),
+       |sk AS (SELECT h, n_chars AS v FROM (
+       |         SELECT h, n_chars, row_number() OVER (
+       |           ORDER BY h, n_chars) AS rk
+       |         FROM docs) WHERE rk <= $k),
+       |target AS (SELECT v, row_number() OVER (ORDER BY v, h) AS tr
+       |           FROM sk),
+       |ranked AS (
+       |  SELECT doc_id, source, n_chars,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY n_chars, doc_id) AS r,
+       |         count(*) OVER (PARTITION BY source) AS ns
+       |  FROM docs)
+       |SELECT rk.doc_id, rk.source, rk.n_chars, t.v AS norm_chars
+       |FROM ranked rk
+       |JOIN target t
+       |  ON t.tr = ((2 * rk.r - 1) * $k + 2 * rk.ns - 1) // (2 * rk.ns)""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+    "window_distribution_funcs" -> windowDistributionFuncs,
+    "quantile_normalize"   -> quantileNormalize,
     "psi_drift"            -> psiDrift,
     "ab_test_zscore"       -> abTestZscore,
     "wow_change"           -> wowChange,
@@ -840,6 +932,8 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "window_distribution_funcs" -> windowDistributionFuncsSql,
+    "quantile_normalize"   -> quantileNormalizeSql,
     "psi_drift"            -> psiDriftSql,
     "ab_test_zscore"       -> abTestZscoreSql,
     "wow_change"           -> wowChangeSql,
