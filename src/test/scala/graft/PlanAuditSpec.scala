@@ -383,7 +383,9 @@ class PlanAuditSpec extends SparkSpec {
       "equi_depth_histogram", "streaming_funnel", "mad_outliers",
       "supplier_weighted_paths", "assoc_rules",
       // crossed 1 s in the r8 216-query sweep (boundary drift)
-      "pipeline_end_to_end")
+      "pipeline_end_to_end",
+      // r8 final-sweep addition (sketch + two exact bucket passes)
+      "psi_drift")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
