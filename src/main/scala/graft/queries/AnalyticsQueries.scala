@@ -913,7 +913,95 @@ object AnalyticsQueries {
        |  ON t.tr = ((2 * rk.r - 1) * $k + 2 * rk.ns - 1) // (2 * rk.ns)""".stripMargin
   }
 
+  /** Analytics pipeline composition — the third end-to-end gate (next to
+    * `pipeline_end_to_end` and `pipeline_streaming_ingest`), chaining
+    * three gated operator families as ONE query: gap sessionization
+    * (`session_ids_gap`'s machinery) → ORDERED funnel within each
+    * session (`funnel_conversion`'s conditional-min chain, scoped to the
+    * (user, session) key) → per-cohort conversion rollup (cohort = the
+    * user's first-seen epoch-week index, integer µs div — the
+    * `cohort_retention` shape). Session-converted = the session contains
+    * view → click → purchase IN ORDER. All stages integer; the share is
+    * 1e-6 floor division. Scale shape: one per-user window, then every
+    * relation is (user, session)- or user-cardinality. */
+  private val pipelineSessionsFunnel: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("is_break",
+        (col("us") - lag(col("us"), 1).over(w) > 1800000000L).cast("long"))
+      .withColumn("sidx", sum(coalesce(col("is_break"), lit(0L))).over(wRun))
+      .localCheckpoint()
+    val key = Seq("user_id", "sidx")
+    val t1 = sess.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t1"))
+    val t2 = sess.filter(col("event_type") === "click")
+      .join(t1, key).filter(col("us") > col("t1"))
+      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t2"))
+    val t3 = sess.filter(col("event_type") === "purchase")
+      .join(t2, key).filter(col("us") > col("t2"))
+      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t3"))
+    val sessions = sess.groupBy(col("user_id"), col("sidx"))
+      .agg(count(lit(1)).as("n_events"))
+    val cohort = sess.groupBy(col("user_id"))
+      .agg(expr("min(us) div 604800000000").as("cohort_week"))
+    sessions
+      .join(t3.select(col("user_id"), col("sidx"), lit(1L).as("conv")),
+        key, "left")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_conv"))
+      .withColumn("conv_fp", expr("1000000 * n_conv div n_sessions"))
+  }
+
+  private val pipelineSessionsFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(date_trunc('microseconds', ts)) AS us
+      |  FROM events),
+      |marked AS (
+      |  SELECT *, CASE WHEN us - lag(us, 1) OVER w > 1800000000
+      |                 THEN 1 ELSE 0 END AS is_break
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |         sum(is_break) OVER (
+      |           PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS sidx
+      |  FROM marked),
+      |t1 AS (SELECT user_id, sidx, min(us) AS t1 FROM sess
+      |       WHERE event_type = 'view' GROUP BY 1, 2),
+      |t2 AS (SELECT s.user_id, s.sidx, min(s.us) AS t2
+      |       FROM sess s JOIN t1
+      |         ON s.user_id = t1.user_id AND s.sidx = t1.sidx
+      |        AND s.us > t1.t1
+      |       WHERE s.event_type = 'click' GROUP BY 1, 2),
+      |t3 AS (SELECT s.user_id, s.sidx, min(s.us) AS t3
+      |       FROM sess s JOIN t2
+      |         ON s.user_id = t2.user_id AND s.sidx = t2.sidx
+      |        AND s.us > t2.t2
+      |       WHERE s.event_type = 'purchase' GROUP BY 1, 2),
+      |sessions AS (SELECT user_id, sidx, count(*) AS n_events
+      |             FROM sess GROUP BY 1, 2),
+      |cohort AS (SELECT user_id, min(us) // 604800000000 AS cohort_week
+      |           FROM sess GROUP BY 1)
+      |SELECT c.cohort_week, CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_conv,
+      |       CAST(1000000 * sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)
+      |            // count(*) AS BIGINT) AS conv_fp
+      |FROM sessions se
+      |LEFT JOIN t3 ON se.user_id = t3.user_id AND se.sidx = t3.sidx
+      |JOIN cohort c ON se.user_id = c.user_id
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
+    "pipeline_sessions_funnel" -> pipelineSessionsFunnel,
     "window_distribution_funcs" -> windowDistributionFuncs,
     "quantile_normalize"   -> quantileNormalize,
     "psi_drift"            -> psiDrift,
@@ -932,6 +1020,7 @@ object AnalyticsQueries {
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_sessions_funnel" -> pipelineSessionsFunnelSql,
     "window_distribution_funcs" -> windowDistributionFuncsSql,
     "quantile_normalize"   -> quantileNormalizeSql,
     "psi_drift"            -> psiDriftSql,
