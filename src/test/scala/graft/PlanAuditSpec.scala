@@ -384,8 +384,8 @@ class PlanAuditSpec extends SparkSpec {
       "supplier_weighted_paths", "assoc_rules",
       // crossed 1 s in the r8 216-query sweep (boundary drift)
       "pipeline_end_to_end",
-      // r8 final-sweep addition (sketch + two exact bucket passes)
-      "psi_drift")
+      // r8 final-sweep additions (sketch + exact passes; composition)
+      "psi_drift", "pipeline_sessions_funnel")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
