@@ -296,4 +296,89 @@ object EngineProperties extends Properties("engine") {
           .as[(Long, Long, Long)].collect().toSet
       run(banded = true) == run(banded = false)
     }
+
+  // ── round-8 analytics invariants ───────────────────────────────────────
+  // Random small event tables, written through the real parquet path the
+  // gates read (one scratch dir per case — the ops are dir-keyed).
+  private val genEvents: Gen[List[(Long, Long, Long, String, Double)]] =
+    for {
+      n <- Gen.choose(10, 40)
+      rows <- Gen.listOfN(n, for {
+        sec <- Gen.choose(0L, 7200L)
+        user <- Gen.choose(1L, 5L)
+        typ <- Gen.oneOf("view", "click", "purchase", "signup", "error")
+        v <- Gen.choose(0, 50000).map(_ / 100.0)
+      } yield (sec, user, typ, v))
+    } yield rows.zipWithIndex.map { case ((sec, u, t, v), i) =>
+      (i.toLong + 1, sec, u, t, v)
+    }
+
+  private def eventsDir(rows: List[(Long, Long, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prop_ev").toString
+    rows.map { case (id, sec, u, t, v) =>
+      (id, new java.sql.Timestamp(1704067200000L + sec * 1000), u, t, v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  property("funnel step counts are monotonically non-increasing") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      val steps = graft.queries.AnalyticsQueries.all("funnel_conversion")(
+          spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      steps("1_view") >= steps("2_click") &&
+        steps("2_click") >= steps("3_purchase")
+    }
+
+  property("winsorize: bounds bracket the clipped sum, clip counts bounded") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      graft.queries.AnalyticsQueries.all("winsorize_values")(spark, dir)
+        .collect().forall { r =>
+          val (n, lo, hi) = (r.getAs[Long]("n_events"),
+            r.getAs[Long]("lo_fp"), r.getAs[Long]("hi_fp"))
+          val sum = r.getAs[Long]("sum_wins_fp")
+          lo <= hi && sum >= n * lo && sum <= n * hi &&
+            r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <= n
+        }
+    }
+
+  property("session ids tile the event stream per user") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      val out = graft.queries.AnalyticsQueries.all("session_ids_gap")(
+        spark, dir).collect()
+      val perUser = out.groupBy(_.getAs[Long]("user_id"))
+      val totalEvents = out.map(_.getAs[Long]("n_events")).sum
+      totalEvents == rows.size &&
+        perUser.values.forall { ss =>
+          val idxs = ss.map(_.getAs[Long]("session_idx")).sorted
+          idxs.head == 0 && idxs.last == idxs.size - 1 && // dense 0..k
+            ss.forall(_.getAs[Long]("duration_us") >= 0)
+        }
+    }
+
+  property("TWAP lies within each user-day's value range") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      val byDayUser = rows.groupBy(r => r._3) // all events same day here
+      graft.queries.AnalyticsQueries.all("twap_user_day")(spark, dir)
+        .collect().forall { r =>
+          val vs = byDayUser(r.getAs[Long]("user_id")).map(_._5)
+          val twap = r.getAs[Double]("twap")
+          twap >= vs.min - 0.01 && twap <= vs.max + 0.01
+        }
+    }
+
+  property("CUSUM statistic is non-negative, crossings bounded by length") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      graft.queries.AnalyticsQueries.all("cusum_changepoint")(spark, dir)
+        .collect().forall { r =>
+          r.getAs[Long]("max_cusum_fp") >= 0 &&
+            r.getAs[Long]("n_over") <= r.getAs[Long]("n_events")
+        }
+    }
 }
