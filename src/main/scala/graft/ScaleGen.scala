@@ -109,7 +109,15 @@ object ScaleGen {
     // (e.g. "documents,embeddings" for a 1000x corpus without paying for
     // 1000x lineitem); unreplicated star tables always copy verbatim.
     val wanted: String => Boolean = if (args.length > 3) {
-      val s = args(3).split(",").map(_.trim).toSet; s
+      val s = args(3).split(",").map(_.trim).toSet
+      // lineitem and orders shift their join keys in lockstep (k*1e9 on
+      // both orderkeys); replicating one without the other would leave
+      // every k>0 replica's foreign keys dangling, so the pair must be
+      // replicated as a unit.
+      require(s.contains("lineitem") == s.contains("orders"),
+        s"tables=$s replicates one of lineitem/orders without the other; " +
+          "their orderkeys shift together — include both or neither")
+      s
     } else _ => true
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

@@ -28,22 +28,26 @@ object KmvSketch {
   /** The 40-bit hash domain size (md5-prefix convention, DedupOps). */
   val Space: Double = 1099511627776.0 // 2^40
 
-  /** Per-group sketch rows (group, h, rnk ≤ k) from a distinct
-    * (group, h) relation. */
+  /** Per-group sketch rows (group, h) — the k smallest hashes per group
+    * from a distinct (group, h) relation. The rank is a filter-internal
+    * detail, not part of the sketch schema (h-ascending order recovers
+    * it whenever needed). */
   def sketch(hashed: DataFrame, groupCol: Column, hCol: Column, k: Int): DataFrame =
     hashed.select(groupCol.as("_kmv_g"), hCol.as("_kmv_h"))
       .withColumn("_kmv_r", row_number().over(
         Window.partitionBy(col("_kmv_g")).orderBy(col("_kmv_h"))))
       .filter(col("_kmv_r") <= k)
+      .drop("_kmv_r")
 
   /** Merge sketch rows into ONE sketch under a new group label: union →
-    * dedup hashes → keep the k smallest. Input is sketch rows only
-    * (n_groups × k), so the single-partition window is driver-scale. */
+    * dedup hashes → keep the k smallest. Global top-k as orderBy + limit
+    * → TakeOrderedAndProject (per-partition k, then one k-row
+    * reduction), NOT a single-partition global-sort window. */
   def merge(sketchRows: DataFrame, label: String, k: Int): DataFrame =
     sketchRows.select(col("_kmv_h")).distinct()
-      .withColumn("_kmv_r", row_number().over(Window.orderBy(col("_kmv_h"))))
-      .filter(col("_kmv_r") <= k)
-      .select(lit(label).as("_kmv_g"), col("_kmv_h"), col("_kmv_r"))
+      .orderBy(col("_kmv_h"))
+      .limit(k)
+      .select(lit(label).as("_kmv_g"), col("_kmv_h"))
 
   /** All-pairs INTERSECTION estimates from sketch rows only — the
     * warehouse "overlap between any two sources" matrix computed without

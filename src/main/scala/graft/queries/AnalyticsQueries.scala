@@ -870,8 +870,13 @@ object AnalyticsQueries {
     // sort INSIDE the collected array (collect_list order is not
     // guaranteed by an upstream orderBy): value-ascending, hash tiebreak
     // — the oracle's ORDER BY v, h
-    val sk = QuantileSketch.sketch(
-        docs.withColumn("g", lit("ALL")), col("g"), col("h"), col("n_chars"), k)
+    // global sketch = merge of per-source sketches (closed under merge,
+    // QuantileSketchSpec): per-source window then TakeOrderedAndProject —
+    // a constant-group sketch would constant-fold into a partition-less
+    // Window (all rows to one partition)
+    val sk = QuantileSketch.merge(
+        QuantileSketch.sketch(docs, col("source"), col("h"), col("n_chars"), k),
+        "ALL", k)
       .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
         " x -> x._qk_v)").as("target"))
     val w = org.apache.spark.sql.expressions.Window
@@ -883,7 +888,10 @@ object AnalyticsQueries {
         .cast("long"))
       .crossJoin(broadcast(sk))
       .withColumn("t_rank",
-        expr(s"((2 * r - 1) * $k + 2 * ns - 1) div (2 * ns)"))
+        // clamp to the sketch's actual size: on a corpus with fewer than
+        // k rows the formula's upper end would index past the array
+        expr(s"least(((2 * r - 1) * $k + 2 * ns - 1) div (2 * ns)," +
+          " cast(size(target) as bigint))"))
       .select(col("doc_id"), col("source"), col("n_chars"),
         expr("element_at(target, cast(t_rank as int))").as("norm_chars"))
   }
@@ -910,7 +918,9 @@ object AnalyticsQueries {
        |SELECT rk.doc_id, rk.source, rk.n_chars, t.v AS norm_chars
        |FROM ranked rk
        |JOIN target t
-       |  ON t.tr = ((2 * rk.r - 1) * $k + 2 * rk.ns - 1) // (2 * rk.ns)""".stripMargin
+       |  ON t.tr = LEAST(
+       |       ((2 * rk.r - 1) * $k + 2 * rk.ns - 1) // (2 * rk.ns),
+       |       (SELECT count(*) FROM sk))""".stripMargin
   }
 
   /** Analytics pipeline composition — the third end-to-end gate (next to

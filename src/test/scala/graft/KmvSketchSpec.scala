@@ -14,11 +14,26 @@ class KmvSketchSpec extends SparkSpec {
     val k = 4
     val sk = KmvSketch.sketch(hashed, $"g", $"h", k)
     val merged = KmvSketch.merge(sk, "ALL", k)
-      .select($"_kmv_h", $"_kmv_r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      .select($"_kmv_h").as[Long].collect().toSet
     val direct = KmvSketch.sketch(hashed.select(lit("ALL").as("g"), $"h").distinct(),
         $"g", $"h", k)
-      .select($"_kmv_h", $"_kmv_r").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(merged == direct && merged == Set((10L, 1), (20L, 2), (30L, 3), (40L, 4)))
+      .select($"_kmv_h").as[Long].collect().toSet
+    assert(merged == direct && merged == Set(10L, 20L, 30L, 40L))
+  }
+
+  test("merge plans as TakeOrderedAndProject, never a partition-less Window") {
+    val hashed = (1 to 100).map(i => ("g" + (i % 3), i * 7919L)).toDF("g", "h")
+    val exec = KmvSketch.merge(KmvSketch.sketch(hashed, $"g", $"h", 8), "ALL", 8)
+      .queryExecution.executedPlan
+    val plan = exec.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k should be TakeOrderedAndProject:\n$plan")
+    val partitionless = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(partitionless.isEmpty,
+      s"merge introduced a partition-less Window:\n$plan")
   }
 
   test("estimate: unsaturated sketch is exact; saturated uses (k-1)*2^40/h_k") {

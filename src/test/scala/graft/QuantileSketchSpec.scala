@@ -39,13 +39,18 @@ class QuantileSketchSpec extends SparkSpec {
     val k = 16
     val df = rows("a", 200, 1).toDF("g", "h", "v")
     val sk = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
-    val plan = QuantileSketch.merge(sk, "ALL", k)
-      .queryExecution.executedPlan.toString
+    val exec = QuantileSketch.merge(sk, "ALL", k).queryExecution.executedPlan
+    val plan = exec.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k should be TakeOrderedAndProject:\n$plan")
     // the sketch phase's Window is group-partitioned; merge must add no
-    // single-partition global-sort Window
-    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+    // single-partition global-sort Window. Walk the physical tree and
+    // require every WindowExec to carry a non-empty PARTITION BY.
+    val partitionless = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(partitionless.isEmpty,
       s"merge introduced a partition-less Window:\n$plan")
   }
 
