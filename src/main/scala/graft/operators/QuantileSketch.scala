@@ -52,6 +52,72 @@ object QuantileSketch {
       .filter(col("_qk_r") <= k)
       .drop("_qk_r")
 
+  /** Single-group sketch DIRECTLY from the raw relation: the global
+    * bottom-k as orderBy + limit → TakeOrderedAndProject (per-partition
+    * bottom-k on the map side, then one k-row reduction at the driver) —
+    * no window, no shuffle of raw rows. Bit-identical to
+    * `sketch` + `merge` over any partitioning (bottom-k is closed under
+    * merge). Use this instead of `sketch` with a constant group column:
+    * the constant partition key constant-folds into a PARTITION-LESS
+    * window that drags the whole relation through one partition. */
+  def sketchGlobal(rows: DataFrame, hashCol: Column, valueCol: Column,
+                   label: String, k: Int): DataFrame =
+    rows.select(hashCol.as("_qk_h"), valueCol.as("_qk_v"))
+      .orderBy(col("_qk_h"), col("_qk_v"))
+      .limit(k)
+      .select(lit(label).as("_qk_g"), col("_qk_h"), col("_qk_v"))
+
+  /** Per-group sketch for LOW-cardinality group columns (the shape where
+    * `sketch`'s group-partitioned window degenerates to a handful of
+    * full-group total sorts): count per group (map-side combinable) →
+    * keep only rows whose 60-bit hash falls under `margin`·k/n_g of the
+    * hash space (an exact decimal(38,0) threshold, so the oracle-visible
+    * RESULT never depends on it) → exact bottom-k window over the ~k·margin
+    * survivors per group. Two streaming scans + a driver-scale sort
+    * replace the per-group total sort — the plan that holds at 100 TB
+    * with 5 groups. The thin filter under-collecting is ~e^(−k)-improbable
+    * but is still guarded LOUDLY: an `assert_true` folded into the output
+    * hash column (so pruning can't drop it) fires if any sketch ends up
+    * smaller than min(k, n_g), naming this method and the fix. Result is
+    * bit-identical to `sketch` on the same input. */
+  def sketchThinned(rows: DataFrame, groupCol: Column, hashCol: Column,
+                    valueCol: Column, k: Int, margin: Int = 8): DataFrame = {
+    val tagged = rows.select(
+      groupCol.as("_qk_g"), hashCol.as("_qk_h"), valueCol.as("_qk_v"))
+    val counts = tagged.groupBy(col("_qk_g"))
+      .agg(count(lit(1)).as("_qk_n"))
+    val keep = k.toLong * margin
+    val thinned = tagged.join(broadcast(counts), "_qk_g")
+      .filter(col("_qk_n") <= keep ||
+        // h ≤ 2^60 · keep / n_g, carried out in exact decimal(38,0)
+        col("_qk_h") <= expr(
+          s"cast(1152921504606846976 as decimal(38,0)) * $keep div _qk_n"))
+    val sk = thinned
+      .withColumn("_qk_r", row_number().over(
+        Window.partitionBy(col("_qk_g")).orderBy(col("_qk_h"), col("_qk_v"))))
+      .filter(col("_qk_r") <= k)
+      .select(col("_qk_g"), col("_qk_h"), col("_qk_v"))
+    // Guard keyed on the COUNTS relation (the authoritative group list),
+    // not on sketch rows — a totally starved group leaves no sketch row
+    // to carry an assert, so the assert rides the guard's join key: it
+    // evaluates for every group when the broadcast build side
+    // materializes, throwing even when the group's sketch came out empty.
+    val guard = counts
+      .join(sk.groupBy(col("_qk_g")).agg(count(lit(1)).as("_qk_sz")),
+        Seq("_qk_g"), "left")
+      .select(when(
+          coalesce(col("_qk_sz"), lit(0L)) ===
+            least(lit(k.toLong), col("_qk_n")),
+          col("_qk_g"))
+        // NullType: coerces to the group type, throws whenever evaluated
+        .otherwise(assert_true(lit(false),
+          lit("QuantileSketch.sketchThinned: thin filter starved a group's " +
+            "sketch below min(k, n) — raise `margin`")))
+        .as("_qk_gok"))
+    sk.join(broadcast(guard), col("_qk_g") === col("_qk_gok"))
+      .select(col("_qk_g"), col("_qk_h"), col("_qk_v"))
+  }
+
   /** Merge sketch rows into ONE sketch under a new label: union → keep
     * the k smallest hashes (value tie-break, as in `sketch`). Identical
     * to sketching the concatenated population (hash order is global), so
@@ -66,20 +132,22 @@ object QuantileSketch {
       .select(lit(label).as("_qk_g"), col("_qk_h"), col("_qk_v"))
 
   /** (scope, q, est) for each requested quantile from sketch rows only:
-    * est = the sketch value at ascending value-rank ceil(q·n). Ranks are
-    * integer arithmetic; ties in value order are harmless (any total
-    * order over equal values selects the same value). */
+    * est = the sketch value at ascending value-rank ceil(q·n) (hash
+    * tie-break, as everywhere in the sketch). A sketch holds ≤ k rows
+    * per group, so ranks come from one hash-agg packing each group into
+    * a (v, h)-sorted array and integer element_at picks — no window at
+    * all (a window's partition key would constant-fold away for
+    * `sketchGlobal`/`merge` labels, dropping the whole — tiny — relation
+    * into one partition and WARNing on every run). */
   def quantiles(sketchRows: DataFrame, qs: Seq[Double]): DataFrame = {
-    val ranked = sketchRows
-      .withColumn("_qk_r", row_number().over(
-        Window.partitionBy(col("_qk_g")).orderBy(col("_qk_v"), col("_qk_h"))))
-      .withColumn("_qk_n", count(lit(1)).over(Window.partitionBy(col("_qk_g"))))
-    val targets = qs.map(q =>
-      struct(lit(q).as("q"), ceil(lit(q) * col("_qk_n")).as("t")))
-    ranked.select(col("_qk_g"), col("_qk_r"), col("_qk_v"),
-        explode(array(targets: _*)).as("qt"))
-      .filter(col("_qk_r") === col("qt.t"))
-      .select(col("_qk_g").as("scope"), col("qt.q").as("q"),
-        col("_qk_v").as("est"))
+    val packed = sketchRows.groupBy(col("_qk_g"))
+      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
+        " x -> x._qk_v)").as("_qk_vs"))
+    val picks = qs.map(q => struct(lit(q).as("q"),
+      element_at(col("_qk_vs"),
+        ceil(lit(q) * size(col("_qk_vs"))).cast("int")).as("est")))
+    packed.select(col("_qk_g").as("scope"),
+        explode(array(picks: _*)).as("qe"))
+      .select(col("scope"), col("qe.q").as("q"), col("qe.est").as("est"))
   }
 }

@@ -561,13 +561,18 @@ object AdvancedQueries {
   private val equiDepthHistogram: Q = (s, dir) => {
     import graft.operators.QuantileSketch
     val rows = Tables.lineitem(s, dir).select(
-      lit("ALL").as("g"),
       conv(substring(md5(
         concat(col("l_orderkey"), lit("_"), col("l_linenumber"))), 1, 15),
         16, 10).cast("long").as("h"),
       round(col("l_extendedprice") * 100).cast("long").as("v"))
-      .localCheckpoint()
-    val sk = QuantileSketch.sketch(rows, col("g"), col("h"), col("v"), EdhK)
+    // NO checkpoint/cache of the raw relation: the hash is deterministic
+    // md5, so the two consumers re-scan parquet (pushdown-pruned) — at
+    // fact-table size, caching the scan squeezes execution memory for a
+    // recompute that costs less than the cache write
+    // global bottom-k straight off the scan (TakeOrderedAndProject) — a
+    // constant-group sketch() would constant-fold into a partition-less
+    // window dragging all of lineitem through one partition
+    val sk = QuantileSketch.sketchGlobal(rows, col("h"), col("v"), "ALL", EdhK)
     val qs = (1 until EdhB).map(_.toDouble / EdhB) // dyadic: exact doubles
     val bounds = QuantileSketch.quantiles(sk, qs)
       .agg(sort_array(collect_list(col("est"))).as("bs"))

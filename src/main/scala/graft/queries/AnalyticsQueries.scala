@@ -412,6 +412,142 @@ object AnalyticsQueries {
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |GROUP BY 1""".stripMargin
 
+  /** MAD outliers, sketch-rank form — `mad_outliers` without its scale
+    * cliff. The exact gate's median/MAD are per-type TOTAL sorts (rank
+    * (n+1) div 2 over every row); with 5 event types that is 5 partitions
+    * sorting the whole relation — the one measured 100× cliff in the
+    * registry (SCALING.md). Here med/MAD come from the per-type bottom-k
+    * sketch (`QuantileSketch.sketchThinned`: count → hash-threshold thin
+    * → k-row sort; no per-group total sort anywhere), the deviation
+    * median is taken over the SAME k-row uniform sample, and only the
+    * final outlier COUNT — a broadcast join + map-side-combinable
+    * conditional count — touches every row. Exact when a type has ≤ k
+    * events; ~1/√k rank error above. All rank arithmetic is integer on
+    * fixed-point cents, so DuckDB replays the sketch, both rank-picks,
+    * and the count bit-for-bit. */
+  private val MadSkK = 256
+  private val madOutliersSketch: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"),
+      conv(substring(md5(concat(lit("mads_"), col("event_id"))), 1, 15),
+        16, 10).cast("long").as("h"))
+    val sk = QuantileSketch.sketchThinned(
+      ev, col("event_type"), col("h"), col("v"), MadSkK).localCheckpoint()
+    val med = QuantileSketch.quantiles(sk, Seq(0.5))
+      .select(col("scope").as("event_type"), col("est").as("med_fp"))
+    // deviation median over the same k-row sample (sketch rows only)
+    val devSk = sk.join(broadcast(med), col("_qk_g") === col("event_type"))
+      .select(col("_qk_g"), col("_qk_h"),
+        abs(col("_qk_v") - col("med_fp")).as("_qk_v"))
+    val mad = QuantileSketch.quantiles(devSk, Seq(0.5))
+      .select(col("scope").as("event_type"), col("est").as("mad_fp"))
+    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("med_fp")).as("med_fp"), min(col("mad_fp")).as("mad_fp"),
+        count_if(abs(col("v") - col("med_fp")) > col("mad_fp") * 3)
+          .as("n_outliers"))
+  }
+
+  private val madOutliersSketchSql =
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS v,
+      |         CAST(('0x' || substring(md5('mads_' ||
+      |              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |sk AS (SELECT event_type, h, v FROM (
+      |         SELECT event_type, h, v, row_number() OVER (
+      |           PARTITION BY event_type ORDER BY h, v) AS rk
+      |         FROM ev) WHERE rk <= $MadSkK),
+      |medr AS (SELECT event_type, v,
+      |                row_number() OVER (PARTITION BY event_type
+      |                                   ORDER BY v, h) AS rn,
+      |                count(*) OVER (PARTITION BY event_type) AS n
+      |         FROM sk),
+      |med AS (SELECT event_type, v AS med_fp FROM medr
+      |        WHERE rn = (n + 1) // 2),
+      |devr AS (SELECT sk.event_type, abs(sk.v - m.med_fp) AS d, sk.h,
+      |                row_number() OVER (PARTITION BY sk.event_type
+      |                  ORDER BY abs(sk.v - m.med_fp), sk.h) AS rn,
+      |                count(*) OVER (PARTITION BY sk.event_type) AS n
+      |         FROM sk JOIN med m ON sk.event_type = m.event_type),
+      |mad AS (SELECT event_type, d AS mad_fp FROM devr
+      |        WHERE rn = (n + 1) // 2)
+      |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(med.med_fp) AS BIGINT) AS med_fp,
+      |       CAST(min(mad.mad_fp) AS BIGINT) AS mad_fp,
+      |       CAST(sum(CASE WHEN abs(ev.v - med.med_fp) > mad.mad_fp * 3
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM ev
+      |JOIN med ON ev.event_type = med.event_type
+      |JOIN mad ON ev.event_type = mad.event_type
+      |GROUP BY 1""".stripMargin
+
+  /** Distribution buckets, sketch-rank form — `window_distribution_funcs`
+    * without its scale cliff. ntile/percent_rank need each row's EXACT
+    * rank, which forces a per-type total sort (5 partitions, the other
+    * measured 100× cliff). The warehouse-scale counterpart assigns each
+    * row a QUARTILE from sketch boundaries instead: per-type bottom-k
+    * sketch (`sketchThinned` — no per-group total sort), boundaries at
+    * the three dyadic quartile rank-picks, then ONE exact scan counts
+    * boundaries ≤ v against the broadcast 3-element array and aggregates
+    * count/min/max per (type, bucket) — per-row exact ranks are never
+    * materialized. Boundary rank error is the standard ~1/√k equi-depth
+    * trade; every step is integer order statistics on a portable hash,
+    * replayed bit-for-bit by the oracle. */
+  private val PbK = 256
+  private val percentileBucket: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"),
+      conv(substring(md5(concat(lit("pb_"), col("event_id"))), 1, 15),
+        16, 10).cast("long").as("h"))
+    val sk = QuantileSketch.sketchThinned(
+      ev, col("event_type"), col("h"), col("v"), PbK)
+    val qs = Seq(0.25, 0.5, 0.75) // dyadic: exact doubles
+    val bounds = QuantileSketch.quantiles(sk, qs)
+      .groupBy(col("scope").as("event_type"))
+      .agg(sort_array(collect_list(col("est"))).as("bs"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("bucket",
+        (size(filter(col("bs"), b => b <= col("v"))) + 1).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+  }
+
+  private val percentileBucketSql =
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS v,
+      |         CAST(('0x' || substring(md5('pb_' ||
+      |              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |sk AS (SELECT event_type, h, v FROM (
+      |         SELECT event_type, h, v, row_number() OVER (
+      |           PARTITION BY event_type ORDER BY h, v) AS rk
+      |         FROM ev) WHERE rk <= $PbK),
+      |qs(q) AS (VALUES (0.25), (0.5), (0.75)),
+      |bounds AS (
+      |  SELECT t.event_type, t.v AS b FROM (
+      |    SELECT event_type, v, h,
+      |           row_number() OVER (PARTITION BY event_type
+      |                              ORDER BY v, h) AS rk,
+      |           count(*) OVER (PARTITION BY event_type) AS n
+      |    FROM sk) t, qs
+      |  WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT))
+      |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(v) AS BIGINT) AS min_v,
+      |       CAST(max(v) AS BIGINT) AS max_v
+      |FROM (SELECT e.event_type, e.v,
+      |             1 + (SELECT count(*) FROM bounds b
+      |                  WHERE b.event_type = e.event_type AND b.b <= e.v)
+      |               AS bucket
+      |      FROM ev e)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Time-weighted average (TWAP) per user-day — the metrics/finance
     * aggregate where a value HOLDS until the next observation, so the
     * mean weights each value by its holding interval, not its sample
@@ -679,7 +815,9 @@ object AnalyticsQueries {
     val mid = ev.agg(expr("min(us) + (max(us) - min(us)) div 2")
       .cast("long")).head().getLong(0)
     val first = ev.filter(col("us") <= mid)
-    val sk = QuantileSketch.sketch(first, col("g"), col("h"), col("v"), k)
+    // thinned form: count → hash-threshold → k-row sort (bit-identical to
+    // sketch(); no per-type total sort of the reference half)
+    val sk = QuantileSketch.sketchThinned(first, col("g"), col("h"), col("v"), k)
     val qs = (1 until nB).map(_.toDouble / nB) // dyadic: exact doubles
     val bounds = QuantileSketch.quantiles(sk, qs)
       .groupBy(col("scope").as("g"))
@@ -870,13 +1008,10 @@ object AnalyticsQueries {
     // sort INSIDE the collected array (collect_list order is not
     // guaranteed by an upstream orderBy): value-ascending, hash tiebreak
     // — the oracle's ORDER BY v, h
-    // global sketch = merge of per-source sketches (closed under merge,
-    // QuantileSketchSpec): per-source window then TakeOrderedAndProject —
-    // a constant-group sketch would constant-fold into a partition-less
+    // global bottom-k straight off the scan (TakeOrderedAndProject) — a
+    // constant-group sketch() would constant-fold into a partition-less
     // Window (all rows to one partition)
-    val sk = QuantileSketch.merge(
-        QuantileSketch.sketch(docs, col("source"), col("h"), col("n_chars"), k),
-        "ALL", k)
+    val sk = QuantileSketch.sketchGlobal(docs, col("h"), col("n_chars"), "ALL", k)
       .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
         " x -> x._qk_v)").as("target"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1023,6 +1158,8 @@ object AnalyticsQueries {
     "assoc_rules"          -> assocRules,
     "exact_stratified_split" -> exactStratifiedSplit,
     "mad_outliers"         -> madOutliers,
+    "mad_outliers_sketch"  -> madOutliersSketch,
+    "percentile_bucket"    -> percentileBucket,
     "funnel_conversion"    -> funnelConversion,
     "event_transitions"    -> eventTransitions,
     "cusum_changepoint"    -> cusumChangepoint,
@@ -1042,6 +1179,8 @@ object AnalyticsQueries {
     "assoc_rules"          -> assocRulesSql,
     "exact_stratified_split" -> exactStratifiedSplitSql,
     "mad_outliers"         -> madOutliersSql,
+    "mad_outliers_sketch"  -> madOutliersSketchSql,
+    "percentile_bucket"    -> percentileBucketSql,
     "funnel_conversion"    -> funnelConversionSql,
     "event_transitions"    -> eventTransitionsSql,
     "cusum_changepoint"    -> cusumChangepointSql,

@@ -343,6 +343,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sketch-rank gates: no per-group total sort of raw data, no partition-less Window") {
+    // The round-9 contract that retired the two r8 scale cliffs: the
+    // sketch-rank forms (and the re-planned sketch consumers) must never
+    // sort the raw relation per group. Their only Window runs over the
+    // hash-thinned survivors (~k·margin rows/group), and nothing plans a
+    // partition-less Window.
+    for (name <- Seq("mad_outliers_sketch", "percentile_bucket",
+        "equi_depth_histogram", "quantile_normalize", "psi_drift")) {
+      val exec = Queries.all(name)(spark, sf001).queryExecution.executedPlan
+      val partitionless = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(partitionless.isEmpty,
+        s"$name plans a partition-less Window:\n$exec")
+    }
+    // the two global-sketch consumers take their bottom-k via
+    // TakeOrderedAndProject straight off the scan
+    for (name <- Seq("equi_depth_histogram", "quantile_normalize")) {
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name lost the TakeOrderedAndProject global bottom-k:\n$p")
+    }
+  }
+
   test("PLANS.md pins every query whose sf0.1 median exceeds 1 s") {
     // The audit-trail contract (VERDICT r6 item 4): any query expensive
     // enough to matter (>1 s median in BENCH_DETAIL.json at sf0.1) must
@@ -385,7 +410,11 @@ class PlanAuditSpec extends SparkSpec {
       // crossed 1 s in the r8 216-query sweep (boundary drift)
       "pipeline_end_to_end",
       // r8 final-sweep additions (sketch + exact passes; composition)
-      "psi_drift", "pipeline_sessions_funnel")
+      "psi_drift", "pipeline_sessions_funnel",
+      // round-9: the sketch-rank forms of the two r8 scale cliffs
+      // (percentile_bucket measured 0.97 s — pinned pre-emptively, it
+      // sits on the boundary)
+      "mad_outliers_sketch", "percentile_bucket")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet

@@ -54,6 +54,54 @@ class QuantileSketchSpec extends SparkSpec {
       s"merge introduced a partition-less Window:\n$plan")
   }
 
+  test("sketchGlobal equals sketch + merge of an arbitrary partitioning") {
+    val k = 16
+    val df = (rows("a", 200, 1) ++ rows("b", 150, 7)).toDF("g", "h", "v")
+    val direct = QuantileSketch.sketchGlobal(df, col("h"), col("v"), "ALL", k)
+      .select(col("_qk_h"), col("_qk_v")).as[(Long, Double)].collect().toSet
+    val viaMerge = QuantileSketch.merge(
+        QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k), "ALL", k)
+      .select(col("_qk_h"), col("_qk_v")).as[(Long, Double)].collect().toSet
+    assert(direct == viaMerge && direct.size == k)
+    // and the plan is TakeOrderedAndProject with no Window at all
+    val exec = QuantileSketch.sketchGlobal(df, col("h"), col("v"), "ALL", k)
+      .queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"))
+    assert(exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "sketchGlobal must not plan any Window")
+  }
+
+  test("sketchThinned is bit-identical to sketch") {
+    val k = 8
+    val df = (rows("a", 500, 11) ++ rows("b", 3, 13) ++ rows("c", 64, 17))
+      .toDF("g", "h", "v")
+    // margin 1 still must be exact on this data or the guard fires —
+    // either way, no silent divergence is possible
+    for (margin <- Seq(1, 2, 8)) {
+      val thin = QuantileSketch.sketchThinned(
+          df, col("g"), col("h"), col("v"), k, margin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = QuantileSketch.sketch(df, col("g"), col("h"), col("v"), k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(thin == full, s"margin=$margin diverged")
+    }
+  }
+
+  test("sketchThinned starvation guard fires loudly, never returns short") {
+    // 100 rows whose hashes all sit ABOVE the margin=1 threshold
+    // (2^60 * k / n): the thin filter starves the sketch and the
+    // assert_true folded into _qk_h must throw, not return < k rows.
+    val k = 4
+    val df = (0 until 100).map(i => ("g", (1L << 59) + i, i.toDouble))
+      .toDF("g", "h", "v")
+    val e = intercept[Exception] {
+      QuantileSketch.sketchThinned(df, col("g"), col("h"), col("v"), k, 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("starved"), e.getMessage)
+  }
+
   test("quantiles are exact rank-picks when the group fits the sketch") {
     val k = 64
     val data = rows("g1", 40, 3) // 40 < k: sketch IS the population
