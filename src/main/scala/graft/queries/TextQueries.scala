@@ -691,6 +691,115 @@ object TextQueries {
        |       CAST((cum - n_tokens) // $ShardBudget AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
+  // ── full curation pipeline composition (4th end-to-end gate) ───────────
+  /** The complete LLM-corpus curation pass as ONE query, chaining the
+    * five gated families the way a production pipeline runs them:
+    * (1) near-dup removal — MinHash LSH pair mining → connected
+    * components → canonical keep (byte-longest per cluster, singletons
+    * keep; `canonical_docs`); (2) benchmark decontamination — probe set
+    * = every 10th doc, train docs sharing any distinct word-8-gram hash
+    * with it drop, probe docs themselves never enter the corpus
+    * (`decontaminate_ngrams`); (3) C4-style quality filter
+    * (`quality_filter`); (4) DSIR importance weights computed over the
+    * FULL corpus (the raw/target bucket distributions are corpus-level
+    * statistics — survivors-only distributions would shift as upstream
+    * stages change; `dsir_importance`) attached to survivors; (5)
+    * sequence packing of survivors into 2048-token training sequences
+    * with split spans (`pack_sequences`). Scale shape: every stage keeps
+    * its gated plan — LSH candidates ∝ true pairs, the probe hash set
+    * broadcasts, components iterate on the pair relation (near-dup-family
+    * sized, not corpus sized), the DSIR ratio table is 64 rows broadcast,
+    * and packing is the PrefixSum decomposition — the composition adds
+    * only id-cardinality semi-joins between stages. The oracle chains the
+    * SAME stages as CTEs, so the gate checks the composition end to end. */
+  private val pipelineCuration: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    // 1. near-dup canonical keep
+    val pairs = DedupOps.lshPairsArrayLocal(
+      DedupOps.wordShingleHashes(docs, col("doc_id"), col("text"), ShingleN),
+      NumHashes, Bands, Threshold)
+    val labels = DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+    val canon = DedupOps.canonicalPerCluster(labels, docs,
+        col("doc_id"), octet_length(col("text")).cast("long"))
+      .filter(col("is_canonical")).select("doc_id")
+    // 2. decontamination (train side only — probe docs never pass)
+    val clean = DedupOps.ngramOverlap(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        col("doc_id"), col("text"), DecontamN)
+      .filter(!col("contaminated")).select("doc_id")
+    // 3. quality keep
+    val quality = qualityFilter(s, dir).filter(col("keep")).select("doc_id")
+    // 4. corpus-level DSIR weights
+    val dsir = graft.operators.Dsir.hashedNgramLogWeights(
+      docs, "doc_id", "text", col("lang") === "en", DsirBuckets, DsirAlpha)
+    // survivors = canon ∩ clean ∩ quality
+    val kept = docs.select(col("doc_id"), col("text"))
+      .join(canon, "doc_id").join(clean, "doc_id").join(quality, "doc_id")
+    // 5. pack survivors into training sequences, weights carried along
+    val weighted = kept.select(col("doc_id"),
+      size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Packing
+      .packSequences(weighted, "doc_id", "n_tokens", ShardBudget)
+      .join(dsir.select(col("doc_id"), col("dsir_logw")), "doc_id")
+  }
+
+  private lazy val pipelineCurationSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${minhashLshPairsSql.replace("\n", "\n  ")}
+       |),
+       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |      UNION SELECT d2, d1 FROM pairs),
+       |n AS (SELECT DISTINCT src AS node FROM e),
+       |reach(node, lbl) AS (
+       |  SELECT node, node FROM n
+       |  UNION
+       |  SELECT e.src, reach.lbl FROM e JOIN reach ON reach.node = e.dst),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |canon AS (SELECT doc_id FROM (
+       |  SELECT d.doc_id, row_number() OVER (
+       |           PARTITION BY coalesce(lab.cluster_id, d.doc_id)
+       |           ORDER BY strlen(d.text) DESC, d.doc_id) AS rn
+       |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id) WHERE rn = 1),
+       |decon AS (
+       |  ${decontaminateNgramsSql.replace("\n", "\n  ")}
+       |),
+       |clean AS (SELECT doc_id FROM decon WHERE NOT contaminated),
+       |q AS (
+       |  ${qualityFilterSql.replace("\n", "\n  ")}
+       |),
+       |qk AS (SELECT doc_id FROM q WHERE keep),
+       |ds AS (
+       |  ${dsirImportanceSql.replace("\n", "\n  ")}
+       |),
+       |kept AS (SELECT d.doc_id, d.text FROM documents d
+       |         JOIN canon USING (doc_id)
+       |         JOIN clean USING (doc_id)
+       |         JOIN qk USING (doc_id)),
+       |pt AS (SELECT doc_id, count(*) FILTER (WHERE w <> '') AS n_tokens
+       |       FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS w FROM kept)
+       |       GROUP BY doc_id),
+       |pa AS (SELECT kept.doc_id, coalesce(pt.n_tokens, 0) AS n_tokens
+       |       FROM kept LEFT JOIN pt ON kept.doc_id = pt.doc_id),
+       |pc AS (SELECT doc_id, n_tokens,
+       |              sum(n_tokens) OVER (ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS cum
+       |       FROM pa WHERE n_tokens > 0),
+       |sp AS (SELECT doc_id, n_tokens, cum - n_tokens AS s, cum AS e,
+       |              unnest(range(CAST((cum - n_tokens) // $ShardBudget AS BIGINT),
+       |                           CAST((cum - 1) // $ShardBudget + 1 AS BIGINT))) AS seq_id
+       |       FROM pc)
+       |SELECT sp.doc_id, CAST(sp.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(sp.seq_id AS BIGINT) AS seq_id,
+       |       CAST(greatest(sp.s, sp.seq_id * $ShardBudget) - sp.s AS BIGINT)
+       |         AS doc_offset,
+       |       CAST(greatest(sp.s, sp.seq_id * $ShardBudget)
+       |            - sp.seq_id * $ShardBudget AS BIGINT) AS seq_offset,
+       |       CAST(least(sp.e, (sp.seq_id + 1) * $ShardBudget)
+       |            - greatest(sp.s, sp.seq_id * $ShardBudget) AS BIGINT) AS span_len,
+       |       ds.dsir_logw
+       |FROM sp JOIN ds ON ds.doc_id = sp.doc_id""".stripMargin
+
   // ── higher-order array functions (lambda surface) ──────────────────────
   // filter/transform/aggregate/exists as first-class gated ops — both
   // engines evaluate real lambdas (DuckDB list_* equivalents). Tokens are
@@ -1895,6 +2004,7 @@ object TextQueries {
     "pack_sequences"      -> packSequences,
     "cms_topk_terms"      -> cmsTopkTerms,
     "pipeline_end_to_end" -> pipelineEndToEnd,
+    "pipeline_curation"   -> pipelineCuration,
     "hof_funcs"           -> hofFuncs,
     "map_funcs"           -> mapFuncs,
     "quality_filter"      -> qualityFilter,
@@ -1947,6 +2057,7 @@ object TextQueries {
     "pack_sequences"      -> packSequencesSql,
     "cms_topk_terms"      -> cmsTopkTermsSql,
     "pipeline_end_to_end" -> pipelineEndToEndSql,
+    "pipeline_curation"   -> pipelineCurationSql,
     "hof_funcs"           -> hofFuncsSql,
     "map_funcs"           -> mapFuncsSql,
     "quality_filter"      -> qualityFilterSql,

@@ -414,7 +414,10 @@ class PlanAuditSpec extends SparkSpec {
       // round-9: the sketch-rank forms of the two r8 scale cliffs
       // (percentile_bucket measured 0.97 s — pinned pre-emptively, it
       // sits on the boundary)
-      "mad_outliers_sketch", "percentile_bucket")
+      "mad_outliers_sketch", "percentile_bucket",
+      // round-9: the 4th end-to-end composition (6.9 s solo at sf0.1 —
+      // the LSH + components + decontam + dsir + packing chain)
+      "pipeline_curation")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
