@@ -105,6 +105,44 @@ class MaintenanceSpec extends SparkSpec {
       s"one-row tamper should flip exactly its group + ALL, flipped: $diff")
   }
 
+  test("table_checksum: digest exact past the int64 overflow boundary") {
+    // The mod-2⁶¹−1 fold exists precisely for n·2⁴⁰ ≥ 2⁶³ (≈ 8.4 M rows
+    // of 40-bit terms — where a plain BIGINT sum wraps). Cross it with a
+    // 18 M-row synthetic lineitem and check the decimal fold against an
+    // independent exact reference: 64 per-bucket partial sums (each
+    // ≤ 2⁵⁸ — long-safe), folded to BigInt on the driver, reduced mod M.
+    import graft.queries.MaintenanceQueries.lineitemDigest
+    val n = 18000000L
+    val syn = spark.range(n).selectExpr(
+      "id AS l_orderkey",
+      "cast(id % 7 as int) AS l_linenumber",
+      "cast(1 + id % 50 as double) AS l_quantity",
+      "cast((id % 90000) as double) / 100 AS l_extendedprice",
+      "element_at(array('A','N','R'), cast(id % 3 as int) + 1) AS l_returnflag",
+      "element_at(array('O','F'), cast(id % 2 as int) + 1) AS l_linestatus",
+      "to_date('1995-01-01') + cast(id % 2000 as int) AS l_shipdate")
+    val all = lineitemDigest(syn).filter(col("g") === "ALL").head()
+    assert(all.getLong(1) == n)
+    val m = BigInt(2305843009213693951L) // 2^61 − 1
+    // independent reference: h re-derived row-wise, bucketed partial sums
+    val partials = syn.select(
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_returnflag"), col("l_linestatus"),
+          unix_timestamp(col("l_shipdate")))), 1, 10), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(pmod(col("h"), lit(64)).as("b"))
+      .agg(sum(col("h")).as("s"))
+      .collect().map(_.getLong(1))
+    val exact = partials.map(BigInt(_)).sum
+    assert(exact > BigInt(2).pow(63),
+      "the case must actually cross the int64 boundary, or it proves nothing")
+    assert(BigInt(all.getLong(2)) == exact.mod(m),
+      s"decimal fold diverged from the exact BigInt reference past 2^63")
+  }
+
   test("profile_columns: one scan, Expand-based multi-distinct, sane metrics") {
     val df = run("profile_columns")
     val plan = df.queryExecution.executedPlan.toString
