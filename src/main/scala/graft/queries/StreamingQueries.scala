@@ -1274,8 +1274,148 @@ object StreamingQueries {
           col("sum_lag_us")))
   }
 
+  /** Streaming sessionize→funnel — `pipeline_sessions_funnel`'s
+    * incremental half, gated against the batch composition oracle
+    * VERBATIM (the `streaming_funnel` contract, lifted from per-user to
+    * per-(user, session) keys). Two state relations version through the
+    * foreachBatch sink: per-USER sessionizer state (last event time,
+    * last session index, first-seen time for the cohort) and
+    * per-(user, session) funnel state (n_events, t1, t2, t3). Each
+    * micro-batch sessionizes ITS OWN rows with one per-user window whose
+    * first-row gap tests against the state's last_us (so a session open
+    * at the batch boundary continues, and a > 30 min boundary gap opens
+    * session last_sidx + 1); batches are time-split, so a later batch
+    * only ever APPENDS to each user's timeline — the recurrence that
+    * makes both the sessionizer and the in-session conditional-min
+    * funnel mergeable (each step's batch candidates filter against the
+    * step-(k−1) time AS MERGED THIS BATCH — the `streaming_funnel`
+    * order argument, per session key). Per batch: one batch-sized
+    * window + key-cardinality joins against state; the final cohort
+    * rollup reads state relations only. */
+  private val streamingSessionsFunnel: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val tmp = Paths.get(scratchPath("ssessfunnel", dir))
+    freshDir(tmp)
+    val in = tmp.resolve("in"); Files.createDirectories(in)
+    val evAll = s.read.schema(eventsRawSchema)
+      .parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val mid = evAll.agg(
+      expr("min(ts) + (max(ts) - min(ts)) div 2").cast("long").as("t"))
+      .head().getLong(0)
+
+    val userSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("last_us", LongType),
+      StructField("last_sidx", LongType), StructField("first_us", LongType)))
+    val sessSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("sidx", LongType),
+      StructField("n_events", LongType), StructField("t1", LongType),
+      StructField("t2", LongType), StructField("t3", LongType)))
+    var curUser: Option[String] = None
+    var curSess: Option[String] = None
+    val merges = new AtomicInteger(0)
+    val frames = s.readStream.schema(
+        StructType(graft.model.Schemas.eventsRawMicros.fields.filter(f =>
+          Seq("user_id", "event_id", "ts", "event_type").contains(f.name))))
+      .parquet(s"$in/*.parquet")
+    setStatePartitions(s, 4)
+    val q = frames.writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!df.isEmpty) {
+          def empty(sc: StructType) = s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+          val uSt = curUser.map(s.read.parquet(_)).getOrElse(empty(userSchema))
+          val sSt = curSess.map(s.read.parquet(_)).getOrElse(empty(sessSchema))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          val wRun = w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+          // sessionize the batch; the first row per user gaps against the
+          // state's last_us (null for a new user → no break → sidx 0)
+          val batch = df
+            .join(uSt.select(col("user_id"), col("last_us"),
+              col("last_sidx")), Seq("user_id"), "left")
+            .withColumn("prev_us",
+              coalesce(lag(col("ts"), 1).over(w), col("last_us")))
+            .withColumn("is_break",
+              coalesce((col("ts") - col("prev_us") > 1800000000L)
+                .cast("long"), lit(0L)))
+            .withColumn("sidx", coalesce(col("last_sidx"), lit(0L))
+              + sum(col("is_break")).over(wRun))
+            .select(col("user_id"), col("event_id"), col("ts"),
+              col("event_type"), col("sidx"))
+          val key = Seq("user_id", "sidx")
+          // merge per-session state: counts sum, funnel mins chain
+          // against the state-as-merged-this-batch step times
+          val bn = batch.groupBy(col("user_id"), col("sidx"))
+            .agg(count(lit(1)).as("bn"))
+          val s0 = sSt.join(bn, key, "full_outer")
+            .select(col("user_id"), col("sidx"),
+              (coalesce(col("n_events"), lit(0L)) +
+                coalesce(col("bn"), lit(0L))).as("n_events"),
+              col("t1"), col("t2"), col("t3"))
+          val b1 = batch.filter(col("event_type") === "view")
+            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt1"))
+          val s1 = s0.join(b1, key, "left")
+            .select(col("user_id"), col("sidx"), col("n_events"),
+              least(col("t1"), col("bt1")).as("t1"), col("t2"), col("t3"))
+          val b2 = batch.filter(col("event_type") === "click")
+            .join(s1.select(col("user_id"), col("sidx"), col("t1")), key)
+            .filter(col("ts") > col("t1"))
+            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt2"))
+          val s2 = s1.join(b2, key, "left")
+            .select(col("user_id"), col("sidx"), col("n_events"), col("t1"),
+              least(col("t2"), col("bt2")).as("t2"), col("t3"))
+          val b3 = batch.filter(col("event_type") === "purchase")
+            .join(s2.select(col("user_id"), col("sidx"), col("t2")), key)
+            .filter(col("ts") > col("t2"))
+            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt3"))
+          val s3 = s2.join(b3, key, "left")
+            .select(col("user_id"), col("sidx"), col("n_events"), col("t1"),
+              col("t2"), least(col("t3"), col("bt3")).as("t3"))
+          // merge per-user sessionizer state (time-split: batch max IS
+          // the new last_us; batch max sidx IS the new last session)
+          val bu = batch.groupBy(col("user_id")).agg(
+            max(col("ts")).as("bmax"), min(col("ts")).as("bmin"),
+            max(col("sidx")).as("bsidx"))
+          val u1 = uSt.join(bu, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              greatest(col("last_us"), col("bmax")).as("last_us"),
+              coalesce(col("bsidx"), col("last_sidx")).as("last_sidx"),
+              least(col("first_us"), col("bmin")).as("first_us"))
+          val outU = tmp.resolve(s"user_v$id").toString
+          val outS = tmp.resolve(s"sess_v$id").toString
+          u1.write.mode("overwrite").parquet(outU)
+          s3.write.mode("overwrite").parquet(outS)
+          curUser = Some(outU); curSess = Some(outS)
+          merges.incrementAndGet()
+          ()
+        }
+      }
+      .start()
+    try {
+      writeOneFile(evAll.filter(col("ts") <= mid), in, "batch1.parquet")
+      q.processAllAvailable()
+      writeOneFile(evAll.filter(col("ts") > mid), in, "batch2.parquet")
+      q.processAllAvailable()
+    } finally drainStop(q)
+    require(merges.get() == 2,
+      s"sessions-funnel gate expected exactly 2 merged batches, saw ${merges.get()}")
+    // cohort rollup over state relations only (user- and session-sized)
+    val sess = s.read.parquet(curSess.get)
+    val cohort = s.read.parquet(curUser.get)
+      .select(col("user_id"),
+        expr("first_us div 604800000000").as("cohort_week"))
+    sess.join(cohort, "user_id")
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n_conv"))
+      .withColumn("conv_fp", expr("1000000 * n_conv div n_sessions"))
+  }
+
   val all: Map[String, Q] = Map(
     "streaming_funnel" -> streamingFunnel,
+    "streaming_sessions_funnel" -> streamingSessionsFunnel,
     "pipeline_streaming_ingest" -> pipelineStreamingIngest,
     "streaming_upsert_sink" -> streamingUpsertSink,
     "streaming_cdc_upsert" -> streamingCdcUpsert,
@@ -1298,6 +1438,9 @@ object StreamingQueries {
     // incremental funnel state ≡ the batch ordered funnel — same oracle,
     // verbatim: the streaming-equals-batch parity statement
     "streaming_funnel" -> AnalyticsQueries.oracles("funnel_conversion"),
+    // the batch composition oracle VERBATIM — streaming ≡ batch
+    "streaming_sessions_funnel" ->
+      AnalyticsQueries.oracles("pipeline_sessions_funnel"),
     // the merged upsert table ≡ the batch last-event query — parity
     "streaming_upsert_sink" ->
       """SELECT user_id, event_id AS last_event_id,

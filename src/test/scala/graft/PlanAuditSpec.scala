@@ -416,8 +416,9 @@ class PlanAuditSpec extends SparkSpec {
       // sits on the boundary)
       "mad_outliers_sketch", "percentile_bucket",
       // round-9: the 4th end-to-end composition (6.9 s solo at sf0.1 —
-      // the LSH + components + decontam + dsir + packing chain)
-      "pipeline_curation")
+      // the LSH + components + decontam + dsir + packing chain) and the
+      // sessionize→funnel streaming parity gate (5.9 s: 2-batch harness)
+      "pipeline_curation", "streaming_sessions_funnel")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet

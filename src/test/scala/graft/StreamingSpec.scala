@@ -198,4 +198,52 @@ class StreamingSpec extends SparkSpec {
     // counts are equal regardless
     assert(streamed == batch)
   }
+
+  test("streaming_sessions_funnel ≡ batch composition, incl. boundary sessions") {
+    def rows(name: String, dir: String) =
+      Queries.all(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    // fixture parity at sf0.001 (the driver gates vs the oracle; this
+    // pins streaming ≡ batch inside one engine too)
+    assert(rows("streaming_sessions_funnel", sf001) ==
+      rows("pipeline_sessions_funnel", sf001))
+
+    // synthetic corpus engineered so the time-split lands INSIDE an open
+    // session: the funnel must convert across the batch boundary, and a
+    // > 30 min gap straddling the boundary must open a new session.
+    // mid = (0 + 2400e6) / 2 = 1200e6: u1's purchase (1300e6) arrives in
+    // batch 2 for the session opened in batch 1.
+    val min30 = 1800000000L
+    val ev = Seq(
+      // u1: view → click (batch 1) → purchase (batch 2), gaps < 30 min:
+      // ONE session, converted across the boundary
+      (1L, 0L, 1L, "view"), (2L, 600000000L, 1L, "click"),
+      (3L, 1300000000L, 1L, "purchase"),
+      // u2: two events 40 min apart → split lands between them AND the
+      // gap exceeds 30 min: second event opens session 1 in batch 2
+      (4L, 0L, 2L, "view"), (5L, 2400000000L, 2L, "view"),
+      // u3: click then a 33-min-later view — new session in batch 2,
+      // and the click-before-view must never convert
+      (6L, 0L, 3L, "click"), (7L, 2000000000L, 3L, "view"))
+    val dir = java.nio.file.Files.createTempDirectory("ssf_spec").toString
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+        ev.map(e => org.apache.spark.sql.Row(e._1, e._2, e._3, e._4, 0.0, "{}"))
+          .asJava,
+      graft.model.Schemas.eventsRawMicros)
+      .withColumn("ts", expr("timestamp_micros(ts)"))
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set(tsConf, prev)
+    val streamed = rows("streaming_sessions_funnel", dir)
+    assert(streamed == rows("pipeline_sessions_funnel", dir))
+    // hand-computed: 5 sessions (u1: 1, u2: 2, u3: 2), 1 converted,
+    // all in cohort week 0 → conv_fp = 1e6 * 1 div 5
+    assert(streamed == Set((0L, 5L, 1L, 200000L)), streamed)
+    assert(ev.map(_._2).max - ev.map(_._2).min > min30,
+      "fixture must span more than one session gap or the test is vacuous")
+  }
 }
