@@ -18,6 +18,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// PackagedJarSpec smokes the packaged artifact in a clean JVM — make
+// sure `sbt test` always tests a FRESH jar, not a stale one.
+Test / test := (Test / test).dependsOn(Compile / packageBin).value
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
