@@ -381,4 +381,163 @@ object EngineProperties extends Properties("engine") {
             r.getAs[Long]("n_over") <= r.getAs[Long]("n_events")
         }
     }
+
+  // ── round-9 additions: the analytics family's invariants ──────────────
+
+  property("PSI is non-negative; exactly zero when the halves are identical") =
+    Prop.forAll(genEvents) { rows =>
+      // each term (pa−pb)·ln(pa/pb) has matching signs → every psi_fp ≥ 0
+      val anyHalves = graft.queries.AnalyticsQueries.all("psi_drift")(
+          spark, eventsDir(rows)).collect()
+        .forall(_.getAs[Long]("psi_fp") >= 0)
+      // second half = the first shifted 4 h (so the integer midpoint
+      // cleanly separates them) with fresh ids: per-type value
+      // distributions match exactly → psi must be exactly 0
+      val dup = rows ++ rows.map { case (id, sec, u, t, v) =>
+        (id + 100000L, sec + 14400L, u, t, v)
+      }
+      val identical = graft.queries.AnalyticsQueries.all("psi_drift")(
+          spark, eventsDir(dup)).collect()
+        .forall { r =>
+          r.getAs[Long]("psi_fp") == 0 &&
+            r.getAs[Long]("total_a") == r.getAs[Long]("total_b")
+        }
+      anyHalves && identical
+    }
+
+  property("association rules respect support anti-monotonicity") =
+    Prop.forAll(genEvents) { rows =>
+      graft.queries.AnalyticsQueries.all("assoc_rules")(
+          spark, eventsDir(rows)).collect()
+        .forall { r =>
+          val (ab, a, b, n) = (r.getAs[Long]("n_ab"), r.getAs[Long]("n_a"),
+            r.getAs[Long]("n_b"), r.getAs[Long]("n_baskets"))
+          // support({a,b}) ≤ support({a}), support({b}); items ≤ baskets
+          ab <= a && ab <= b && a <= n && b <= n &&
+            // confidence ≥ support of the pair, and both are proper ratios
+            r.getAs[Long]("conf_fp") >= 1000000L * ab / n &&
+            r.getAs[Long]("conf_fp") <= 1000000L
+        }
+    }
+
+  private val genDocs: Gen[List[(Long, String, Long)]] =
+    for {
+      n <- Gen.choose(5, 60) // below AND around the k=256 clamp boundary
+      rows <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("web", "books", "code")
+        chars <- Gen.choose(1L, 5000L)
+      } yield (src, chars))
+    } yield rows.zipWithIndex.map { case ((s0, c), i) => (i.toLong + 1, s0, c) }
+
+  private def docsDir(rows: List[(Long, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("prop_docs").toString
+    rows.toDF("doc_id", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  property("quantile normalization preserves within-source rank order") =
+    Prop.forAll(genDocs) { rows =>
+      val out = graft.queries.AnalyticsQueries.all("quantile_normalize")(
+        spark, docsDir(rows)).collect()
+      out.length == rows.length && {
+        val globals = rows.map(_._3).toSet
+        out.groupBy(_.getAs[String]("source")).values.forall { docs =>
+          val ordered = docs.sortBy(r =>
+            (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+            .map(_.getAs[Long]("norm_chars"))
+          // ranks map monotonically onto the global target distribution,
+          // and every normalized value IS a value from the corpus
+          ordered.zip(ordered.tail).forall { case (x, y) => x <= y } &&
+            ordered.forall(globals.contains)
+        }
+      }
+    }
+
+  private val genLineitem: Gen[List[(Long, Int, Double)]] =
+    for {
+      n <- Gen.choose(20, 80)
+      tampered <- Gen.choose(0, 4) // k random tampered keys (gate rule:
+                                   // ok % 997 == 0 && ln == 1)
+      rows <- Gen.listOfN(n, for {
+        ok <- Gen.choose(1L, 400L).map(_ * 997 + 1) // never % 997 == 0
+        ln <- Gen.choose(1, 4)
+        p <- Gen.choose(100L, 900000L).map(_ / 100.0)
+      } yield (ok, ln, p))
+      tamperRows <- Gen.listOfN(tampered, for {
+        g <- Gen.choose(1L, 50L)
+        p <- Gen.choose(100L, 900000L).map(_ / 100.0)
+      } yield (g * 997L, 1, p))
+    } yield rows ++ tamperRows
+
+  property("merkle diff localizes exactly the tampered keys, any tamper count") =
+    Prop.forAll(genLineitem) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("prop_li").toString
+      rows.toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = Queries.all("merkle_bucket_diff")(spark, dir)
+        .collect()
+      val expected = rows.filter(r => r._1 % 997 == 0 && r._2 == 1)
+        .map(r => (r._1, r._2)).toSet
+      val got = out.map(r =>
+        (r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber"))).toSet
+      got == expected && out.forall { r =>
+        // the gate's +1-per-row tamper: per-key sum diff = duplicate count
+        val d = rows.count(x => x._1 == r.getAs[Long]("l_orderkey") &&
+          x._2 == r.getAs[Int]("l_linenumber"))
+        r.getAs[Long]("price_b_fp") - r.getAs[Long]("price_a_fp") == d
+      }
+    }
+
+  private val genSketchInput: Gen[(List[(String, Long, Double)], Int)] =
+    for {
+      n <- Gen.choose(10, 200)
+      k <- Gen.oneOf(4, 16)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        h <- Gen.choose(0L, (1L << 60) - 1)
+        v <- Gen.choose(0, 10000).map(_.toDouble)
+      } yield (g, h, v))
+    } yield (rows.distinctBy(r => (r._1, r._2)), k)
+
+  property("sketchThinned ≡ sketch on random hashes (or the guard fires loudly)") =
+    Prop.forAll(genSketchInput) { case (rows, k) =>
+      import graft.operators.QuantileSketch
+      val df = rows.toDF("g", "h", "v")
+      val full = QuantileSketch.sketch(df, $"g", $"h", $"v", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      try {
+        val thin = QuantileSketch.sketchThinned(df, $"g", $"h", $"v", k, 4)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        thin == full
+      } catch {
+        // an (astronomically rare on uniform hashes) starved thin filter
+        // must THROW the guard message — silence is the only failure mode
+        case e: Exception =>
+          Option(e.getMessage).exists(_.contains("starved")) ||
+            Option(e.getCause).flatMap(c => Option(c.getMessage))
+              .exists(_.contains("starved"))
+      }
+    }
+
+  property("percentile_bucket partitions each type into ordered value ranges") =
+    Prop.forAll(genEvents) { rows =>
+      val out = graft.queries.AnalyticsQueries.all("percentile_bucket")(
+        spark, eventsDir(rows)).collect()
+      val byType = out.groupBy(_.getAs[String]("event_type"))
+      val typeCounts = rows.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+      byType.forall { case (t, bs) =>
+        bs.map(_.getAs[Long]("n_rows")).sum == typeCounts(t) &&
+          bs.forall { b =>
+            val id = b.getAs[Long]("bucket")
+            id >= 1 && id <= 4 &&
+              b.getAs[Long]("min_v") <= b.getAs[Long]("max_v")
+          } && {
+            val sorted = bs.sortBy(_.getAs[Long]("bucket"))
+            sorted.zip(sorted.tail).forall { case (lo, hi) =>
+              lo.getAs[Long]("max_v") < hi.getAs[Long]("min_v")
+            }
+          }
+      }
+    }
 }
