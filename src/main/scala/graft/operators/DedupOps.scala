@@ -78,6 +78,14 @@ object DedupOps {
   def shingleHash40(g: Column): Column =
     conv(substring(md5(g), 1, 10), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix feature hash — for EXACT-verdict gates that carry
+    * whole feature SETS through a shuffle (prefix_filter_jaccard's
+    * verify join): 8-byte longs instead of ~25-byte shingle strings cut
+    * the shuffled array volume ~3×, and 60 bits keeps whole-corpus
+    * collision odds negligible where 40 would guarantee them. */
+  def shingleHash60(g: Column): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+
   private def mhExpr(i: Int): Column =
     min((lit(mhA(i)) * col("h") + lit(mhB(i))) % lit(MinHashP)).as(s"mh$i")
 

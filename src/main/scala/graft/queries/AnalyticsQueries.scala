@@ -811,7 +811,11 @@ object AnalyticsQueries {
       col("event_id"), unix_micros(col("ts")).as("us"),
       conv(substring(md5(concat(lit("psi_"), col("event_id"))), 1, 15),
         16, 10).cast("long").as("h"),
-      round(col("value") * 100).cast("long").as("v")).localCheckpoint()
+      round(col("value") * 100).cast("long").as("v"))
+    // no checkpoint/cache of the raw relation: the projection is
+    // deterministic md5 + round, so the three consumers re-scan parquet —
+    // caching 10^8 rows starves execution memory (storageFraction floor)
+    // long before the recompute would cost anything
     val mid = ev.agg(expr("min(us) + (max(us) - min(us)) div 2")
       .cast("long")).head().getLong(0)
     val first = ev.filter(col("us") <= mid)

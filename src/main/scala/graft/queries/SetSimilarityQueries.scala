@@ -42,9 +42,15 @@ object SetSimilarityQueries {
   private val ShingleN = 3
 
   private val prefixFilterJaccard: Q = (s, dir) => {
+    // set elements are 60-bit HASHES of the shingles (identical md5 fold
+    // in the oracle): the exact verify ships every candidate pair with
+    // both full element arrays, and 8-byte longs instead of ~25-byte
+    // shingle strings cut that shuffle ~3× — the 1000×-docs run filled
+    // 76 GB of spill with string arrays and finished in ~23 GB hashed
     val toks = graft.operators.DedupOps.shingleSet(
         Tables.documents(s, dir), col("doc_id"), col("text"), ShingleN)
-      .select(col("doc_id"), col("g").as("tok"))
+      .select(col("doc_id"),
+        graft.operators.DedupOps.shingleHash60(col("g")).as("tok"))
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc token array ordered rarest-first (global df, token tiebreak)
     val ranked = toks.join(dfT, "tok")
@@ -57,15 +63,26 @@ object SetSimilarityQueries {
       .withColumn("p",
         col("sz") - expr(s"(sz * $TauNum + ${TauDen - 1}) div $TauDen") + 1)
     val pre = ranked.select(col("doc_id"), col("sz"),
-      explode(slice(col("toks"), lit(1), col("p"))).as("tok"))
+      posexplode(slice(col("toks"), lit(1), col("p"))))
+      .select(col("doc_id"), col("sz"), col("pos"), col("col").as("tok"))
     // candidates: share a prefix token + pass the length filter
-    // (jaccard >= τ ⇒ τ·max(sz) <= min(sz)); dedup to id pairs only,
-    // then fetch both full arrays for the exact verify
+    // (jaccard >= τ ⇒ τ·max(sz) <= min(sz)) + the PPJoin POSITIONAL
+    // filter: a match at (0-based) positions (i, j) of the globally
+    // consistent rarest-first order bounds the overlap by
+    // 1 + min(s1−i−1, s2−j−1) counting the match and what follows —
+    // for the pair's FIRST shared token the bound is exact, so keeping
+    // a pair when ANY of its match rows passes never loses a true pair
+    // while pruning the candidate set ~an order of magnitude (the
+    // verify-join volume is ∝ candidates × array size; at 1000× docs
+    // the unpositioned candidate set spilled past the disk). Jaccard
+    // o/(s1+s2−o) ≥ τ ⟺ o·(τn+τd) ≥ τn·(s1+s2), all integer.
     val cand = pre.as("a").join(pre.as("b"),
         col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id") &&
           greatest(col("a.sz"), col("b.sz")) * TauNum <=
-            least(col("a.sz"), col("b.sz")) * TauDen)
+            least(col("a.sz"), col("b.sz")) * TauDen &&
+          (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))) *
+            (TauNum + TauDen) >= (col("a.sz") + col("b.sz")) * TauNum)
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val arrays = ranked.select(col("doc_id"), col("toks"), col("sz"))
@@ -96,8 +113,9 @@ object SetSimilarityQueries {
        |              w || '_' || lead(w, 1) OVER win || '_' ||
        |                lead(w, 2) OVER win AS g
        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |toks AS (SELECT DISTINCT doc_id, g AS tok FROM sh
-       |         WHERE g IS NOT NULL),
+       |toks AS (SELECT DISTINCT doc_id,
+       |                CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS tok
+       |         FROM sh WHERE g IS NOT NULL),
        |dft AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
        |szs AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
        |ranked AS (
@@ -106,14 +124,16 @@ object SetSimilarityQueries {
        |                            ORDER BY d.df, t.tok) AS rn
        |  FROM toks t JOIN dft d ON t.tok = d.tok
        |  JOIN szs s ON t.doc_id = s.doc_id),
-       |pre AS (SELECT doc_id, tok, sz FROM ranked
+       |pre AS (SELECT doc_id, tok, sz, rn FROM ranked
        |        WHERE rn <= sz - (sz * $TauNum + ${TauDen - 1}) // $TauDen + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |         a.sz AS s1, b.sz AS s2
        |  FROM pre a JOIN pre b
        |    ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |   AND greatest(a.sz, b.sz) * $TauNum <= least(a.sz, b.sz) * $TauDen),
+       |   AND greatest(a.sz, b.sz) * $TauNum <= least(a.sz, b.sz) * $TauDen
+       |   AND least(a.sz - a.rn + 1, b.sz - b.rn + 1) * ${TauNum + TauDen}
+       |       >= (a.sz + b.sz) * $TauNum),
        |inter AS (
        |  SELECT c.d1, c.d2, c.s1, c.s2, count(*) AS inter
        |  FROM cand c
