@@ -57,6 +57,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // zstd shuffle/spill compression: the exact-verify joins
+      // (prefix_filter_jaccard at 1000× docs) retain ~2× more shuffle
+      // bytes than lz4 allows on this disk; zstd-1 halves the footprint
+      // for negligible CPU — the right default for spill-heavy exact ops
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
