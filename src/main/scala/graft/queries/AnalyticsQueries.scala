@@ -240,6 +240,75 @@ object AnalyticsQueries {
       |FROM ev e JOIN bounds b ON e.event_type = b.event_type
       |GROUP BY 1""".stripMargin
 
+  /** Winsorization, sketch-rank form — `winsorize_values` without its
+    * scale cliff (measured: 10.8 s at 100×, the same 5-partition
+    * per-type total sort as `mad_outliers`). The p05/p95 clip bounds
+    * come from the per-type `sketchThinned` bottom-k at integer ranks
+    * ceil(5·n/100) / ceil(95·n/100) over the k-row sample (exact ≤ k
+    * rows, ~1/√k rank error above); the clip pass — broadcast bounds +
+    * one map-side-combinable conditional aggregate — is the only stage
+    * that touches every row. All rank arithmetic integer; the oracle
+    * replays the sketch bit-for-bit. */
+  private val WzK = 256
+  private val winsorizeSketch: Q = (s, dir) => {
+    import graft.operators.QuantileSketch
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100).cast("long").as("v"),
+      conv(substring(md5(concat(lit("wz_"), col("event_id"))), 1, 15),
+        16, 10).cast("long").as("h"))
+    val sk = QuantileSketch.sketchThinned(
+      ev, col("event_type"), col("h"), col("v"), WzK)
+    val bounds = sk.groupBy(col("_qk_g").as("event_type"))
+      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
+        " x -> x._qk_v)").as("vs"))
+      .select(col("event_type"),
+        expr("element_at(vs, cast((size(vs) * 5 + 99) div 100 as int))")
+          .as("lo_fp"),
+        expr("element_at(vs, cast((size(vs) * 95 + 99) div 100 as int))")
+          .as("hi_fp"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("lo_fp")).as("lo_fp"), min(col("hi_fp")).as("hi_fp"),
+        count_if(col("v") < col("lo_fp")).as("n_low"),
+        count_if(col("v") > col("hi_fp")).as("n_high"),
+        sum(greatest(col("lo_fp"), least(col("hi_fp"), col("v"))))
+          .as("sum_wins_fp"))
+  }
+
+  private val winsorizeSketchSql =
+    s"""WITH ev AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS v,
+      |         CAST(('0x' || substring(md5('wz_' ||
+      |              CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |sk AS (SELECT event_type, h, v FROM (
+      |         SELECT event_type, h, v, row_number() OVER (
+      |           PARTITION BY event_type ORDER BY h, v) AS rk
+      |         FROM ev) WHERE rk <= $WzK),
+      |ranked AS (SELECT event_type, v,
+      |                  row_number() OVER (PARTITION BY event_type
+      |                                     ORDER BY v, h) AS rn,
+      |                  count(*) OVER (PARTITION BY event_type) AS n
+      |           FROM sk),
+      |bounds AS (
+      |  SELECT event_type,
+      |         min(CASE WHEN rn = (n * 5 + 99) // 100 THEN v END) AS lo_fp,
+      |         min(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS hi_fp
+      |  FROM ranked GROUP BY 1)
+      |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(min(b.lo_fp) AS BIGINT) AS lo_fp,
+      |       CAST(min(b.hi_fp) AS BIGINT) AS hi_fp,
+      |       CAST(sum(CASE WHEN e.v < b.lo_fp THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_low,
+      |       CAST(sum(CASE WHEN e.v > b.hi_fp THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_high,
+      |       CAST(sum(greatest(b.lo_fp, least(b.hi_fp, e.v))) AS BIGINT)
+      |         AS sum_wins_fp
+      |FROM ev e JOIN bounds b ON e.event_type = b.event_type
+      |GROUP BY 1""".stripMargin
+
   /** Point-in-time dimension lookup — the fact-enrichment join every
     * warehouse with SCD2 dimensions runs: each purchase event probes the
     * user-state INTERVAL dimension (the `scd2_user_state` derivation,
@@ -1168,6 +1237,7 @@ object AnalyticsQueries {
     "event_transitions"    -> eventTransitions,
     "cusum_changepoint"    -> cusumChangepoint,
     "winsorize_values"     -> winsorizeValues,
+    "winsorize_sketch"     -> winsorizeSketch,
     "scd2_point_in_time"   -> scd2PointInTime)
 
   val oracles: Map[String, String] = Map(
@@ -1189,5 +1259,6 @@ object AnalyticsQueries {
     "event_transitions"    -> eventTransitionsSql,
     "cusum_changepoint"    -> cusumChangepointSql,
     "winsorize_values"     -> winsorizeValuesSql,
+    "winsorize_sketch"     -> winsorizeSketchSql,
     "scd2_point_in_time"   -> scd2PointInTimeSql)
 }

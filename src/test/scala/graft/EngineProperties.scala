@@ -384,6 +384,21 @@ object EngineProperties extends Properties("engine") {
 
   // ── round-9 additions: the analytics family's invariants ──────────────
 
+  property("winsorize_sketch: bounds bracket the clipped sum, clip counts bounded") =
+    Prop.forAll(genEvents) { rows =>
+      val dir = eventsDir(rows)
+      graft.queries.AnalyticsQueries.all("winsorize_sketch")(spark, dir)
+        .collect().forall { r =>
+          val (n, lo, hi) = (r.getAs[Long]("n_events"),
+            r.getAs[Long]("lo_fp"), r.getAs[Long]("hi_fp"))
+          val sum = r.getAs[Long]("sum_wins_fp")
+          lo <= hi && sum >= n * lo && sum <= n * hi &&
+            r.getAs[Long]("n_low") + r.getAs[Long]("n_high") <= n
+        }
+    }
+
+
+
   property("PSI is non-negative; exactly zero when the halves are identical") =
     Prop.forAll(genEvents) { rows =>
       // each term (pa−pb)·ln(pa/pb) has matching signs → every psi_fp ≥ 0

@@ -350,7 +350,8 @@ class PlanAuditSpec extends SparkSpec {
     // hash-thinned survivors (~k·margin rows/group), and nothing plans a
     // partition-less Window.
     for (name <- Seq("mad_outliers_sketch", "percentile_bucket",
-        "equi_depth_histogram", "quantile_normalize", "psi_drift")) {
+        "winsorize_sketch", "equi_depth_histogram", "quantile_normalize",
+        "psi_drift")) {
       val exec = Queries.all(name)(spark, sf001).queryExecution.executedPlan
       val partitionless = exec.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
@@ -418,7 +419,10 @@ class PlanAuditSpec extends SparkSpec {
       // round-9: the 4th end-to-end composition (6.9 s solo at sf0.1 —
       // the LSH + components + decontam + dsir + packing chain) and the
       // sessionize→funnel streaming parity gate (5.9 s: 2-batch harness)
-      "pipeline_curation", "streaming_sessions_funnel")
+      "pipeline_curation", "streaming_sessions_funnel",
+      // round-9 late addition: winsorize's sketch-rank form (1.03 s —
+      // boundary, pinned pre-emptively like percentile_bucket)
+      "winsorize_sketch")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
