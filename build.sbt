@@ -19,8 +19,16 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 // PackagedJarSpec smokes the packaged artifact in a clean JVM — make
-// sure `sbt test` always tests a FRESH jar, not a stale one.
+// sure every test entry point (test, testOnly, testQuick) always tests
+// a FRESH jar, not a stale one: rewiring only the aggregate `test` task
+// would let `sbt testOnly graft.PackagedJarSpec` validate old code.
 Test / test := (Test / test).dependsOn(Compile / packageBin).value
+Test / testOnly := (Test / testOnly).dependsOn(Compile / packageBin).evaluated
+Test / testQuick := (Test / testQuick).dependsOn(Compile / packageBin).evaluated
+// The spec derives the artifact path from sbt instead of hardcoding the
+// versioned filename (a version bump must not break the suite).
+Test / javaOptions +=
+  s"-Dgraft.packaged.jar=${(Compile / packageBin / artifactPath).value}"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

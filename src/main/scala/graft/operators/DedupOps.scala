@@ -78,11 +78,19 @@ object DedupOps {
   def shingleHash40(g: Column): Column =
     conv(substring(md5(g), 1, 10), 16, 10).cast("long")
 
-  /** 60-bit md5-prefix feature hash — for EXACT-verdict gates that carry
-    * whole feature SETS through a shuffle (prefix_filter_jaccard's
-    * verify join): 8-byte longs instead of ~25-byte shingle strings cut
-    * the shuffled array volume ~3×, and 60 bits keeps whole-corpus
-    * collision odds negligible where 40 would guarantee them. */
+  /** 60-bit md5-prefix feature hash — for gates that carry whole feature
+    * SETS through a shuffle (prefix_filter_jaccard's verify join):
+    * 8-byte longs instead of ~25-byte shingle strings cut the shuffled
+    * array volume ~3×. Collision honesty: by the birthday bound
+    * P ≈ n²/2⁶¹, ~10⁻⁷ at n = 10⁵ distinct shingles (any test SF) but
+    * tens of percent at a 10⁸–10⁹-shingle corpus — so at the 1000×
+    * decade SOME collision likely exists somewhere in the corpus. The
+    * semantics are therefore "exact Jaccard over HASHED shingles":
+    * oracle and engine hash identically so gates always agree, and a
+    * verdict flip requires the colliding pair to land inside one
+    * compared near-threshold pair (far rarer than a corpus-wide
+    * collision). Callers needing true string-shingle fidelity should
+    * carry the full 128-bit md5 as two longs instead. */
   def shingleHash60(g: Column): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long")
 

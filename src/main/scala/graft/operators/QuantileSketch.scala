@@ -89,9 +89,16 @@ object QuantileSketch {
     val keep = k.toLong * margin
     val thinned = tagged.join(broadcast(counts), "_qk_g")
       .filter(col("_qk_n") <= keep ||
-        // h ≤ 2^60 · keep / n_g, carried out in exact decimal(38,0)
+        // h ≤ 2^60 · keep / n_g, carried out in exact decimal(38,0).
+        // The divisor is floored at keep+1 so the integral quotient is
+        // ALWAYS < 2^60 (BIGINT-safe) no matter which disjunct a given
+        // codegen path evaluates first — for groups with _qk_n ≤ keep
+        // the left disjunct already keeps every row, so flooring never
+        // changes which rows survive; for _qk_n > keep the floor is a
+        // no-op (greatest picks _qk_n).
         col("_qk_h") <= expr(
-          s"cast(1152921504606846976 as decimal(38,0)) * $keep div _qk_n"))
+          s"cast(1152921504606846976 as decimal(38,0)) * $keep" +
+            s" div greatest(_qk_n, ${keep + 1})"))
     val sk = thinned
       .withColumn("_qk_r", row_number().over(
         Window.partitionBy(col("_qk_g")).orderBy(col("_qk_h"), col("_qk_v"))))
@@ -131,23 +138,64 @@ object QuantileSketch {
       .limit(k)
       .select(lit(label).as("_qk_g"), col("_qk_h"), col("_qk_v"))
 
+  /** Public row view of sketch rows — (scope, h, v). Consumers that
+    * derive NEW sketches from existing ones (e.g. a deviation sketch
+    * around a sketched median) read through this and rebuild via
+    * `fromRows`; the `_qk_*` column convention stays private, so a
+    * rename inside the operator can't silently break callers. */
+  def rows(sketchRows: DataFrame): DataFrame =
+    sketchRows.select(col("_qk_g").as("scope"), col("_qk_h").as("h"),
+      col("_qk_v").as("v"))
+
+  /** Inverse of `rows`: repack a (scope, h, v) relation as sketch rows
+    * usable by `merge`/`quantiles`/`ranksAt`. The caller owns the claim
+    * that (h, v) still follow the sketch contract (deterministic hash;
+    * value-monotone transforms of v preserve rank semantics). */
+  def fromRows(df: DataFrame): DataFrame =
+    df.select(col("scope").as("_qk_g"), col("h").as("_qk_h"),
+      col("v").as("_qk_v"))
+
+  /** One (v, h)-sorted value array per group — (scope, vs): the packing
+    * every estimator shares. A sketch holds ≤ k rows per group, so one
+    * hash-agg packs each group and integer element_at picks follow — no
+    * window at all (a window's partition key would constant-fold away
+    * for `sketchGlobal`/`merge` labels, dropping the whole — tiny —
+    * relation into one partition and WARNing on every run). */
+  def sortedValues(sketchRows: DataFrame): DataFrame =
+    sketchRows.groupBy(col("_qk_g").as("scope"))
+      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
+        " x -> x._qk_v)").as("vs"))
+
   /** (scope, q, est) for each requested quantile from sketch rows only:
     * est = the sketch value at ascending value-rank ceil(q·n) (hash
-    * tie-break, as everywhere in the sketch). A sketch holds ≤ k rows
-    * per group, so ranks come from one hash-agg packing each group into
-    * a (v, h)-sorted array and integer element_at picks — no window at
-    * all (a window's partition key would constant-fold away for
-    * `sketchGlobal`/`merge` labels, dropping the whole — tiny — relation
-    * into one partition and WARNing on every run). */
+    * tie-break, as everywhere in the sketch). */
   def quantiles(sketchRows: DataFrame, qs: Seq[Double]): DataFrame = {
-    val packed = sketchRows.groupBy(col("_qk_g"))
-      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
-        " x -> x._qk_v)").as("_qk_vs"))
+    val packed = sortedValues(sketchRows)
     val picks = qs.map(q => struct(lit(q).as("q"),
-      element_at(col("_qk_vs"),
-        ceil(lit(q) * size(col("_qk_vs"))).cast("int")).as("est")))
-    packed.select(col("_qk_g").as("scope"),
-        explode(array(picks: _*)).as("qe"))
+      element_at(col("vs"),
+        ceil(lit(q) * size(col("vs"))).cast("int")).as("est")))
+    packed.select(col("scope"), explode(array(picks: _*)).as("qe"))
       .select(col("scope"), col("qe.q").as("q"), col("qe.est").as("est"))
+  }
+
+  /** INTEGER-rank picks — (scope, num, den, est): the sketch value at
+    * ascending value-rank ceil(n·num/den), computed as
+    * (n·num + den − 1) div den in exact integer arithmetic, so no float
+    * rank ever crosses an engine boundary (float ceil() diverges
+    * between engines on exact multiples — the reason gated queries pick
+    * ranks this way). This is the supported entry point for p05/p95-
+    * style bound picks; use it instead of re-inlining the packed-array
+    * expression over private columns. */
+  def ranksAt(sketchRows: DataFrame, ranks: Seq[(Int, Int)]): DataFrame = {
+    val packed = sortedValues(sketchRows)
+    val picks = ranks.map { case (num, den) =>
+      struct(lit(num).as("num"), lit(den).as("den"),
+        element_at(col("vs"),
+          expr(s"cast((size(vs) * $num + ${den - 1}) div $den as int)"))
+          .as("est"))
+    }
+    packed.select(col("scope"), explode(array(picks: _*)).as("re"))
+      .select(col("scope"), col("re.num").as("num"),
+        col("re.den").as("den"), col("re.est").as("est"))
   }
 }

@@ -270,7 +270,13 @@ object AdvancedQueries {
       conv(substring(md5(
         concat(col("l_orderkey"), lit("_"), col("l_linenumber"))), 1, 15),
         16, 10).cast("long").as("h"),
-      col("l_extendedprice").as("v")).localCheckpoint()
+      col("l_extendedprice").as("v"))
+    // NO checkpoint/cache on the fact-sized projection: the md5 hash is
+    // deterministic, so both consumers (sketch + exact rank-pick rider)
+    // re-scan parquet instead of pinning a fact-sized block set that
+    // holds the storageFraction floor at 100x under bench repetition
+    // (the proven OOM family from equi_depth_histogram/psi_drift).
+    // Only the k-row sketch — ≤ groups×k rows — is checkpointed.
     val sk = QuantileSketch.sketch(rows, col("g"), col("h"), col("v"), QkK)
       .localCheckpoint()
     val allSk = sk.unionByName(QuantileSketch.merge(sk, "ALL", QkK))

@@ -258,14 +258,13 @@ object AnalyticsQueries {
         16, 10).cast("long").as("h"))
     val sk = QuantileSketch.sketchThinned(
       ev, col("event_type"), col("h"), col("v"), WzK)
-    val bounds = sk.groupBy(col("_qk_g").as("event_type"))
-      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
-        " x -> x._qk_v)").as("vs"))
-      .select(col("event_type"),
-        expr("element_at(vs, cast((size(vs) * 5 + 99) div 100 as int))")
-          .as("lo_fp"),
-        expr("element_at(vs, cast((size(vs) * 95 + 99) div 100 as int))")
-          .as("hi_fp"))
+    // p05/p95 via the operator's integer-rank API (exact num/den
+    // arithmetic inside ranksAt) — no reliance on sketch-internal
+    // column names
+    val bounds = QuantileSketch.ranksAt(sk, Seq((5, 100), (95, 100)))
+      .groupBy(col("scope").as("event_type"))
+      .agg(min(when(col("num") === 5, col("est"))).as("lo_fp"),
+        min(when(col("num") === 95, col("est"))).as("hi_fp"))
     ev.join(broadcast(bounds), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -505,10 +504,14 @@ object AnalyticsQueries {
       ev, col("event_type"), col("h"), col("v"), MadSkK).localCheckpoint()
     val med = QuantileSketch.quantiles(sk, Seq(0.5))
       .select(col("scope").as("event_type"), col("est").as("med_fp"))
-    // deviation median over the same k-row sample (sketch rows only)
-    val devSk = sk.join(broadcast(med), col("_qk_g") === col("event_type"))
-      .select(col("_qk_g"), col("_qk_h"),
-        abs(col("_qk_v") - col("med_fp")).as("_qk_v"))
+    // deviation median over the same k-row sample (sketch rows only) —
+    // derived through the rows/fromRows public view, not the private
+    // _qk_* convention
+    val devSk = QuantileSketch.fromRows(
+      QuantileSketch.rows(sk)
+        .join(broadcast(med), col("scope") === col("event_type"))
+        .select(col("scope"), col("h"),
+          abs(col("v") - col("med_fp")).as("v")))
     val mad = QuantileSketch.quantiles(devSk, Seq(0.5))
       .select(col("scope").as("event_type"), col("est").as("mad_fp"))
     ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
@@ -906,9 +909,16 @@ object AnalyticsQueries {
       // make ln(p/q) undefined)
       .select(col("g"), col("bucket"),
         (col("na0") + 1).as("na"), (col("nb0") + 1).as("nb"))
-    val totals = bucketed.groupBy(col("g"))
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-    bucketed.join(broadcast(totals), "g")
+    // per-type totals as a window over the (g, bucket) relation — NOT a
+    // separate aggregate joined back: `bucketed` is only nB×n_types rows,
+    // but consuming it twice re-executes its whole subtree, i.e. the
+    // exact bucket-count scan runs TWICE over the full fact relation.
+    // The window keeps the plan to ONE exact pass; partitioned by g, so
+    // no partition-less window.
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    bucketed
+      .withColumn("ta", sum(col("na")).over(wG))
+      .withColumn("tb", sum(col("nb")).over(wG))
       .withColumn("term_fp",
         round(lit(1e6) *
           (col("na") / col("ta") - col("nb") / col("tb")) *
@@ -1084,9 +1094,9 @@ object AnalyticsQueries {
     // global bottom-k straight off the scan (TakeOrderedAndProject) — a
     // constant-group sketch() would constant-fold into a partition-less
     // Window (all rows to one partition)
-    val sk = QuantileSketch.sketchGlobal(docs, col("h"), col("n_chars"), "ALL", k)
-      .agg(expr("transform(sort_array(collect_list(struct(_qk_v, _qk_h)))," +
-        " x -> x._qk_v)").as("target"))
+    val sk = QuantileSketch.sortedValues(
+        QuantileSketch.sketchGlobal(docs, col("h"), col("n_chars"), "ALL", k))
+      .select(col("vs").as("target"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
     docs
@@ -1140,8 +1150,20 @@ object AnalyticsQueries {
     * user's first-seen epoch-week index, integer µs div — the
     * `cohort_retention` shape). Session-converted = the session contains
     * view → click → purchase IN ORDER. All stages integer; the share is
-    * 1e-6 floor division. Scale shape: one per-user window, then every
-    * relation is (user, session)- or user-cardinality. */
+    * 1e-6 floor division. Scale shape: one per-user window, then ONE
+    * groupBy reduces straight to (user, session) cardinality — the
+    * ordered funnel runs as a sorted-array state-machine walk INSIDE
+    * that aggregate (min-view, then min-click strictly after it, then
+    * min-purchase strictly after that: walking events in (us, event_id)
+    * order and taking the first qualifying event per stage IS the
+    * conditional-min chain, because each stage's predicate depends only
+    * on us). No event-cardinality relation is checkpointed or consumed
+    * twice — round 9's multi-join form re-read a cached sessionized
+    * relation five times, the storageFraction-floor family at 100x;
+    * this is the single-pass conditional aggregate. Per-group state is
+    * one session's events (gap-bounded — the bound any sessionization
+    * carries); the cohort week is then a user-partitioned window over
+    * session-cardinality rows. */
   private val pipelineSessionsFunnel: Q = (s, dir) => {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
@@ -1153,27 +1175,32 @@ object AnalyticsQueries {
       .withColumn("is_break",
         (col("us") - lag(col("us"), 1).over(w) > 1800000000L).cast("long"))
       .withColumn("sidx", sum(coalesce(col("is_break"), lit(0L))).over(wRun))
-      .localCheckpoint()
-    val key = Seq("user_id", "sidx")
-    val t1 = sess.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t1"))
-    val t2 = sess.filter(col("event_type") === "click")
-      .join(t1, key).filter(col("us") > col("t1"))
-      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t2"))
-    val t3 = sess.filter(col("event_type") === "purchase")
-      .join(t2, key).filter(col("us") > col("t2"))
-      .groupBy(col("user_id"), col("sidx")).agg(min(col("us")).as("t3"))
-    val sessions = sess.groupBy(col("user_id"), col("sidx"))
-      .agg(count(lit(1)).as("n_events"))
-    val cohort = sess.groupBy(col("user_id"))
-      .agg(expr("min(us) div 604800000000").as("cohort_week"))
-    sessions
-      .join(t3.select(col("user_id"), col("sidx"), lit(1L).as("conv")),
-        key, "left")
-      .join(cohort, "user_id")
+    val perSession = sess.groupBy(col("user_id"), col("sidx"))
+      .agg(count(lit(1)).as("n_events"), min(col("us")).as("min_us"),
+        expr("""aggregate(
+            array_sort(collect_list(struct(us, event_id, event_type))),
+            named_struct('t1', cast(null as bigint),
+                         't2', cast(null as bigint),
+                         't3', cast(null as bigint)),
+            (st, e) -> named_struct(
+              't1', CASE WHEN st.t1 IS NULL AND e.event_type = 'view'
+                         THEN e.us ELSE st.t1 END,
+              't2', CASE WHEN st.t2 IS NULL AND st.t1 IS NOT NULL
+                          AND e.event_type = 'click' AND e.us > st.t1
+                         THEN e.us ELSE st.t2 END,
+              't3', CASE WHEN st.t3 IS NULL AND st.t2 IS NOT NULL
+                          AND e.event_type = 'purchase' AND e.us > st.t2
+                         THEN e.us ELSE st.t3 END),
+            st -> CASE WHEN st.t3 IS NOT NULL
+                       THEN cast(1 as bigint) ELSE cast(0 as bigint) END)""")
+          .as("conv"))
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    perSession
+      .withColumn("u_min_us", min(col("min_us")).over(wU))
+      .withColumn("cohort_week", expr("u_min_us div 604800000000"))
       .groupBy(col("cohort_week"))
-      .agg(count(lit(1)).as("n_sessions"),
-        sum(coalesce(col("conv"), lit(0L))).as("n_conv"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_conv"))
       .withColumn("conv_fp", expr("1000000 * n_conv div n_sessions"))
   }
 

@@ -1304,13 +1304,6 @@ object StreamingQueries {
       expr("min(ts) + (max(ts) - min(ts)) div 2").cast("long").as("t"))
       .head().getLong(0)
 
-    val userSchema = StructType(Seq(
-      StructField("user_id", LongType), StructField("last_us", LongType),
-      StructField("last_sidx", LongType), StructField("first_us", LongType)))
-    val sessSchema = StructType(Seq(
-      StructField("user_id", LongType), StructField("sidx", LongType),
-      StructField("n_events", LongType), StructField("t1", LongType),
-      StructField("t2", LongType), StructField("t3", LongType)))
     var curUser: Option[String] = None
     var curSess: Option[String] = None
     val merges = new AtomicInteger(0)
@@ -1322,67 +1315,16 @@ object StreamingQueries {
     val q = frames.writeStream.outputMode("append")
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
         if (!df.isEmpty) {
-          def empty(sc: StructType) = s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
-          val uSt = curUser.map(s.read.parquet(_)).getOrElse(empty(userSchema))
-          val sSt = curSess.map(s.read.parquet(_)).getOrElse(empty(sessSchema))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-          val wRun = w.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-          // sessionize the batch; the first row per user gaps against the
-          // state's last_us (null for a new user → no break → sidx 0)
-          val batch = df
-            .join(uSt.select(col("user_id"), col("last_us"),
-              col("last_sidx")), Seq("user_id"), "left")
-            .withColumn("prev_us",
-              coalesce(lag(col("ts"), 1).over(w), col("last_us")))
-            .withColumn("is_break",
-              coalesce((col("ts") - col("prev_us") > 1800000000L)
-                .cast("long"), lit(0L)))
-            .withColumn("sidx", coalesce(col("last_sidx"), lit(0L))
-              + sum(col("is_break")).over(wRun))
-            .select(col("user_id"), col("event_id"), col("ts"),
-              col("event_type"), col("sidx"))
-          val key = Seq("user_id", "sidx")
-          // merge per-session state: counts sum, funnel mins chain
-          // against the state-as-merged-this-batch step times
-          val bn = batch.groupBy(col("user_id"), col("sidx"))
-            .agg(count(lit(1)).as("bn"))
-          val s0 = sSt.join(bn, key, "full_outer")
-            .select(col("user_id"), col("sidx"),
-              (coalesce(col("n_events"), lit(0L)) +
-                coalesce(col("bn"), lit(0L))).as("n_events"),
-              col("t1"), col("t2"), col("t3"))
-          val b1 = batch.filter(col("event_type") === "view")
-            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt1"))
-          val s1 = s0.join(b1, key, "left")
-            .select(col("user_id"), col("sidx"), col("n_events"),
-              least(col("t1"), col("bt1")).as("t1"), col("t2"), col("t3"))
-          val b2 = batch.filter(col("event_type") === "click")
-            .join(s1.select(col("user_id"), col("sidx"), col("t1")), key)
-            .filter(col("ts") > col("t1"))
-            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt2"))
-          val s2 = s1.join(b2, key, "left")
-            .select(col("user_id"), col("sidx"), col("n_events"), col("t1"),
-              least(col("t2"), col("bt2")).as("t2"), col("t3"))
-          val b3 = batch.filter(col("event_type") === "purchase")
-            .join(s2.select(col("user_id"), col("sidx"), col("t2")), key)
-            .filter(col("ts") > col("t2"))
-            .groupBy(col("user_id"), col("sidx")).agg(min(col("ts")).as("bt3"))
-          val s3 = s2.join(b3, key, "left")
-            .select(col("user_id"), col("sidx"), col("n_events"), col("t1"),
-              col("t2"), least(col("t3"), col("bt3")).as("t3"))
-          // merge per-user sessionizer state (time-split: batch max IS
-          // the new last_us; batch max sidx IS the new last session)
-          val bu = batch.groupBy(col("user_id")).agg(
-            max(col("ts")).as("bmax"), min(col("ts")).as("bmin"),
-            max(col("sidx")).as("bsidx"))
-          val u1 = uSt.join(bu, Seq("user_id"), "full_outer")
-            .select(col("user_id"),
-              greatest(col("last_us"), col("bmax")).as("last_us"),
-              coalesce(col("bsidx"), col("last_sidx")).as("last_sidx"),
-              least(col("first_us"), col("bmin")).as("first_us"))
+          // the merge recurrence lives in SessionFunnelState so the
+          // batch-boundary invariance claim is property-tested against
+          // the SAME code this gate runs (EngineProperties re-splits
+          // the stream at random quantiles)
+          import graft.streaming.SessionFunnelState
+          val uSt = curUser.map(s.read.parquet(_))
+            .getOrElse(SessionFunnelState.emptyUser(s))
+          val sSt = curSess.map(s.read.parquet(_))
+            .getOrElse(SessionFunnelState.emptySess(s))
+          val (u1, s3) = SessionFunnelState.mergeBatch(df, uSt, sSt)
           val outU = tmp.resolve(s"user_v$id").toString
           val outS = tmp.resolve(s"sess_v$id").toString
           u1.write.mode("overwrite").parquet(outU)

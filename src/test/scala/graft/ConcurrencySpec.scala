@@ -26,7 +26,13 @@ class ConcurrencySpec extends SparkSpec {
     "streaming_unique_users",
     // round-8 additions: a scratch-dir foreachBatch gate and the
     // sketch-composed histogram racing the batch queries
-    "streaming_funnel", "equi_depth_histogram")
+    "streaming_funnel", "equi_depth_histogram",
+    // round-9 gates raced in round 10: winsorize_sketch's starvation
+    // guard rides a broadcast join (assert_true under concurrency is
+    // exactly what to race), percentile_bucket shares the sketchThinned
+    // machinery, and streaming_sessions_funnel drives TWO versioned
+    // foreachBatch state dirs under concurrent session use
+    "winsorize_sketch", "percentile_bucket", "streaming_sessions_funnel")
 
   /** Canonical result fingerprint: sorted row renderings (schema-ordered
     * columns, null-safe) — identical iff the row multisets are. */
@@ -36,7 +42,7 @@ class ConcurrencySpec extends SparkSpec {
         if (r.isNullAt(i)) "\u0000" else r.get(i).toString).mkString("|"))
       .sorted.toSeq
 
-  test("twelve mixed gates run concurrently on one session, results unchanged") {
+  test("fifteen mixed gates run concurrently on one session, results unchanged") {
     val serial = names.map(n => n -> fingerprint(n)).toMap
     val confBefore = spark.conf.getAll
 

@@ -6,6 +6,10 @@ import graft.functions.TextFunctions
 import graft.model.LogFrame
 import graft.operators.UniqueUsers
 
+/** Event row for the sessions-funnel split-invariance property (top
+  * level so the Dataset encoder codegens). */
+case class SfEv(user_id: Long, event_id: Long, ts: Long, event_type: String)
+
 /** Property-based invariants (SURVEY §5.4): results must be invariant
   * under input permutation and duplication, dedup must be idempotent, and
   * fingerprints must respect their equivalence classes. Case count kept
@@ -553,6 +557,52 @@ object EngineProperties extends Properties("engine") {
               lo.getAs[Long]("max_v") < hi.getAs[Long]("min_v")
             }
           }
+      }
+    }
+
+  // ── streaming_sessions_funnel: batch-boundary invariance ─────────────
+  // The gate pins ONE midpoint split; the mergeability argument claims
+  // ANY time split works. This folds the gate's ACTUAL merge recurrence
+  // (SessionFunnelState.mergeBatch — the code the foreachBatch runs)
+  // over random-quantile splits and demands final state relations
+  // identical to the single-batch fold. (SfEv is top-level: a case
+  // class nested in this object defeats encoder codegen.)
+  private val genSfEvents: Gen[List[SfEv]] =
+    Gen.listOfN(150, for {
+      uid <- Gen.choose(1L, 10L)
+      ts  <- Gen.choose(0L, 3L * 3600000000L) // 3 h span in µs → real gaps
+      et  <- Gen.oneOf("view", "click", "purchase", "scroll")
+    } yield (uid, ts, et)).map(_.zipWithIndex.map {
+      case ((u, t, e), i) => SfEv(u, i.toLong, t, e)
+    })
+
+  private def foldSessionState(evs: Seq[SfEv], cuts: Seq[Long])
+      : (Seq[Seq[Any]], Seq[Seq[Any]]) = {
+    import graft.streaming.SessionFunnelState
+    var uSt = SessionFunnelState.emptyUser(spark)
+    var sSt = SessionFunnelState.emptySess(spark)
+    var lo = Long.MinValue
+    for (hi <- cuts.sorted.distinct :+ Long.MaxValue) {
+      val b = evs.filter(e => e.ts > lo && e.ts <= hi)
+      if (b.nonEmpty) {
+        val (u1, s1) = SessionFunnelState.mergeBatch(b.toDF(), uSt, sSt)
+        // materialize each version, like the gate's parquet round-trip
+        uSt = u1.localCheckpoint(); sSt = s1.localCheckpoint()
+      }
+      lo = hi
+    }
+    (uSt.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq,
+      sSt.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq)
+  }
+
+  property("sessions-funnel state is invariant to WHERE the stream splits") =
+    Prop.forAll(genSfEvents, Gen.choose(1, 3),
+      Gen.listOfN(3, Gen.choose(0.05, 0.95))) { (evs, nCuts, qs) =>
+      evs.isEmpty || {
+        val tss = evs.map(_.ts).sorted
+        val cuts = qs.take(nCuts)
+          .map(q => tss(((tss.size - 1) * q).toInt)).distinct
+        foldSessionState(evs, Seq.empty) == foldSessionState(evs, cuts)
       }
     }
 }

@@ -10,8 +10,24 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PackagedJarSpec extends AnyFunSuite {
 
-  private val jar = new java.io.File(
-    "target/scala-2.13/kafkastreamsjavachallengespark_2.13-0.1.0.jar")
+  // Artifact path comes from sbt (build.sbt sets -Dgraft.packaged.jar
+  // from Compile/packageBin/artifactPath) so a version bump can't break
+  // the suite; the glob fallback covers running the class outside sbt.
+  private val jar: java.io.File = sys.props.get("graft.packaged.jar")
+    .map(new java.io.File(_))
+    .orElse {
+      val dir = new java.io.File("target/scala-2.13")
+      Option(dir.listFiles()).flatMap(_.filter(f =>
+        f.getName.endsWith(".jar") && !f.getName.contains("sources") &&
+          !f.getName.contains("javadoc")).sortBy(_.getName).headOption)
+    }
+    .getOrElse(new java.io.File("target/scala-2.13/missing.jar"))
+
+  // Environment layout is overridable; defaults match this image.
+  private val sparkJarsDir =
+    sys.env.getOrElse("SPARK_JARS_DIR", "/opt/spark/jars")
+  private val tinySfDir =
+    sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
 
   test("sbt package produced the artifact with the public API inside") {
     assert(jar.exists(),
@@ -48,8 +64,8 @@ class PackagedJarSpec extends AnyFunSuite {
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = Seq("java") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Xmx2g",
-      "-cp", s"${jar.getPath}:/opt/spark/jars/*",
-      "graft.PackagedSmoke", "/root/testdata/sf0.001", "q1_agg")
+      "-cp", s"${jar.getPath}:$sparkJarsDir/*",
+      "graft.PackagedSmoke", tinySfDir, "q1_agg")
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
     val reader = new java.io.BufferedReader(
