@@ -84,21 +84,30 @@ object QuantileSketch {
                     valueCol: Column, k: Int, margin: Int = 8): DataFrame = {
     val tagged = rows.select(
       groupCol.as("_qk_g"), hashCol.as("_qk_h"), valueCol.as("_qk_v"))
+    val keep = k.toLong * margin
     val counts = tagged.groupBy(col("_qk_g"))
       .agg(count(lit(1)).as("_qk_n"))
-    val keep = k.toLong * margin
+      // Thin threshold h ≤ 2^60 · keep / n_g precomputed ONCE PER GROUP
+      // here (it depends only on _qk_n) — inlining it in the row filter
+      // costs a decimal(38,0) multiply-divide per fact row, measured as
+      // a visible slice of the 100× thin pass. Exact decimal(38,0)
+      // arithmetic; the divisor is floored at keep+1 so the integral
+      // quotient is ALWAYS < 2^60 (BIGINT-safe) no matter which
+      // disjunct a codegen path evaluates first — for groups with
+      // _qk_n ≤ keep the count disjunct already keeps every row, so
+      // flooring never changes which rows survive; for _qk_n > keep
+      // the floor is a no-op (greatest picks _qk_n).
+      .withColumn("_qk_thresh", expr(
+        s"cast(cast(1152921504606846976 as decimal(38,0)) * $keep" +
+          s" div greatest(_qk_n, ${keep + 1}) as bigint)"))
+      // consumed twice (thin-filter broadcast + the starvation guard);
+      // without materializing, the full count scan runs twice per use.
+      // This operator is for LOW-cardinality groups by contract, so the
+      // relation is a handful of rows — the allowed side of the
+      // no-fact-caching rule.
+      .localCheckpoint()
     val thinned = tagged.join(broadcast(counts), "_qk_g")
-      .filter(col("_qk_n") <= keep ||
-        // h ≤ 2^60 · keep / n_g, carried out in exact decimal(38,0).
-        // The divisor is floored at keep+1 so the integral quotient is
-        // ALWAYS < 2^60 (BIGINT-safe) no matter which disjunct a given
-        // codegen path evaluates first — for groups with _qk_n ≤ keep
-        // the left disjunct already keeps every row, so flooring never
-        // changes which rows survive; for _qk_n > keep the floor is a
-        // no-op (greatest picks _qk_n).
-        col("_qk_h") <= expr(
-          s"cast(1152921504606846976 as decimal(38,0)) * $keep" +
-            s" div greatest(_qk_n, ${keep + 1})"))
+      .filter(col("_qk_n") <= keep || col("_qk_h") <= col("_qk_thresh"))
     val sk = thinned
       .withColumn("_qk_r", row_number().over(
         Window.partitionBy(col("_qk_g")).orderBy(col("_qk_h"), col("_qk_v"))))
@@ -176,6 +185,83 @@ object QuantileSketch {
         ceil(lit(q) * size(col("vs"))).cast("int")).as("est")))
     packed.select(col("scope"), explode(array(picks: _*)).as("qe"))
       .select(col("scope"), col("qe.q").as("q"), col("qe.est").as("est"))
+  }
+
+  /** EXACT quantiles over a RAW relation, sketch-guided — (scope, q,
+    * est) where est is the raw value at ascending (value, hash) rank
+    * ceil(q·n) per group, computed WITHOUT ever sorting a whole group or
+    * packing it into one array (`quantiles` is for ≤ k-row sketch
+    * relations ONLY — feeding it a fact-sized relation collects whole
+    * groups into single arrays and OOMs, measured at the 100× probe).
+    * Classic two-pass selection with the sketch as the pilot:
+    *
+    *  1. bucket every row by its group's sorted sketch values (broadcast
+    *     arrays, ≤ k longs each) and count rows per (group, bucket) —
+    *     one map-side-combinable scan; cumulative offsets over the
+    *     ≤ (k+1)-row-per-group counts locate, for every target rank,
+    *     the ONE bucket containing it (offsets are exact, so this can't
+    *     miss — no starvation mode);
+    *  2. re-scan keeping only rows in target buckets (expected n/k of
+    *     the data per bucket — the sketch's equi-depth cell; heavy
+    *     value-ties concentrate a bucket but never break exactness) and
+    *     rank within each (group, bucket) window — partitions are
+    *     cell-sized, never group-sized.
+    *
+    * Rank arithmetic mirrors `quantiles` (float ceil(q·n), the gates'
+    * established oracle convention), so est here is bit-identical to
+    * the rank-pick a total sort would produce. */
+  def exactQuantilesSketchGuided(rows: DataFrame, groupCol: Column,
+      hashCol: Column, valueCol: Column, sketchRows: DataFrame,
+      qs: Seq[Double]): DataFrame = {
+    // Keep the caller's original columns alongside (_qk_g, _qk_v) so the
+    // HASH — typically an md5 derivation, the most expensive per-row
+    // expression in sight — can be evaluated AFTER the target-bucket
+    // semi-join, i.e. for ~n/k of the rows instead of all of them (and
+    // never in the count pass, where column pruning drops it entirely).
+    val base = rows
+      .withColumn("_qk_g", groupCol)
+      .withColumn("_qk_v", valueCol)
+    val bounds = sortedValues(sketchRows)
+      .select(col("scope").as("_qk_g"), col("vs"))
+    val bucketed = base.join(broadcast(bounds), "_qk_g")
+      // O(log k) codegen'd binary search, NOT size(filter(...)): the HOF
+      // form is O(k) interpreted lambda calls per row and dominated the
+      // 100× probe (see SortedCountLE scaladoc)
+      .withColumn("_qk_b",
+        graft.functions.SortedSearch.sortedCountLE(col("vs"), col("_qk_v")))
+      .drop("vs")
+    val counts = bucketed.groupBy(col("_qk_g"), col("_qk_b"))
+      .agg(count(lit(1)).as("_qk_c"))
+    val wCum = Window.partitionBy(col("_qk_g")).orderBy(col("_qk_b"))
+    val wTot = Window.partitionBy(col("_qk_g"))
+    val targets = counts
+      .withColumn("_qk_before", sum(col("_qk_c")).over(wCum) - col("_qk_c"))
+      .withColumn("_qk_n", sum(col("_qk_c")).over(wTot))
+      .select(col("_qk_g"), col("_qk_b"), col("_qk_before"), col("_qk_c"),
+        col("_qk_n"), explode(array(qs.map(lit(_)): _*)).as("q"))
+      .withColumn("_qk_r",
+        ceil(col("q") * col("_qk_n")).cast("long"))
+      .filter(col("_qk_r") > col("_qk_before") &&
+        col("_qk_r") <= col("_qk_before") + col("_qk_c"))
+      .select(col("_qk_g"), col("_qk_b"), col("q"),
+        (col("_qk_r") - col("_qk_before")).as("_qk_roff"))
+      // targets is ≤ |qs|·groups rows but its SUBTREE is the full count
+      // pass — it feeds two broadcasts below, and without materializing
+      // it the 100× probe re-ran the fact-sized count scan twice.
+      // Checkpointing a ≤16-row relation is the allowed side of the
+      // no-fact-caching rule.
+      .localCheckpoint()
+    val wSel = Window.partitionBy(col("_qk_g"), col("_qk_b"))
+      .orderBy(col("_qk_v"), col("_qk_h"))
+    bucketed
+      .join(broadcast(targets.select(col("_qk_g"), col("_qk_b")).distinct()),
+        Seq("_qk_g", "_qk_b"))
+      // hash evaluated here — only for rows inside target cells
+      .withColumn("_qk_h", hashCol)
+      .withColumn("_qk_rn", row_number().over(wSel))
+      .join(broadcast(targets), Seq("_qk_g", "_qk_b"))
+      .filter(col("_qk_rn") === col("_qk_roff"))
+      .select(col("_qk_g").as("scope"), col("q"), col("_qk_v").as("est"))
   }
 
   /** INTEGER-rank picks — (scope, num, den, est): the sketch value at

@@ -265,28 +265,44 @@ object AdvancedQueries {
     // 40-bit space has ~16% chance of SOME collision — one tie at the
     // boundary and the two engines pick different sketches (bit one sf0.1
     // run). 60 bits puts collision odds at ~10⁻⁷.
-    val rows = Tables.lineitem(s, dir).select(
-      col("l_returnflag").as("g"),
-      conv(substring(md5(
+    val hExpr = conv(substring(md5(
         concat(col("l_orderkey"), lit("_"), col("l_linenumber"))), 1, 15),
-        16, 10).cast("long").as("h"),
+      16, 10).cast("long")
+    // keyed carries the RAW key columns, not a materialized hash — the
+    // exact-side operator evaluates hExpr only inside target cells
+    // (~n/k of the rows); materializing h here would force the md5 for
+    // every row in every pass
+    val keyed = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").as("v"))
+    val rows = keyed.select(col("g"), hExpr.as("h"), col("v"))
     // NO checkpoint/cache on the fact-sized projection: the md5 hash is
-    // deterministic, so both consumers (sketch + exact rank-pick rider)
-    // re-scan parquet instead of pinning a fact-sized block set that
-    // holds the storageFraction floor at 100x under bench repetition
-    // (the proven OOM family from equi_depth_histogram/psi_drift).
-    // Only the k-row sketch — ≤ groups×k rows — is checkpointed.
-    val sk = QuantileSketch.sketch(rows, col("g"), col("h"), col("v"), QkK)
+    // deterministic, so every consumer re-scans parquet instead of
+    // pinning a fact-sized block set that holds the storageFraction
+    // floor at 100x under bench repetition (the proven OOM family from
+    // equi_depth_histogram/psi_drift). Only the k-row sketch is
+    // checkpointed. The 100x probe also caught the other two
+    // fact-relation hazards here, both fixed: `sketch`'s per-group
+    // window was a 3-partition total sort (→ sketchThinned,
+    // bit-identical), and the exact rider fed the RAW relation to
+    // `quantiles`, packing each group into ONE collect_list array
+    // (OOM at 60 M rows → exactQuantilesSketchGuided: bucket-count +
+    // cell-sized selection, never a group-sized sort or array).
+    val sk = QuantileSketch.sketchThinned(
+        rows, col("g"), col("h"), col("v"), QkK)
       .localCheckpoint()
     val allSk = sk.unionByName(QuantileSketch.merge(sk, "ALL", QkK))
     val est = QuantileSketch.quantiles(allSk, QkQs)
     // exact side: identical rank-pick over the RAW relation (+ its ALL
     // relabel) — selected raw values, so est/exact compare bit-for-bit
-    val raw = rows.select(col("g").as("_qk_g"), col("h").as("_qk_h"),
-      col("v").as("_qk_v"))
-    val exact = QuantileSketch.quantiles(
-        raw.unionByName(raw.withColumn("_qk_g", lit("ALL"))), QkQs)
+    // the ALL relabel rides an explode, NOT a union: each exact-side
+    // pass reads parquet ONCE and doubles rows in-flight (a union makes
+    // every pass two scans — measured ~4.6 s/pass at 100×)
+    val doubled = keyed.withColumn("g",
+      explode(array(col("g"), lit("ALL"))))
+    val exact = QuantileSketch.exactQuantilesSketchGuided(
+        doubled, col("g"), hExpr, col("v"), allSk, QkQs)
       .withColumnRenamed("est", "exact")
     est.join(exact, Seq("scope", "q"))
       .select(col("scope"), col("q"), col("est"), col("exact"),
