@@ -85,53 +85,89 @@ object QuantileSketch {
     val tagged = rows.select(
       groupCol.as("_qk_g"), hashCol.as("_qk_h"), valueCol.as("_qk_v"))
     val keep = k.toLong * margin
-    val counts = tagged.groupBy(col("_qk_g"))
-      .agg(count(lit(1)).as("_qk_n"))
-      // Thin threshold h ≤ 2^60 · keep / n_g precomputed ONCE PER GROUP
-      // here (it depends only on _qk_n) — inlining it in the row filter
-      // costs a decimal(38,0) multiply-divide per fact row, measured as
-      // a visible slice of the 100× thin pass. Exact decimal(38,0)
-      // arithmetic; the divisor is floored at keep+1 so the integral
-      // quotient is ALWAYS < 2^60 (BIGINT-safe) no matter which
-      // disjunct a codegen path evaluates first — for groups with
-      // _qk_n ≤ keep the count disjunct already keeps every row, so
-      // flooring never changes which rows survive; for _qk_n > keep
-      // the floor is a no-op (greatest picks _qk_n).
-      .withColumn("_qk_thresh", expr(
-        s"cast(cast(1152921504606846976 as decimal(38,0)) * $keep" +
-          s" div greatest(_qk_n, ${keep + 1}) as bigint)"))
-      // consumed twice (thin-filter broadcast + the starvation guard);
-      // without materializing, the full count scan runs twice per use.
-      // This operator is for LOW-cardinality groups by contract, so the
-      // relation is a handful of rows — the allowed side of the
-      // no-fact-caching rule.
-      .localCheckpoint()
-    val thinned = tagged.join(broadcast(counts), "_qk_g")
-      .filter(col("_qk_n") <= keep || col("_qk_h") <= col("_qk_thresh"))
+    // Group counts COLLECTED to the driver — this operator is for
+    // LOW-cardinality groups by contract, so the count relation is a
+    // handful of rows (the allowed side of the no-fact-caching rule,
+    // taken one step further: no relation at all). The thin threshold
+    // then inlines as a literal CASE on the group key instead of a
+    // broadcast join — even a 5-row broadcast hash join prices every
+    // fact row through join machinery (measured on psi_drift's thin
+    // pass at the 10^8-row decade). Groups with n ≤ keep thin nothing:
+    // their threshold is Long.MaxValue (h ≤ MAX ⟺ keep every row —
+    // exactly the old n ≤ keep disjunct); otherwise the exact BigInt
+    // quotient 2^60·keep/n, always < 2^60 so BIGINT-safe.
+    val countRows = tagged.groupBy(col("_qk_g"))
+      .agg(count(lit(1)).as("_qk_n")).collect()
+      .map(r => r.get(0) -> r.getLong(1)).toList
+    val threshOf = countRows.map { case (g, n) =>
+      g -> (if (n <= keep) Long.MaxValue
+            else (BigInt(1152921504606846976L) * keep / BigInt(n)).toLong)
+    }
+    val thinned =
+      if (threshOf.isEmpty) tagged.filter(lit(false))
+      else {
+        val expr0 = when(col("_qk_g") === lit(threshOf.head._1),
+          lit(threshOf.head._2))
+        val threshExpr = threshOf.tail.foldLeft(expr0) {
+          case (acc, (gv, t)) => acc.when(col("_qk_g") === lit(gv), lit(t))
+        }
+        tagged.filter(col("_qk_h") <= threshExpr)
+      }
     val sk = thinned
       .withColumn("_qk_r", row_number().over(
         Window.partitionBy(col("_qk_g")).orderBy(col("_qk_h"), col("_qk_v"))))
       .filter(col("_qk_r") <= k)
       .select(col("_qk_g"), col("_qk_h"), col("_qk_v"))
-    // Guard keyed on the COUNTS relation (the authoritative group list),
-    // not on sketch rows — a totally starved group leaves no sketch row
-    // to carry an assert, so the assert rides the guard's join key: it
-    // evaluates for every group when the broadcast build side
-    // materializes, throwing even when the group's sketch came out empty.
-    val guard = counts
+      // ≤ groups×k rows (the allowed cache class): the guard below and
+      // the returned relation both read this materialization, so the
+      // thin pass over the fact relation runs ONCE per call, not once
+      // per consumer — and the sketch can never constant-fold away.
+      .localCheckpoint()
+    // Starvation guard as a UNION child, not a join: rows exist (and
+    // therefore THROW via assert_true on materialization) exactly for
+    // groups whose sketch came out smaller than min(k, n). A join-shaped
+    // guard riding the main relation can be ELIMINATED without ever
+    // evaluating the assert — statically when a foldable input lets the
+    // optimizer prove the sketch empty, or at runtime when AQE replaces
+    // a join whose probe stage returned 0 rows with an empty relation.
+    // A union child survives both: its emptiness is exactly the
+    // starvation predicate, so proving it empty means nothing starved.
+    // Keyed on the COUNTS list (the authoritative group list) so even a
+    // TOTALLY starved group — no sketch row left to carry an assert —
+    // produces a throwing row.
+    val spark = rows.sparkSession
+    val schema = sk.schema
+    val countsDf = spark.createDataFrame(
+      java.util.Arrays.asList(countRows.map { case (g, n) =>
+        org.apache.spark.sql.Row(g, n) }: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_qk_g", schema("_qk_g").dataType),
+        org.apache.spark.sql.types.StructField("_qk_n",
+          org.apache.spark.sql.types.LongType))))
+    // The starvation CONDITION lives inside assert_true itself — NOT as
+    // a separate filter in front of an assert_true(false): predicate
+    // pushdown treats a column-free assert as movable anywhere (a
+    // downstream join's isnotnull(_qk_g) pushed it below the filter
+    // straight onto the counts LocalRelation, where
+    // ConvertToLocalRelation evaluated it at OPTIMIZE time and threw on
+    // healthy data). With the condition folded in, every evaluation
+    // order yields the same semantics: raise iff some group's sketch is
+    // smaller than min(k, n); null (row filtered) otherwise. The
+    // condition references both join sides, so no optimizer rule can
+    // strand it on a foldable relation.
+    val starved = countsDf
       .join(sk.groupBy(col("_qk_g")).agg(count(lit(1)).as("_qk_sz")),
         Seq("_qk_g"), "left")
-      .select(when(
-          coalesce(col("_qk_sz"), lit(0L)) ===
+      .select(
+        assert_true(coalesce(col("_qk_sz"), lit(0L)) ===
             least(lit(k.toLong), col("_qk_n")),
-          col("_qk_g"))
-        // NullType: coerces to the group type, throws whenever evaluated
-        .otherwise(assert_true(lit(false),
           lit("QuantileSketch.sketchThinned: thin filter starved a group's " +
-            "sketch below min(k, n) — raise `margin`")))
-        .as("_qk_gok"))
-    sk.join(broadcast(guard), col("_qk_g") === col("_qk_gok"))
-      .select(col("_qk_g"), col("_qk_h"), col("_qk_v"))
+            "sketch below min(k, n) — raise `margin`"))
+          .cast(schema("_qk_g").dataType).as("_qk_g"),
+        lit(null).cast(schema("_qk_h").dataType).as("_qk_h"),
+        lit(null).cast(schema("_qk_v").dataType).as("_qk_v"))
+      .filter(col("_qk_g").isNotNull) // empty on success — assert is null
+    sk.unionByName(starved)
   }
 
   /** Merge sketch rows into ONE sketch under a new label: union → keep
@@ -221,15 +257,37 @@ object QuantileSketch {
     val base = rows
       .withColumn("_qk_g", groupCol)
       .withColumn("_qk_v", valueCol)
-    val bounds = sortedValues(sketchRows)
-      .select(col("scope").as("_qk_g"), col("vs"))
-    val bucketed = base.join(broadcast(bounds), "_qk_g")
-      // O(log k) codegen'd binary search, NOT size(filter(...)): the HOF
-      // form is O(k) interpreted lambda calls per row and dominated the
-      // 100× probe (see SortedCountLE scaladoc)
-      .withColumn("_qk_b",
-        graft.functions.SortedSearch.sortedCountLE(col("vs"), col("_qk_v")))
-      .drop("vs")
+    // Sketch boundaries are driver-scale (≤ groups × k rows) — collect
+    // them and inline ONE literal sorted array per group in a CASE on
+    // the group key, with the O(log k) codegen'd binary search
+    // (SortedCountLE) picking the bucket. Two measured traps this
+    // avoids, each dominating a probe at scale: (a) size(filter(...))
+    // is O(k) interpreted lambda calls per row; (b) joining the bounds
+    // RELATION carries the k-element array through the join for every
+    // fact row (psi_drift's bucket pass: 9.3 s join-carried vs 2.7 s
+    // literal at 10^8 rows). Groups absent from the sketch yield a
+    // null bucket and are filtered — the inner-join semantics exactly.
+    val boundsLocal = sortedValues(sketchRows).collect()
+      .map(r => r.get(0) -> r.getSeq[Any](1)).toList
+    val bucketed =
+      if (boundsLocal.isEmpty) base.withColumn("_qk_b", lit(null: String).cast("int"))
+        .filter(col("_qk_b").isNotNull)
+      else {
+        val et = sketchRows.schema("_qk_v").dataType
+        def pick(bs: Seq[Any]): Column =
+          graft.functions.SortedSearch.sortedCountLE(
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal.create(
+                bs, org.apache.spark.sql.types.ArrayType(et, containsNull = false))),
+            col("_qk_v"))
+        val expr0 = when(col("_qk_g") === lit(boundsLocal.head._1),
+          pick(boundsLocal.head._2))
+        base.withColumn("_qk_b", boundsLocal.tail.foldLeft(expr0) {
+            case (acc, (gv, bs)) =>
+              acc.when(col("_qk_g") === lit(gv), pick(bs))
+          })
+          .filter(col("_qk_b").isNotNull)
+      }
     val counts = bucketed.groupBy(col("_qk_g"), col("_qk_b"))
       .agg(count(lit(1)).as("_qk_c"))
     val wCum = Window.partitionBy(col("_qk_g")).orderBy(col("_qk_b"))

@@ -879,32 +879,82 @@ object AnalyticsQueries {
     import graft.operators.QuantileSketch
     val k = 128
     val nB = 8
+    val keep = 1024L // k × margin 8 — the sketchThinned thin budget
     val ev = Tables.events(s, dir).select(col("event_type").as("g"),
       col("event_id"), unix_micros(col("ts")).as("us"),
       conv(substring(md5(concat(lit("psi_"), col("event_id"))), 1, 15),
         16, 10).cast("long").as("h"),
       round(col("value") * 100).cast("long").as("v"))
     // no checkpoint/cache of the raw relation: the projection is
-    // deterministic md5 + round, so the three consumers re-scan parquet —
-    // caching 10^8 rows starves execution memory (storageFraction floor)
-    // long before the recompute would cost anything
-    val mid = ev.agg(expr("min(us) + (max(us) - min(us)) div 2")
-      .cast("long")).head().getLong(0)
-    val first = ev.filter(col("us") <= mid)
-    // thinned form: count → hash-threshold → k-row sort (bit-identical to
-    // sketch(); no per-type total sort of the reference half)
-    val sk = QuantileSketch.sketchThinned(first, col("g"), col("h"), col("v"), k)
+    // deterministic md5 + round, so consumers re-scan parquet — caching
+    // 10^8 rows starves execution memory (storageFraction floor) long
+    // before the recompute would cost anything.
+    //
+    // THREE data passes total (round-10 re-plan; was four): the global
+    // midpoint and the per-type counts fold into ONE stats pass (h and
+    // v pruned from its scan), the thin pass reads only the reference
+    // half (the us ≤ mid filter sits below the md5 projection), and the
+    // bucket-count pass is the one exact full scan.
+    val stats = ev.groupBy(col("g")).agg(count(lit(1)).as("n_tot"),
+      min(col("us")).as("mn"), max(col("us")).as("mx")).collect()
+    val mn = stats.map(_.getAs[Long]("mn")).min
+    val mx = stats.map(_.getAs[Long]("mx")).max
+    val mid = mn + (mx - mn) / 2 // == min + (max − min) div 2, both ≥ 0
+    // Thin thresholds from TOTAL per-type counts (first-half counts
+    // aren't known without another pass): T_g = 2^60·keep/max(n_tot,
+    // keep+1), exact integer arithmetic, so expected survivors are
+    // ~keep·(n_half/n_tot) ≈ keep/2 = 4k — starving below k is
+    // e^−k-improbable, and the guard on the final aggregation still
+    // catches it EXACTLY (n_half is recovered from the smoothed totals
+    // as total_a − n_buckets). Thinning never changes the result
+    // otherwise: the bottom-k under h-order is invariant to dropping
+    // rows above the threshold.
+    // Thresholds inline as a literal CASE on g, NOT a broadcast join:
+    // even a 5-row broadcast hash join prices every fact row through
+    // join machinery; a when-chain of literals stays inside the scan's
+    // codegen (the bounds join below was measured at 3.4× the pass cost
+    // at this decade before the same change).
+    val threshOf = stats.map(r => r.getAs[String]("g") ->
+      (BigInt(1152921504606846976L) * keep /
+        BigInt(r.getAs[Long]("n_tot")).max(BigInt(keep + 1))).toLong).toSeq
+    val threshExpr = threshOf.tail.foldLeft(
+      when(col("g") === threshOf.head._1, lit(threshOf.head._2))) {
+      case (acc, (gv, t)) => acc.when(col("g") === gv, lit(t))
+    }
+    val surv = ev.filter(col("us") <= mid && col("h") <= threshExpr)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("v"))
+    val sk = surv.withColumn("_rk", row_number().over(wB))
+      .filter(col("_rk") <= k)
+      .select(col("g").as("_qk_g"), col("h").as("_qk_h"),
+        col("v").as("_qk_v"))
+      .localCheckpoint() // ≤ 5k rows: the allowed side of the cache rule
+    val skSz = sk.groupBy(col("_qk_g").as("g"))
+      .agg(count(lit(1)).as("sk_sz"))
     val qs = (1 until nB).map(_.toDouble / nB) // dyadic: exact doubles
-    val bounds = QuantileSketch.quantiles(sk, qs)
-      .groupBy(col("scope").as("g"))
-      .agg(sort_array(collect_list(col("est"))).as("bs"))
-    val bucketed = ev.join(broadcast(bounds), "g")
-      .withColumn("bucket",
-        size(filter(col("bs"), b => b <= col("v"))).cast("long"))
-      .withColumn("half", when(col("us") <= mid, "a").otherwise("b"))
+    // Bounds collected to the driver (≤ 5 types × 7 values — the same
+    // driver-scale class as `stats`) and inlined as LITERAL sorted
+    // arrays in a CASE on g: joining the bounds relation instead
+    // carries the array through the join for every fact row — measured
+    // 9.3 s vs 2.7 s for this pass at the 1000× decade. Bucket pick is
+    // the codegen'd binary search; types absent from the sketch yield a
+    // null bucket and are filtered, replicating the join's inner
+    // semantics bit-for-bit.
+    val boundsLocal = QuantileSketch.quantiles(sk, qs)
+      .groupBy(col("scope")).agg(sort_array(collect_list(col("est"))).as("bs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toList
+    val bucketExpr = boundsLocal.tail.foldLeft(
+      when(col("g") === boundsLocal.head._1, graft.functions.SortedSearch
+        .sortedCountLE(typedLit(boundsLocal.head._2), col("v")))) {
+      case (acc, (gv, bs)) => acc.when(col("g") === gv,
+        graft.functions.SortedSearch.sortedCountLE(typedLit(bs), col("v")))
+    }
+    val bucketed = ev
+      .withColumn("bucket", bucketExpr.cast("long"))
+      .filter(col("bucket").isNotNull)
       .groupBy(col("g"), col("bucket"))
-      .agg(count_if(col("half") === "a").as("na0"),
-        count_if(col("half") === "b").as("nb0"))
+      .agg(count_if(col("us") <= mid).as("na0"),
+        count_if(col("us") > mid).as("nb0"))
       // +1 Laplace smoothing per bucket (documented; empty buckets would
       // make ln(p/q) undefined)
       .select(col("g"), col("bucket"),
@@ -926,7 +976,23 @@ object AnalyticsQueries {
           .cast("long"))
       .groupBy(col("g"))
       .agg(min(col("ta")).as("total_a"), min(col("tb")).as("total_b"),
-        sum(col("term_fp")).as("psi_fp"))
+        sum(col("term_fp")).as("psi_fp"),
+        count(lit(1)).as("_nbk"))
+      // Starvation guard, EXACT: the reference-half count is recovered
+      // from the smoothed totals (total_a = n_half + observed buckets),
+      // so a thinned sketch smaller than min(k, n_half) throws loudly
+      // instead of shipping a subtly-biased PSI. (A type whose sketch
+      // starved to EMPTY would drop out of `bounds` upstream — the same
+      // pre-existing edge as an empty reference half — but requires all
+      // n_half hashes above the threshold: P ≈ e^−keep/2.)
+      .join(broadcast(skSz), Seq("g"))
+      .withColumn("psi_fp",
+        when(col("sk_sz") ===
+            least(lit(k.toLong), col("total_a") - col("_nbk")),
+          col("psi_fp"))
+        .otherwise(assert_true(lit(false),
+          lit("psi_drift: total-count thin filter starved the reference " +
+            "sketch below min(k, n_half) — raise keep")).cast("long")))
       .select(col("g").as("event_type"), col("total_a"), col("total_b"),
         col("psi_fp"))
   }
