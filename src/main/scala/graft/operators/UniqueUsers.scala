@@ -52,8 +52,8 @@ object UniqueUsers {
       .groupBy(col("minute"))
       .agg(approx_count_distinct(col("uid"), rsd).as("unique_users_approx"))
 
-  /** Sketch-vs-exact self-check: ONE aggregate computes both the HLL++
-    * estimate and the exact distinct, then emits the exact count plus a
+  /** Sketch-vs-exact self-check: computes the HLL++ estimate and the
+    * exact distinct, then emits the exact count plus a
     * boolean `within_bound` = |approx − exact| ≤ max(absSlack, relBound ×
     * exact). The boolean makes the sketch ORACLE-CHECKABLE: a cross-engine
     * oracle can't reproduce engine-specific HLL values, but it can assert
@@ -68,14 +68,23 @@ object UniqueUsers {
    * while cutting the measured gate time ~4× at sf0.1. */
   def perMinuteApproxChecked(events: DataFrame, eventTime: Column, idCol: Column,
                              rsd: Double = 0.02, relBound: Double = 0.05,
-                             absSlack: Int = 5): DataFrame =
-    events
+                             absSlack: Int = 5): DataFrame = {
+    val ev = events
       .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
-      .groupBy(col("minute"))
-      .agg(approx_count_distinct(col("uid"), rsd).as("approx"),
-        count_distinct(col("uid")).as("unique_users"))
+    // the HLL estimate and the exact DISTINCT run as SEPARATE aggregations
+    // joined on the minute key: mixing a distinct agg with the imperative
+    // HLL aggregate makes the planner rewrite through Expand + extra
+    // aggregation phases, shipping every multi-KB HLL buffer (rsd 0.02 →
+    // 4096 registers) through two more stages (measured 3.1 s vs 1.4 s
+    // warm at sf0.1); the join is minute-cardinality
+    val approx = ev.groupBy(col("minute"))
+      .agg(approx_count_distinct(col("uid"), rsd).as("approx"))
+    val exact = ev.groupBy(col("minute"))
+      .agg(count_distinct(col("uid")).as("unique_users"))
+    approx.join(exact, "minute")
       .select(col("minute"), col("unique_users"),
         (abs(col("approx") - col("unique_users")) <=
           greatest(lit(absSlack), col("unique_users") * lit(relBound)))
           .as("within_bound"))
+  }
 }

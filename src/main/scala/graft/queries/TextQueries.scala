@@ -1640,8 +1640,12 @@ object TextQueries {
     // hashed feeds the sketch AND both exact sides: checkpoint once so the
     // corpus scan + distinct runs once, not per consumer (c2258b0 pattern)
     val hashed = Tables.documents(s, dir)
+      // project tokens BEFORE shingling: inlining tokens() into the
+      // shingle lambda re-tokenizes per element — O(tokens²) per doc
+      // (TextFunctions.shinglesOf PERF note; measured 4.3 s → 0.3 s here)
+      .select(col("source"), TextFunctions.tokens(col("text")).as("ws"))
       .select(col("source"),
-        explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+        explode(TextFunctions.shinglesOf(col("ws"), 2)).as("g"))
       .select(col("source"), DedupOps.shingleHash40(col("g")).as("h"))
       .distinct().localCheckpoint()
     val sk = graft.operators.KmvSketch.sketch(
@@ -1704,8 +1708,12 @@ object TextQueries {
     // hashed feeds the sketch AND both exact sides: checkpoint once so the
     // corpus scan + distinct runs once, not per consumer (c2258b0 pattern)
     val hashed = Tables.documents(s, dir)
+      // project tokens BEFORE shingling: inlining tokens() into the
+      // shingle lambda re-tokenizes per element — O(tokens²) per doc
+      // (TextFunctions.shinglesOf PERF note; measured 4.3 s → 0.3 s here)
+      .select(col("source"), TextFunctions.tokens(col("text")).as("ws"))
       .select(col("source"),
-        explode(TextFunctions.wordShingles(col("text"), 2)).as("g"))
+        explode(TextFunctions.shinglesOf(col("ws"), 2)).as("g"))
       .select(col("source"), DedupOps.shingleHash40(col("g")).as("h"))
       .distinct().localCheckpoint()
     val sk = graft.operators.KmvSketch.sketch(
