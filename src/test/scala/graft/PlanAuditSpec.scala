@@ -330,6 +330,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sketch-vs-exact gates: sketch buffers never keyed by the distinct column") {
+    // Mixing an exact DISTINCT aggregate with object/imperative sketch
+    // aggregates makes the planner's one-distinct rewrite key the FIRST
+    // aggregation by (group, distinct-col) — one multi-KB percentile/HLL
+    // buffer per DISTINCT VALUE instead of per group (measured 3-5× at
+    // sf0.1, worse with scale: buffers ∝ distinct values × partitions).
+    // The round-10 re-plan runs the distinct agg separately and joins on
+    // the group key; pin that no aggregate node carrying a sketch
+    // function groups by the distinct-side column.
+    for ((name, distinctCol) <- Seq(
+        "approx_unique_users" -> "uid", "approx_quantiles_price" -> "o_custkey")) {
+      val exec = Queries.all(name)(spark, sf001).queryExecution.executedPlan
+      val offenders = exec.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+            if a.aggregateExpressions.exists { ae =>
+              val f = ae.aggregateFunction.prettyName.toLowerCase
+              f.contains("percentile") || f.contains("approx_count_distinct")
+            } && a.groupingExpressions.exists(
+              _.references.exists(_.name == distinctCol)) => a
+      }
+      assert(offenders.isEmpty,
+        s"$name: sketch aggregate re-keyed by $distinctCol (distinct agg re-fused):\n$exec")
+    }
+  }
+
   test("cdc gates: latest-row windows pre-shrink via WindowGroupLimit") {
     // SCALING.md attributes cdc_apply/cdc_state_compaction's sub-linearity
     // partly to WindowGroupLimit: Spark's rank<=k pushdown keeps only each
