@@ -32,7 +32,12 @@ class ConcurrencySpec extends SparkSpec {
     // exactly what to race), percentile_bucket shares the sketchThinned
     // machinery, and streaming_sessions_funnel drives TWO versioned
     // foreachBatch state dirs under concurrent session use
-    "winsorize_sketch", "percentile_bucket", "streaming_sessions_funnel")
+    "winsorize_sketch", "percentile_bucket", "streaming_sessions_funnel",
+    // round-10 re-plans raced: the kmv pair drives localCheckpoint +
+    // runSeq scratch naming under concurrent use, and the two
+    // distinct-split gates must keep their two-aggregate join stable
+    // when other tenants hold the session
+    "kmv_sketch", "approx_quantiles_price", "approx_unique_users")
 
   /** Canonical result fingerprint: sorted row renderings (schema-ordered
     * columns, null-safe) — identical iff the row multisets are. */
@@ -42,7 +47,7 @@ class ConcurrencySpec extends SparkSpec {
         if (r.isNullAt(i)) "\u0000" else r.get(i).toString).mkString("|"))
       .sorted.toSeq
 
-  test("fifteen mixed gates run concurrently on one session, results unchanged") {
+  test("eighteen mixed gates run concurrently on one session, results unchanged") {
     val serial = names.map(n => n -> fingerprint(n)).toMap
     val confBefore = spark.conf.getAll
 
