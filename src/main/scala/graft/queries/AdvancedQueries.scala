@@ -606,11 +606,19 @@ object AdvancedQueries {
     // window dragging all of lineitem through one partition
     val sk = QuantileSketch.sketchGlobal(rows, col("h"), col("v"), "ALL", EdhK)
     val qs = (1 until EdhB).map(_.toDouble / EdhB) // dyadic: exact doubles
-    val bounds = QuantileSketch.quantiles(sk, qs)
+    // bounds collected to the driver (15 longs — driver-scale) and
+    // inlined as ONE literal sorted array: the crossJoin(broadcast)
+    // alternative prices every fact row through join machinery, and the
+    // HOF bucket pick runs O(B) interpreted lambdas per row outside
+    // codegen (the two round-10 per-row-tax rules; psi_drift precedent).
+    // SortedCountLE is the codegen'd binary-search count-≤ — identical
+    // semantics on the sorted bounds.
+    val boundsLocal: Seq[Long] = QuantileSketch.quantiles(sk, qs)
       .agg(sort_array(collect_list(col("est"))).as("bs"))
-    rows.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
-        size(filter(col("bs"), b => b <= col("v"))).cast("long"))
+      .collect().head.getSeq[Long](0)
+    rows
+      .withColumn("bucket", graft.functions.SortedSearch
+        .sortedCountLE(typedLit(boundsLocal), col("v")).cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))

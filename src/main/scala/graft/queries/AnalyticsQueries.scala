@@ -579,12 +579,26 @@ object AnalyticsQueries {
     val sk = QuantileSketch.sketchThinned(
       ev, col("event_type"), col("h"), col("v"), PbK)
     val qs = Seq(0.25, 0.5, 0.75) // dyadic: exact doubles
-    val bounds = QuantileSketch.quantiles(sk, qs)
-      .groupBy(col("scope").as("event_type"))
-      .agg(sort_array(collect_list(col("est"))).as("bs"))
-    ev.join(broadcast(bounds), "event_type")
-      .withColumn("bucket",
-        (size(filter(col("bs"), b => b <= col("v"))) + 1).cast("long"))
+    // per-type bounds collected to the driver (5 types × 3 longs) and
+    // inlined as a literal CASE on event_type — the psi_drift rule: a
+    // broadcast join of a driver-scale side still prices every fact row
+    // through join machinery, and the HOF pick runs interpreted lambdas
+    // outside codegen. Types absent from the sketch would yield a null
+    // bucket and are filtered, replicating the join's inner semantics
+    // (every type present in ev has sketch rows, so none are).
+    val boundsLocal = QuantileSketch.quantiles(sk, qs)
+      .groupBy(col("scope")).agg(sort_array(collect_list(col("est"))).as("bs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toList
+    val bucketExpr = boundsLocal.tail.foldLeft(
+      when(col("event_type") === boundsLocal.head._1,
+        graft.functions.SortedSearch
+          .sortedCountLE(typedLit(boundsLocal.head._2), col("v")))) {
+      case (acc, (t, bs)) => acc.when(col("event_type") === t,
+        graft.functions.SortedSearch.sortedCountLE(typedLit(bs), col("v")))
+    }
+    ev
+      .withColumn("bucket", (bucketExpr + 1).cast("long"))
+      .filter(col("bucket").isNotNull)
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))

@@ -385,12 +385,24 @@ class PlanAuditSpec extends SparkSpec {
       assert(partitionless.isEmpty,
         s"$name plans a partition-less Window:\n$exec")
     }
-    // the two global-sketch consumers take their bottom-k via
+    // quantile_normalize takes its global bottom-k via
     // TakeOrderedAndProject straight off the scan
-    for (name <- Seq("equi_depth_histogram", "quantile_normalize")) {
-      val p = plan(name)
+    locally {
+      val p = plan("quantile_normalize")
       assert(p.contains("TakeOrderedAndProject"),
-        s"$name lost the TakeOrderedAndProject global bottom-k:\n$p")
+        s"quantile_normalize lost the TakeOrderedAndProject global bottom-k:\n$p")
+    }
+    // equi_depth_histogram's bottom-k sketch executes DRIVER-SIDE at
+    // build (sketchGlobal → TakeOrderedAndProject, pinned in
+    // QuantileSketchSpec); its gate plan is the ideal residue — one
+    // parquet scan, the literal-bounds codegen'd binary search, a
+    // two-phase aggregate. No join, no Window, no HOF bucket pick.
+    locally {
+      val p = plan("equi_depth_histogram")
+      assert(p.contains("sorted_count_le"),
+        s"equi_depth_histogram lost the literal-bounds binary-search bucket pick:\n$p")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"equi_depth_histogram's exact pass should be a bare scan+agg:\n$p")
     }
   }
 
