@@ -15,6 +15,18 @@ import graft.sources.Tables
   */
 object AnalyticsQueries {
 
+  /** Literal CASE on a group key for a driver-scale per-group long —
+    * the round-10 join-tax rule (SCALING.md): broadcast-joining even a
+    * 5-row scalar side onto a fact stream prices every row through join
+    * machinery; a collected literal CASE folds into the scan's codegen.
+    * Keys absent from `m` yield null (callers filter to replicate inner
+    * -join semantics). */
+  private def literalCaseOn(key: org.apache.spark.sql.Column,
+      m: List[(String, Long)]): org.apache.spark.sql.Column =
+    m.tail.foldLeft(when(key === m.head._1, lit(m.head._2))) {
+      case (acc, (g, v)) => acc.when(key === g, lit(v))
+    }
+
   /** Ordered funnel conversion (view → click → purchase): step k counts
     * users whose FIRST step-k event occurs strictly after their step-k−1
     * completion time — the textbook ordered funnel, not mere presence.
@@ -265,13 +277,21 @@ object AnalyticsQueries {
       .groupBy(col("scope").as("event_type"))
       .agg(min(when(col("num") === 5, col("est"))).as("lo_fp"),
         min(when(col("num") === 95, col("est"))).as("hi_fp"))
-    ev.join(broadcast(bounds), "event_type")
+    // bounds collected to the driver (5 types × 2 longs) and inlined as
+    // literal CASEs — the join-tax rule; the isNotNull filter replicates
+    // the inner join for a type absent from the sketch (none are: the
+    // starvation guard throws first, and the collect() evaluates it)
+    val bLocal = bounds.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val loExpr = literalCaseOn(col("event_type"), bLocal.map(t => t._1 -> t._2))
+    val hiExpr = literalCaseOn(col("event_type"), bLocal.map(t => t._1 -> t._3))
+    ev.filter(loExpr.isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("lo_fp")).as("lo_fp"), min(col("hi_fp")).as("hi_fp"),
-        count_if(col("v") < col("lo_fp")).as("n_low"),
-        count_if(col("v") > col("hi_fp")).as("n_high"),
-        sum(greatest(col("lo_fp"), least(col("hi_fp"), col("v"))))
+        min(loExpr).as("lo_fp"), min(hiExpr).as("hi_fp"),
+        count_if(col("v") < loExpr).as("n_low"),
+        count_if(col("v") > hiExpr).as("n_high"),
+        sum(greatest(loExpr, least(hiExpr, col("v"))))
           .as("sum_wins_fp"))
   }
 
@@ -514,11 +534,21 @@ object AnalyticsQueries {
           abs(col("v") - col("med_fp")).as("v")))
     val mad = QuantileSketch.quantiles(devSk, Seq(0.5))
       .select(col("scope").as("event_type"), col("est").as("mad_fp"))
-    ev.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+    // med/mad collected to the driver (5 types × 1 long each) and
+    // inlined as literal CASEs — the join-tax rule; types absent from
+    // the sketch would yield null and are filtered, replicating the
+    // inner joins (none are: the starvation guard throws first)
+    val medLocal = med.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toList
+    val madLocal = mad.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toList
+    val medExpr = literalCaseOn(col("event_type"), medLocal)
+    val madExpr = literalCaseOn(col("event_type"), madLocal)
+    ev.filter(medExpr.isNotNull && madExpr.isNotNull)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("med_fp")).as("med_fp"), min(col("mad_fp")).as("mad_fp"),
-        count_if(abs(col("v") - col("med_fp")) > col("mad_fp") * 3)
+        min(medExpr).as("med_fp"), min(madExpr).as("mad_fp"),
+        count_if(abs(col("v") - medExpr) > madExpr * 3)
           .as("n_outliers"))
   }
 
