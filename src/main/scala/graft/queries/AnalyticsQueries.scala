@@ -960,11 +960,8 @@ object AnalyticsQueries {
     // at this decade before the same change).
     val threshOf = stats.map(r => r.getAs[String]("g") ->
       (BigInt(1152921504606846976L) * keep /
-        BigInt(r.getAs[Long]("n_tot")).max(BigInt(keep + 1))).toLong).toSeq
-    val threshExpr = threshOf.tail.foldLeft(
-      when(col("g") === threshOf.head._1, lit(threshOf.head._2))) {
-      case (acc, (gv, t)) => acc.when(col("g") === gv, lit(t))
-    }
+        BigInt(r.getAs[Long]("n_tot")).max(BigInt(keep + 1))).toLong).toList
+    val threshExpr = literalCaseOn(col("g"), threshOf)
     val surv = ev.filter(col("us") <= mid && col("h") <= threshExpr)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("h"), col("v"))

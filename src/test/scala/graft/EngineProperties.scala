@@ -560,6 +560,49 @@ object EngineProperties extends Properties("engine") {
       }
     }
 
+  // ── literal-CASE + binary-search ≡ broadcast-join + HOF bucketing ────
+  // The round-10 rewrite family (psi_drift, equi_depth_histogram,
+  // percentile_bucket, mad_outliers_sketch, winsorize_sketch) replaces
+  // "broadcast-join the per-group bounds, pick with size(filter(bs,
+  // b <= v))" by "collect bounds, inline a literal CASE on the group
+  // key, pick with the codegen'd SortedCountLE binary search". The two
+  // forms must agree on ARBITRARY data — including groups with no
+  // bounds row (inner-join drop ≡ null-CASE filter), empty bounds
+  // arrays, duplicate bound values, and probes at/beyond the ends.
+  private val genBucketing: Gen[(List[(String, Long)], List[(String, List[Long])])] =
+    for {
+      rows <- Gen.listOfN(60, for {
+        g <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.choose(-100L, 100L)
+      } yield (g, v))
+      withBounds <- Gen.someOf(Seq("a", "b", "c", "d"))
+      bounds <- Gen.sequence[List[(String, List[Long])], (String, List[Long])](
+        withBounds.toList.map(g =>
+          Gen.listOfN(5, Gen.choose(-90L, 90L)).map(bs => g -> bs.sorted)))
+    } yield (rows, bounds)
+
+  property("literal-CASE binary-search bucketing ≡ broadcast-join HOF form") =
+    Prop.forAll(genBucketing) { case (rows, bounds) =>
+      rows.isEmpty || bounds.isEmpty || {
+        val df = rows.toDF("g", "v")
+        val boundsDf = bounds.toDF("g", "bs")
+        val joined = df.join(broadcast(boundsDf), "g")
+          .select($"g", $"v",
+            size(filter($"bs", b => b <= $"v")).cast("long").as("bucket"))
+          .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+        val caseExpr = bounds.tail.foldLeft(
+          when($"g" === bounds.head._1, graft.functions.SortedSearch
+            .sortedCountLE(typedLit(bounds.head._2), $"v"))) {
+          case (acc, (gv, bs)) => acc.when($"g" === gv,
+            graft.functions.SortedSearch.sortedCountLE(typedLit(bs), $"v"))
+        }
+        val literal = df.withColumn("bucket", caseExpr.cast("long"))
+          .filter($"bucket".isNotNull)
+          .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+        joined == literal
+      }
+    }
+
   // ── streaming_sessions_funnel: batch-boundary invariance ─────────────
   // The gate pins ONE midpoint split; the mergeability argument claims
   // ANY time split works. This folds the gate's ACTUAL merge recurrence
