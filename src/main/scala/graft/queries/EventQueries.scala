@@ -677,21 +677,24 @@ object EventQueries {
     * cohorted by first-seen hour, activity counted per (cohort, hour
     * offset). Scale shape: the raw stream first collapses to the DISTINCT
     * (user, hour) relation (map-side combinable — the 100 TB reduction
-    * step; everything after runs on user×hour, not events); first-seen is
-    * a min-agg per user (≤ |users| rows — Catalyst broadcasts it at gate
-    * scale and sizes up to a shuffle join when the user dim outgrows the
-    * threshold); the final count is plain (each user appears once per
-    * (cohort, offset) by construction — no distinct agg needed). The
-    * user×hour relation is checkpointed so the raw scan + distinct runs
-    * once, not once per consumer (c2258b0 pattern). All time arithmetic
-    * is exact integer epoch-seconds (`div`, inter_event_gaps precedent). */
+    * step; everything after runs on user×hour, not events); first-seen
+    * rides a per-user window min over that SAME relation — ONE pass, no
+    * self-join, nothing cached (the former distinct→checkpoint→min-agg→
+    * join-back shape held a user×hour relation in memory: sub-fact but
+    * still data-∝, the storageFraction-floor family under bench
+    * repetition at 100×+). The window partitions per user (bounded by
+    * the user's active hours — never global), and the final count is
+    * plain (each user appears once per (cohort, offset) by construction
+    * — no distinct agg needed). All time arithmetic is exact integer
+    * epoch-seconds (`div`, inter_event_gaps precedent). */
   private val cohortRetention: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
       .select(col("user_id"),
         unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
-      .distinct().localCheckpoint()
-    val first = ev.groupBy(col("user_id")).agg(min(col("h")).as("cohort"))
-    ev.join(first, "user_id")
+      .distinct()
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    ev.withColumn("cohort", min(col("h")).over(byUser))
       .select(col("cohort").as("cohort_hour"),
         expr("(h - cohort) div 3600").as("offset_hours"))
       .groupBy(col("cohort_hour"), col("offset_hours"))

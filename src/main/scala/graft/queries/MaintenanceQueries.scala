@@ -169,11 +169,17 @@ object MaintenanceQueries {
     * combined partials (≤ tasks × groups rows) and the group-cardinality
     * MV itself. */
   private val incrementalMvRefresh: Q = (s, dir) => {
+    // Three consumers (the split-instant agg, the base write, the delta
+    // refresh) each RE-SCAN the pruned parquet projection instead of
+    // sharing a checkpoint: the projection is fact-sized, and cached
+    // fact-sized blocks hold the storageFraction floor at 100×+ under
+    // bench repetition (the no-fact-caching rule — same fix as
+    // quantile_sketch / equi_depth_histogram). Three column-pruned scans
+    // are the cheap side of that trade at every scale.
     val o = Tables.orders(s, dir).select(
       col("o_orderpriority").as("prio"),
       unix_timestamp(col("o_orderdate")).as("us"),
       round(col("o_totalprice") * 100).cast("long").as("p_fp"))
-      .localCheckpoint() // one fixture read; mid + both halves reuse it
     val t1 = o.agg(
         expr("min(us) + (max(us) - min(us)) div 2").cast("long").as("t1"))
       .head().getLong(0) // one scalar to the driver: the split instant
