@@ -139,6 +139,34 @@ object StreamingQueries {
     Files.createDirectories(tmp)
   }
 
+  /** Stage the fixture's events table into `tmp` as micro-batch 1.
+    * Driver testdata ships `events.parquet` as ONE file; ScaleGen
+    * corpora (the scale probes' inputs) write a multi-part parquet
+    * DIRECTORY — stage every part file flat under a `batch1_` prefix so
+    * the gate's `*.parquet` glob sees all of them as the initial batch
+    * either way (FileStreamSource puts every file available at start
+    * into the first batch; later sentinel files still arrive strictly
+    * after batch 1 commits, by progressive delivery). */
+  private def stageEventsAsBatch1(dir: String,
+      tmp: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet")
+    if (Files.isDirectory(src)) {
+      val list = Files.list(src)
+      try {
+        val it = list.iterator()
+        var i = 0
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) {
+            Files.copy(p, tmp.resolve(f"batch1_$i%05d.parquet"))
+            i += 1
+          }
+        }
+      } finally list.close()
+    } else Files.copy(src, tmp.resolve("batch1.parquet"))
+  }
+
   /** Write `df` as a single parquet file at `target`. Multi-batch gates
     * get their batch boundaries from PROGRESSIVE DELIVERY (each file is
     * written only after the previous `processAllAvailable` commits), so
@@ -271,7 +299,7 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val tmp = Paths.get(scratchPath(tag, dir))
     freshDir(tmp)
-    Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
+    stageEventsAsBatch1(dir, tmp)
     val frames = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")
@@ -285,8 +313,10 @@ object StreamingQueries {
         .start()
       try {
         q.processAllAvailable() // batch 1: all real events
+        // batch 1 is the whole fixture regardless of layout (one file or
+        // staged part files) — read the max event time from the source
         val maxUs = s.read.schema(eventsRawSchema)
-          .parquet(tmp.resolve("batch1.parquet").toString)
+          .parquet(s"$dir/events.parquet*")
           .agg(max(col("ts"))).head().getLong(0)
         val dayUs = 86400L * 1000000L
         val sentinel = new java.util.ArrayList[org.apache.spark.sql.Row]()
@@ -465,7 +495,7 @@ object StreamingQueries {
     import java.nio.file.{Files, Paths}
     val tmp = Paths.get(scratchPath("souter", dir))
     freshDir(tmp)
-    Files.copy(Paths.get(dir, "events.parquet"), tmp.resolve("batch1.parquet"))
+    stageEventsAsBatch1(dir, tmp)
     def side(tp: String) = s.readStream
       .schema(eventsRawSchema)
       .parquet(s"$tmp/*.parquet")

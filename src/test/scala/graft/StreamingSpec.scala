@@ -246,4 +246,29 @@ class StreamingSpec extends SparkSpec {
     assert(ev.map(_._2).max - ev.map(_._2).min > min30,
       "fixture must span more than one session gap or the test is vacuous")
   }
+  test("sentinel-flush harness stages multi-part parquet dirs (ScaleGen layout)") {
+    // Driver testdata ships events.parquet as ONE file; ScaleGen corpora
+    // (every scale probe's input) write a multi-part DIRECTORY. The
+    // sentinel-flush gates must stage either layout — a single Files.copy
+    // silently produced an EMPTY first batch on the directory layout
+    // (found by the 10x streaming probe; stageEventsAsBatch1 is the fix).
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirfx_").toString
+    val tsConf = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsConf)
+    spark.conf.set(tsConf, "TIMESTAMP_MICROS")
+    try graft.sources.Tables.events(spark, sf001).repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    finally spark.conf.set(tsConf, prev)
+    val fx = new java.io.File(s"$dir/events.parquet")
+    assert(fx.isDirectory &&
+      fx.listFiles().count(_.getName.endsWith(".parquet")) >= 3,
+      "fixture must be a multi-part parquet directory or the test is vacuous")
+    val streamed = Queries.all("streaming_unique_users_append")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.events(spark, sf001)
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("minute"))
+      .agg(count_distinct(col("user_id")).as("unique_users"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
 }
