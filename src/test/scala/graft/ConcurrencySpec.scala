@@ -37,7 +37,13 @@ class ConcurrencySpec extends SparkSpec {
     // runSeq scratch naming under concurrent use, and the two
     // distinct-split gates must keep their two-aggregate join stable
     // when other tenants hold the session
-    "kmv_sketch", "approx_quantiles_price", "approx_unique_users")
+    "kmv_sketch", "approx_quantiles_price", "approx_unique_users",
+    // round-10 continuation re-plans: the cache-free cohort window and
+    // the re-scan-per-consumer MV refresh (scratch MV write→read→merge
+    // racing 19 other tenants; scratchPath isolates per (tag, sf, pid) —
+    // concurrent DISTINCT gates may share the process, same-gate
+    // self-races are out of contract, documented in SCALING)
+    "cohort_retention", "incremental_mv_refresh")
 
   /** Canonical result fingerprint: sorted row renderings (schema-ordered
     * columns, null-safe) — identical iff the row multisets are. */
@@ -47,7 +53,7 @@ class ConcurrencySpec extends SparkSpec {
         if (r.isNullAt(i)) "\u0000" else r.get(i).toString).mkString("|"))
       .sorted.toSeq
 
-  test("eighteen mixed gates run concurrently on one session, results unchanged") {
+  test("twenty mixed gates run concurrently on one session, results unchanged") {
     val serial = names.map(n => n -> fingerprint(n)).toMap
     val confBefore = spark.conf.getAll
 
