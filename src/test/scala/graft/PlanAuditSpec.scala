@@ -459,7 +459,12 @@ class PlanAuditSpec extends SparkSpec {
       "pipeline_curation", "streaming_sessions_funnel",
       // round-9 late addition: winsorize's sketch-rank form (1.03 s —
       // boundary, pinned pre-emptively like percentile_bucket)
-      "winsorize_sketch")
+      "winsorize_sketch",
+      // round-10 final-sweep boundary crossings (1.02–1.08 s under the
+      // documented ~7% box smear; bpe_merges and minhash_lsh_pairs were
+      // pinned long ago, the other two pinned with this crossing)
+      "avro_logical_roundtrip", "bpe_merges", "cms_topk_terms",
+      "minhash_lsh_pairs")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
