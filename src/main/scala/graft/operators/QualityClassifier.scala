@@ -46,8 +46,9 @@ object QualityClassifier {
     * @param buckets hashed feature-space size (fixed, vocab-independent)
     * @param lr      learning rate
     * @return one row per doc: (idCol, n_words, lr_score) where lr_score
-    *         = σ(w·tf) under the final weights, rounded to 6 dp; docs
-    *         with no tokens score exactly 0.5 (zero margin).
+    *         = σ(w·tf) under the final weights, rounded to 4 dp (see the
+    *         cross-engine note at the scoring step); docs with no tokens
+    *         score exactly 0.5 (zero margin).
     */
   def logRegQualityScores(docs: DataFrame, idCol: String, textCol: String,
                           label: Column, buckets: Int, lr: Double,
@@ -93,11 +94,18 @@ object QualityClassifier {
             .as("_qc_wt"))
         .localCheckpoint()
     }
+    // score at 4 dp, NOT the training's 6: the sigmoid is the one
+    // transcendental in an otherwise integer-quantized recurrence, and
+    // the engines' exp/rounding differ within an ULP — at the 10× corpus
+    // 3/50,000 scores flipped their 6th decimal across engines (the 10×
+    // full-registry oracle run). 4 dp keeps the score meaningful for any
+    // threshold consumer while making a cross-engine flip ~1e-7-rare per
+    // doc through the 1000× decade; training stays at 6-dp quanta.
     val scored = db.join(broadcast(w), Seq("_qc_b"))
       .groupBy(col(idCol), col("_qc_n"))
       .agg(fixSum(col("_qc_tf") * col("_qc_wt")).as("_qc_z"))
       .select(col(idCol), col("_qc_n"),
-        round(lit(1.0) / (lit(1.0) + exp(-col("_qc_z"))), 6).as("lr_score"))
+        round(lit(1.0) / (lit(1.0) + exp(-col("_qc_z"))), 4).as("lr_score"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_qc_n"), lit(0L)).cast("long").as("n_words"),

@@ -358,25 +358,30 @@ object AdvancedQueries {
   // ×8 row-locally, and the join shuffles under (suppkey, salt) — a hot
   // supplier spreads over 8 reducers instead of melting one. The oracle
   // is the PLAIN join+agg: salting must be invisible in the result.
-  // revenue in EXACT fixed-point: price and discount are 2-decimal
-  // values, so price·(1−disc) = p·(100−d)/10⁴ with p, d integers — the
-  // sum is integer arithmetic on both engines (a double sum's order
-  // dependence cost one supplier a cent at sf0.01)
+  // revenue in EXACT fixed-point END TO END: price and discount are
+  // 2-decimal values, so price·(1−disc) = p·(100−d)/10⁴ with p, d
+  // integers — the sum is integer arithmetic on both engines, and the
+  // RESULT stays the 10⁻⁴-dollar integer (revenue_fp). The former final
+  // step round(int_sum/10000.0, 2) re-introduced a double: at the 10×
+  // corpus the quotient's ULP landed 13 suppliers a cent apart between
+  // engines at the round-half boundary (found by the 10× full-registry
+  // oracle run — a double sum's order dependence had already cost a
+  // cent at sf0.01 before the integer sum; this closes the LAST float)
   private val skewSaltedJoin: Q = (s, dir) =>
     graft.operators.SkewOps.saltedJoin(
         Tables.lineitem(s, dir), Tables.supplier(s, dir),
         "l_suppkey", "s_suppkey", col("l_orderkey"), salts = 8)
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(round(col("l_extendedprice") * 100).cast("long") *
+        sum(round(col("l_extendedprice") * 100).cast("long") *
             (lit(100L) - round(col("l_discount") * 100).cast("long")))
-          / 10000.0, 2).as("revenue"))
+          .as("revenue_fp"))
 
   private val skewSaltedJoinSql =
     """SELECT s_name, CAST(count(*) AS BIGINT) AS n_items,
-      |       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
       |                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-      |             / 10000.0, 2) AS revenue
+      |            AS BIGINT) AS revenue_fp
       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
       |GROUP BY 1""".stripMargin
 

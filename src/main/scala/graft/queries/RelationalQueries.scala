@@ -778,18 +778,23 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      .agg(round(
-        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+      // profit stays the exact 10⁻⁴-dollar integer end to end: the former
+      // display step round(int_sum/10000.0, 2) diverged by a cent on ONE
+      // group at the 10× corpus — engines round a double differently
+      // within an ULP of the half-cent (Spark via BigDecimal HALF_UP,
+      // DuckDB via double multiply-round), so the only scale-stable
+      // contract is the integer itself (the skew_salted_join fix)
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
             .cast("long")
           - round(col("ps_supplycost") * col("l_quantity") * 10000, 0).cast("long"))
-          / 10000.0, 2).as("sum_profit"))
+          .as("sum_profit_fp"))
 
   private val q9ProductProfitSql =
     s"""WITH $psCte
        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       |       round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
-       |                      - CAST(round(ps_supplycost * l_quantity * 10000) AS BIGINT))
-       |                  AS DOUBLE) / 10000.0, 2) AS sum_profit
+       |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)
+       |                - CAST(round(ps_supplycost * l_quantity * 10000) AS BIGINT))
+       |            AS BIGINT) AS sum_profit_fp
        |FROM lineitem
        |JOIN part ON p_partkey = l_partkey
        |JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -1409,9 +1414,16 @@ object RelationalQueries {
   }
 
   private val supplierPagerankSql = {
-    // one iteration of the integer-unit recurrence, unrolled three times
+    // one iteration of the integer-unit recurrence, unrolled three times.
+    // Every multiply-referenced CTE is AS MATERIALIZED: DuckDB otherwise
+    // INLINES a CTE per reference, and the unrolled r3→r2→r1 chain then
+    // re-executes the whole edge derivation once per leaf of the
+    // reference tree — ~2^iters copies of the fact-table self-join
+    // (measured at the 10× corpus: 65 GB of spill and a wall-clock
+    // blow-up vs 4.3 s materialized; found by the 10× full-registry
+    // oracle run)
     def iter(prev: String, name: String) =
-      s"""$name AS (
+      s"""$name AS MATERIALIZED (
          |  SELECT d.node, d.outdeg,
          |         CAST((15 * 1000000000000) // (100 * p.n)
          |              + (85 * (COALESCE(c.inflow, 0) + (dg.dang // p.n))) // 100
@@ -1423,14 +1435,14 @@ object RelationalQueries {
          |  CROSS JOIN (SELECT COALESCE(sum(units), 0) AS dang
          |              FROM $prev WHERE outdeg = 0) dg
          |  CROSS JOIN p)""".stripMargin
-    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
-       |e0 AS (SELECT DISTINCT a.sk AS s1, b.sk AS s2
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.sk AS s1, b.sk AS s2
        |       FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
-       |edges AS (SELECT s1 AS src, s2 AS dst FROM e0
+       |edges AS MATERIALIZED (SELECT s1 AS src, s2 AS dst FROM e0
        |          UNION ALL SELECT s2, s1 FROM e0),
-       |deg AS (SELECT s_suppkey AS node, CAST(count(e.src) AS BIGINT) AS outdeg
+       |deg AS MATERIALIZED (SELECT s_suppkey AS node, CAST(count(e.src) AS BIGINT) AS outdeg
        |        FROM supplier LEFT JOIN edges e ON e.src = s_suppkey GROUP BY 1),
-       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
+       |p AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM supplier),
        |r0 AS (SELECT node, outdeg,
        |              CAST(1000000000000 // p.n AS BIGINT) AS units
        |       FROM deg CROSS JOIN p),

@@ -54,22 +54,34 @@ object SqlQueries {
   }
 
   /** Correlated subquery through SQL — a shape the DataFrame DSL can't
-    * write directly (Catalyst decorrelates it into a join). */
+    * write directly (Catalyst decorrelates it into a join). The
+    * above-average predicate is cross-multiplied into exact integers
+    * (price_fp · n > sum_fp ⟺ price > avg): comparing against a DOUBLE
+    * avg() put one order exactly at the ULP boundary at the 10× corpus,
+    * flipping a row between engines (found by the 10× full-registry
+    * oracle run). TWO correlated scalar subqueries — Catalyst
+    * decorrelates both, a strictly richer instance of the gate's shape. */
   private val sqlCorrelated: Q = (s, dir) => {
     registerViews(s, dir)
     s.sql("""
       SELECT o_custkey, count(*) AS n_big_orders
       FROM orders o
-      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
-                            WHERE i.o_custkey = o.o_custkey)
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+              * (SELECT count(*) FROM orders i
+                 WHERE i.o_custkey = o.o_custkey)
+            > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+               FROM orders i WHERE i.o_custkey = o.o_custkey)
       GROUP BY 1""")
   }
 
   private val sqlCorrelatedSql =
     """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big_orders
       |FROM orders o
-      |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
-      |                      WHERE i.o_custkey = o.o_custkey)
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+      |        * (SELECT count(*) FROM orders i
+      |           WHERE i.o_custkey = o.o_custkey)
+      |      > (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |         FROM orders i WHERE i.o_custkey = o.o_custkey)
       |GROUP BY 1""".stripMargin
 
   /** Recursive CTE (Spark 4 `WITH RECURSIVE`): generate the full month

@@ -863,10 +863,17 @@ object StreamingQueries {
       |sig AS (SELECT doc_id, $mins
       |        FROM dt GROUP BY doc_id),
       |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
-      |orig AS (SELECT * FROM key0 WHERE doc_id < $NdPlantOffset),
+      |-- originals classified by MEMBERSHIP in documents, not by an id
+      |-- threshold: scaled corpora (ScaleGen) shift replica doc ids far
+      |-- past the +$NdPlantOffset plant offset, so an id comparison
+      |-- silently misclassifies replica originals as planted (found by
+      |-- the 10x full-registry oracle run)
+      |orig AS (SELECT * FROM key0
+      |         WHERE doc_id IN (SELECT doc_id FROM documents)),
       |orig_canon AS (SELECT min(doc_id) AS doc_id, band_key
       |               FROM orig GROUP BY band_key),
-      |plant AS (SELECT * FROM key0 WHERE doc_id >= $NdPlantOffset)
+      |plant AS (SELECT * FROM key0
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM documents))
       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
       |       CAST(band_key AS BIGINT) AS band_key
       |FROM orig_canon
@@ -1195,10 +1202,17 @@ object StreamingQueries {
       |sig AS (SELECT doc_id, $mins
       |        FROM dt GROUP BY doc_id),
       |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
-      |orig AS (SELECT * FROM key0 WHERE doc_id < $NdPlantOffset),
+      |-- originals classified by MEMBERSHIP in documents, not by an id
+      |-- threshold: scaled corpora (ScaleGen) shift replica doc ids far
+      |-- past the +$NdPlantOffset plant offset, so an id comparison
+      |-- silently misclassifies replica originals as planted (found by
+      |-- the 10x full-registry oracle run)
+      |orig AS (SELECT * FROM key0
+      |         WHERE doc_id IN (SELECT doc_id FROM documents)),
       |orig_canon AS (SELECT min(doc_id) AS doc_id, band_key
       |               FROM orig GROUP BY band_key),
-      |plant AS (SELECT * FROM key0 WHERE doc_id >= $NdPlantOffset),
+      |plant AS (SELECT * FROM key0
+      |          WHERE doc_id NOT IN (SELECT doc_id FROM documents)),
       |kept AS (SELECT doc_id, band_key FROM orig_canon
       |         UNION ALL
       |         SELECT doc_id, band_key FROM plant

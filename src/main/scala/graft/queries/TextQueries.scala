@@ -1130,7 +1130,7 @@ object TextQueries {
        |         round(CAST(sum(CAST(round(tf * wt * 1e12) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS z
        |       FROM db JOIN w$QcRounds USING (b) GROUP BY 1, 2)
        |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_words,
-       |       coalesce(round(1.0 / (1.0 + exp(-z)), 6), 0.5) AS lr_score
+       |       coalesce(round(1.0 / (1.0 + exp(-z)), 4), 0.5) AS lr_score
        |FROM documents d LEFT JOIN zf USING (doc_id)""".stripMargin
   }
 
@@ -1837,7 +1837,14 @@ object TextQueries {
        |  UNION ALL
        |  SELECT doc_id + 6000000, 'xq ' || text FROM documents
        |  WHERE doc_id % 50 = 10 AND doc_id % 3 <> 0),
-       |flag AS (SELECT doc_id, (doc_id % 3 = 0 OR doc_id >= 6000000) AS is_b FROM corpus),
+       |-- batch membership by CONSTRUCTION (planted ids are the ones not
+       |-- in documents), not by an id threshold: ScaleGen replica ids
+       |-- exceed the +6000000 plant offset and would misclassify
+       |-- (the 10x full-registry oracle run's finding, same family as
+       |-- the streaming_near_dedup oracle fix)
+       |flag AS (SELECT doc_id, (doc_id % 3 = 0 OR
+       |                         doc_id NOT IN (SELECT doc_id FROM documents)) AS is_b
+       |         FROM corpus),
        |toks AS (SELECT doc_id, str_split(text,' ') AS ws FROM corpus),
        |tok AS (SELECT doc_id, w, i FROM
        |        (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws,1) AS i FROM toks)
