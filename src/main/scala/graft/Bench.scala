@@ -109,12 +109,32 @@ object Bench {
     }
 
     queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
+    // In-sweep drift control: the same fixed query timed at sweep start,
+    // middle, and end (median of 3 reps each). Cross-round totals are
+    // only comparable up to BOX STATE — the r9→r10 sweep read 1.16×
+    // purely from background drift and cost two A/B campaigns to settle;
+    // the three calibration medians normalize that for free (a drifting
+    // box shows a start→end slope; a uniformly slower box shows a level
+    // shift vs the prior round's calibration).
+    val calibName = "q1_agg"
+    def calibrate(): Double = SparkEntry.queries.get(calibName) match {
+      case Some(f) =>
+        val ts = (1 to 3).map(_ => runOne(calibName, f)._1).sorted
+        ts(1)
+      case None => -1.0 // SPARK_GRAFT_ONLY never filters this map lookup,
+                        // but a renamed registry entry degrades gracefully
+    }
+    val calibStart = calibrate()
     // run-major order (full registry per pass, `runs` passes) so one
     // transient load spike degrades one PASS of many queries — each
     // query's other passes still vote it back to a sane median
-    val passes = (1 to runs).map { _ =>
-      queries.map { case (n, f) => n -> runOne(n, f) }
+    var calibMiddle = -1.0
+    val passes = (1 to runs).map { r =>
+      val pass = queries.map { case (n, f) => n -> runOne(n, f) }
+      if (r == (runs + 1) / 2) calibMiddle = calibrate()
+      pass
     }
+    val calibEnd = calibrate()
     val byQuery = queries.map { case (n, _) =>
       val ts = passes.map(_.find(_._1 == n).get._2._1).sorted
       val firstErr = passes.flatMap(_.find(_._1 == n).get._2._2).headOption
@@ -136,8 +156,10 @@ object Bench {
     val detail = byQuery.map { case (k, min, med, max, _) =>
       "\"" + k + "\":[" + fmt(min) + "," + fmt(med) + "," + fmt(max) + "]"
     }.mkString("{", ",", "}")
+    val calib = s"""{"query":"$calibName","start":${fmt(calibStart)},""" +
+      s""""middle":${fmt(calibMiddle)},"end":${fmt(calibEnd)}}"""
     val detailJson =
-      s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","spread_min_med_max":$detail}"""
+      s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","calibration":$calib,"spread_min_med_max":$detail}"""
     // SPARK_GRAFT_ONLY iteration runs must not clobber the round's
     // full-sweep artifact (a 3-query detail file looks like a sweep)
     val detailPath =

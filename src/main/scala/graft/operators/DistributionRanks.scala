@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group ascending ranks WITHOUT a per-group total sort — the
+  * scale-correct plan for rank/ntile/percent_rank/cume_dist over LOW-
+  * cardinality groups (the recurring 100× cliff family: a
+  * `Window.partitionBy(status)` over 3 statuses drags the whole fact
+  * relation through 3 sort partitions, measured 10.1 s at 15 M rows).
+  *
+  * Plan (the `PrefixSum` offset idea applied to ranks, all-Catalyst so
+  * every pass stays inside whole-stage codegen):
+  *
+  *   1. sample ~`buckets` order-key values by bottom-k-of-hash
+  *      (TakeOrderedAndProject — per-partition k, one k-row reduction)
+  *      and inline the SORTED bounds as ONE literal array; every row's
+  *      bucket is the codegen'd O(log k) binary search
+  *      ([[graft.functions.SortedSearch.sortedCountLE]]);
+  *   2. count rows per (group, bucket) — one map-side-combinable scan;
+  *      the counts relation is groups × (buckets+1) rows, collected to
+  *      the driver, where exclusive prefix sums per group become each
+  *      cell's rank OFFSET and per-group totals `n`;
+  *   3. rank within each (group, bucket) CELL (expected n/buckets rows —
+  *      never a group-sized partition) and add the cell's offset,
+  *      delivered by a broadcast join on (group, bucket) (the offsets
+  *      relation is too wide for the ≤5-entry literal-CASE rule but
+  *      tiny for a broadcast).
+  *
+  * The result is bit-identical to `row_number() OVER (PARTITION BY group
+  * ORDER BY order)`: offsets are exact counts, so where the sampled
+  * bounds land never affects ranks — only cell sizes (heavy duplicate
+  * order values concentrate a cell but can't break exactness; duplicates
+  * are ranked by their cell window's tie order, see PRECONDITION).
+  *
+  * PRECONDITION: `orderCol` must be UNIQUE within each group and
+  * non-null — with ties, rank assignment among tied rows would depend on
+  * cell placement (the same caveat as [[PrefixSum]]). Callers with ties
+  * must pass a composite unique key.
+  *
+  * ==Execution contract (BATCH + EAGER)==
+  * Runs Spark jobs at call time (bounds sample + cell counts). Group
+  * cardinality must be ≤ [[QuantileSketch.maxLiteralGroups]] — counts
+  * for every (group, bucket) pair are collected to the driver.
+  */
+object DistributionRanks {
+
+  /** Input columns + `rnCol` (1-based exact ascending rank of `orderCol`
+    * within `groupCol`) + `nCol` (group size). `orderCol` must be a
+    * BIGINT-compatible unique-per-group key. */
+  def withGroupRanks(df: DataFrame, groupCol: Column, orderCol: Column,
+      rnCol: String, nCol: String, buckets: Int = 256): DataFrame = {
+    val GroupRanks(ranked, _, _) =
+      groupRanks(df, groupCol, orderCol, rnCol, nCol, buckets)
+    ranked.drop("_dr_b")
+  }
+
+  /** The driver-side artifacts alongside the ranked relation, for gates
+    * that also need head-of-group picks (first/nth keys) without
+    * re-executing the ranked subtree: `counts` maps (group, bucket) to
+    * its exact row count; `bounds` is the sorted literal bucket-bound
+    * array (bucket b holds rows with bounds(b−1) ≤ key < bounds(b) —
+    * sortedCountLE's count-of-≤ convention). */
+  final case class GroupRanks(
+      ranked: DataFrame, // input cols + _dr_b + rnCol + nCol
+      counts: Map[(String, Int), Long],
+      bounds: Seq[Long])
+
+  def groupRanks(df: DataFrame, groupCol: Column, orderCol: Column,
+      rnCol: String, nCol: String, buckets: Int = 256): GroupRanks = {
+    val base = df.withColumn("_dr_g", groupCol.cast("string"))
+      .withColumn("_dr_o", orderCol.cast("long"))
+    // 1. bounds: a uniform sample of order keys (bottom-(buckets−1) by
+    // 64-bit hash → TakeOrderedAndProject), sorted ascending. Bounds
+    // only shape CELLS, never results, so the cheap non-cryptographic
+    // hash is fine here (unlike the oracle-replayable sketch gates).
+    val bounds = base.select(col("_dr_o"))
+      .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
+      .limit(buckets - 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else graft.functions.SortedSearch.sortedCountLE(
+        typedLit(bounds), col("_dr_o"))
+    val bucketed = base.withColumn("_dr_b", bucketOf)
+    // 2. exact cell counts → driver (groups × (buckets+1) rows max)
+    val countRows = bucketed.groupBy(col("_dr_g"), col("_dr_b"))
+      .agg(count(lit(1)).as("_dr_c"))
+      .limit(QuantileSketch.maxLiteralGroups * (buckets + 1) + 1)
+      .collect()
+    require(countRows.length <=
+        QuantileSketch.maxLiteralGroups * (buckets + 1),
+      "DistributionRanks.groupRanks: group × bucket cardinality above " +
+        s"${QuantileSketch.maxLiteralGroups} × ${buckets + 1} — this " +
+        "operator collects cell counts to the driver and is for " +
+        "LOW-cardinality group columns only")
+    val counts = countRows.map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val groups = counts.keys.map(_._1).toSeq.distinct.sorted
+    // exclusive prefix offsets + totals per group, computed driver-side
+    val totals = groups.map(g => g ->
+      counts.collect { case ((gg, _), c) if gg == g => c }.sum).toMap
+    val offsets: Seq[(String, Int, Long, Long)] = groups.flatMap { g =>
+      var acc = 0L
+      (0 to bounds.size).flatMap { b =>
+        counts.get((g, b)).map { c =>
+          val o = acc; acc += c; (g, b, o, totals(g))
+        }
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toDF("_dr_g", "_dr_b", "_dr_off", nCol)
+    // 3. cell-sized windows + broadcast offsets
+    val wCell = Window.partitionBy(col("_dr_g"), col("_dr_b"))
+      .orderBy(col("_dr_o"))
+    val ranked = bucketed
+      .join(broadcast(offsetsDf), Seq("_dr_g", "_dr_b"))
+      .withColumn(rnCol,
+        (col("_dr_off") + row_number().over(wCell)).cast("long"))
+      .drop("_dr_off", "_dr_g", "_dr_o")
+    GroupRanks(ranked, counts, bounds)
+  }
+
+  /** Per-group HEAD keys — the k smallest `orderCol` values per group —
+    * from ONE pushed-down mini-scan over only the head cells (the
+    * buckets whose exclusive offset is < k), using the artifacts of a
+    * prior [[groupRanks]] call. Returns (group → ascending head keys);
+    * driver-scale by construction (≤ groups × k values).
+    *
+    * Bucket convention (MUST mirror sortedCountLE's count-of-≤): bucket
+    * b holds rows with bounds(b−1) ≤ key < bounds(b) — lower-INclusive,
+    * upper-EXclusive (a key equal to a bound counts that bound and lands
+    * in the bucket ABOVE it; the r11 first cut had the convention
+    * inverted and missed head keys that collided with a bound —
+    * caught by the sf0.001 oracle only, fixture luck elsewhere). */
+  def headKeys(df: DataFrame, groupCol: Column, orderCol: Column,
+      gr: GroupRanks, k: Int): Map[String, Seq[Long]] = {
+    val base = df.select(groupCol.cast("string").as("_dr_g"),
+      orderCol.cast("long").as("_dr_o"))
+    // per group: walk cells in bucket order until k rows are covered
+    val headCells: Seq[(String, Int)] = gr.counts.keys.map(_._1).toSeq
+      .distinct.flatMap { g =>
+        var acc = 0L
+        (0 to gr.bounds.size).iterator.flatMap { b =>
+          gr.counts.get((g, b)).map(c => (b, { val o = acc; acc += c; o }))
+        }.takeWhile { case (_, off) => off < k }
+          .map { case (b, _) => (g, b) }.toSeq
+      }
+    if (headCells.isEmpty) return Map.empty
+    // one literal filter: the scan reads only head cells (the order-key
+    // upper bound below prunes parquet row groups; the per-group bucket
+    // predicate trims the rest)
+    val maxBound = headCells.map { case (_, b) => b }.max
+    val keyCap: Column =
+      if (gr.bounds.isEmpty || maxBound >= gr.bounds.size) lit(true)
+      else col("_dr_o") < lit(gr.bounds(maxBound))
+    val cellPred = headCells.map { case (g, b) =>
+      val lo = if (b == 0) lit(true)
+        else col("_dr_o") >= lit(gr.bounds(b - 1))
+      val hi = if (gr.bounds.isEmpty || b >= gr.bounds.size) lit(true)
+        else col("_dr_o") < lit(gr.bounds(b))
+      col("_dr_g") === lit(g) && lo && hi
+    }.reduce(_ || _)
+    val wHead = Window.partitionBy(col("_dr_g")).orderBy(col("_dr_o"))
+    base.filter(keyCap && cellPred)
+      .withColumn("_dr_r", row_number().over(wHead))
+      .filter(col("_dr_r") <= k)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+  }
+}

@@ -38,6 +38,14 @@ import org.apache.spark.sql.functions._
   */
 object QuantileSketch {
 
+  /** Cap on distinct groups for the literal-CASE operators
+    * ([[sketchThinned]], [[exactQuantilesSketchGuided]]): both collect
+    * per-group driver-side state and inline a when-chain on the group
+    * key, which is only sane for a handful-to-hundreds of groups. The
+    * cap turns a high-cardinality misuse into an immediate, named error
+    * instead of a driver OOM or a megabyte-scale codegen unit. */
+  val maxLiteralGroups: Int = 1000
+
   /** Per-group sketch rows (_qk_g, _qk_h, _qk_v): the k rows with the
     * smallest key-hashes. `hashCol` must be a deterministic per-row hash
     * so retries and the oracle agree; rank ties on the hash (a non-unique
@@ -79,7 +87,18 @@ object QuantileSketch {
     * but is still guarded LOUDLY: an `assert_true` folded into the output
     * hash column (so pruning can't drop it) fires if any sketch ends up
     * smaller than min(k, n_g), naming this method and the fix. Result is
-    * bit-identical to `sketch` on the same input. */
+    * bit-identical to `sketch` on the same input.
+    *
+    * ==Execution contract (BATCH + EAGER)==
+    * This method runs Spark jobs AT CALL TIME — a group-count collect()
+    * and a localCheckpoint() of the ≤ groups×k sketch — so it cannot be
+    * applied to a streaming relation, and callers composing plans lazily
+    * will observe immediate cluster work here. The group column must be
+    * LOW-cardinality by contract (counts are collected to the driver and
+    * inlined as a literal CASE); more than [[maxLiteralGroups]] distinct
+    * groups fails fast with a clear message instead of building a giant
+    * when-chain or exhausting driver memory — use [[sketch]] (the
+    * group-partitioned window form) for high-cardinality keys. */
   def sketchThinned(rows: DataFrame, groupCol: Column, hashCol: Column,
                     valueCol: Column, k: Int, margin: Int = 8): DataFrame = {
     val tagged = rows.select(
@@ -97,8 +116,13 @@ object QuantileSketch {
     // exactly the old n ≤ keep disjunct); otherwise the exact BigInt
     // quotient 2^60·keep/n, always < 2^60 so BIGINT-safe.
     val countRows = tagged.groupBy(col("_qk_g"))
-      .agg(count(lit(1)).as("_qk_n")).collect()
+      .agg(count(lit(1)).as("_qk_n")).limit(maxLiteralGroups + 1).collect()
       .map(r => r.get(0) -> r.getLong(1)).toList
+    require(countRows.size <= maxLiteralGroups,
+      s"QuantileSketch.sketchThinned: more than $maxLiteralGroups distinct " +
+        "groups — this operator collects per-group counts to the driver and " +
+        "is for LOW-cardinality group columns only; use QuantileSketch.sketch " +
+        "(group-partitioned window) for high-cardinality keys")
     val threshOf = countRows.map { case (g, n) =>
       g -> (if (n <= keep) Long.MaxValue
             else (BigInt(1152921504606846976L) * keep / BigInt(n)).toLong)
@@ -245,7 +269,16 @@ object QuantileSketch {
     *
     * Rank arithmetic mirrors `quantiles` (float ceil(q·n), the gates'
     * established oracle convention), so est here is bit-identical to
-    * the rank-pick a total sort would produce. */
+    * the rank-pick a total sort would produce.
+    *
+    * ==Execution contract (BATCH + EAGER)==
+    * Runs Spark jobs AT CALL TIME — the sketch boundaries are
+    * collect()ed and the ≤ |qs|·groups target relation is
+    * localCheckpoint()ed — so this cannot be applied to streaming
+    * relations, and lazy plan composition triggers immediate work.
+    * Group cardinality must be ≤ [[maxLiteralGroups]] (boundaries inline
+    * as a literal CASE on the group key); beyond that the call fails
+    * fast with a named error. */
   def exactQuantilesSketchGuided(rows: DataFrame, groupCol: Column,
       hashCol: Column, valueCol: Column, sketchRows: DataFrame,
       qs: Seq[Double]): DataFrame = {
@@ -267,8 +300,13 @@ object QuantileSketch {
     // fact row (psi_drift's bucket pass: 9.3 s join-carried vs 2.7 s
     // literal at 10^8 rows). Groups absent from the sketch yield a
     // null bucket and are filtered — the inner-join semantics exactly.
-    val boundsLocal = sortedValues(sketchRows).collect()
-      .map(r => r.get(0) -> r.getSeq[Any](1)).toList
+    val boundsLocal = sortedValues(sketchRows).limit(maxLiteralGroups + 1)
+      .collect().map(r => r.get(0) -> r.getSeq[Any](1)).toList
+    require(boundsLocal.size <= maxLiteralGroups,
+      s"QuantileSketch.exactQuantilesSketchGuided: more than " +
+        s"$maxLiteralGroups distinct groups in the pilot sketch — bucket " +
+        "boundaries inline as a literal CASE on the group key, which is " +
+        "for LOW-cardinality groups only")
     val bucketed =
       if (boundsLocal.isEmpty) base.withColumn("_qk_b", lit(null: String).cast("int"))
         .filter(col("_qk_b").isNotNull)

@@ -20,10 +20,13 @@ object AnalyticsQueries {
     * 5-row scalar side onto a fact stream prices every row through join
     * machinery; a collected literal CASE folds into the scan's codegen.
     * Keys absent from `m` yield null (callers filter to replicate inner
-    * -join semantics). */
+    * -join semantics); an EMPTY `m` (empty input relation) yields a null
+    * literal so downstream filters produce an empty result instead of a
+    * plan-build NoSuchElementException. */
   private def literalCaseOn(key: org.apache.spark.sql.Column,
       m: List[(String, Long)]): org.apache.spark.sql.Column =
-    m.tail.foldLeft(when(key === m.head._1, lit(m.head._2))) {
+    if (m.isEmpty) lit(null).cast("long")
+    else m.tail.foldLeft(when(key === m.head._1, lit(m.head._2))) {
       case (acc, (g, v)) => acc.when(key === g, lit(v))
     }
 
@@ -934,9 +937,12 @@ object AnalyticsQueries {
     // 10^8 rows starves execution memory (storageFraction floor) long
     // before the recompute would cost anything.
     //
-    // THREE data passes total (round-10 re-plan; was four): the global
+    // THREE-and-a-half data passes total (round-11 re-plan): the global
     // midpoint and the per-type counts fold into ONE stats pass (h and
-    // v pruned from its scan), the thin pass reads only the reference
+    // v pruned from its scan), a half-scan counts the reference half
+    // per type (g+us columns only — exact thin thresholds need n_half,
+    // which no single pass can produce because mid isn't known until
+    // the stats pass finishes), the thin pass reads only the reference
     // half (the us ≤ mid filter sits below the md5 projection), and the
     // bucket-count pass is the one exact full scan.
     val stats = ev.groupBy(col("g")).agg(count(lit(1)).as("n_tot"),
@@ -944,23 +950,35 @@ object AnalyticsQueries {
     val mn = stats.map(_.getAs[Long]("mn")).min
     val mx = stats.map(_.getAs[Long]("mx")).max
     val mid = mn + (mx - mn) / 2 // == min + (max − min) div 2, both ≥ 0
-    // Thin thresholds from TOTAL per-type counts (first-half counts
-    // aren't known without another pass): T_g = 2^60·keep/max(n_tot,
-    // keep+1), exact integer arithmetic, so expected survivors are
-    // ~keep·(n_half/n_tot) ≈ keep/2 = 4k — starving below k is
-    // e^−k-improbable, and the guard on the final aggregation still
-    // catches it EXACTLY (n_half is recovered from the smoothed totals
-    // as total_a − n_buckets). Thinning never changes the result
-    // otherwise: the bottom-k under h-order is invariant to dropping
-    // rows above the threshold.
+    // Thin thresholds from EXACT reference-half counts (round 11; the
+    // previous total-count form T_g = 2^60·keep/n_tot kept every
+    // first-half row only in expectation — on a corpus where
+    // n_tot > keep but n_half < k each of the n_half rows had ~1/1025
+    // independent drop probability and the starvation guard could
+    // detonate on healthy skewed data). Rules mirror
+    // QuantileSketch.sketchThinned: n_half ≤ keep ⇒ Long.MaxValue
+    // (keep ALL first-half rows — the sketch is then exactly
+    // min(k, n_half) deep, deterministically), else
+    // T_g = 2^60·keep/n_half exact BigInt quotient, expected survivors
+    // = keep = 8k, starving below k is e^−k-improbable, and the guard
+    // on the final aggregation still catches it EXACTLY (n_half is
+    // recovered from the smoothed totals as total_a − n_buckets).
+    // Thinning never changes the result otherwise: the bottom-k under
+    // h-order is invariant to dropping rows above the threshold.
     // Thresholds inline as a literal CASE on g, NOT a broadcast join:
     // even a 5-row broadcast hash join prices every fact row through
     // join machinery; a when-chain of literals stays inside the scan's
     // codegen (the bounds join below was measured at 3.4× the pass cost
     // at this decade before the same change).
-    val threshOf = stats.map(r => r.getAs[String]("g") ->
-      (BigInt(1152921504606846976L) * keep /
-        BigInt(r.getAs[Long]("n_tot")).max(BigInt(keep + 1))).toLong).toList
+    val halfCounts = ev.filter(col("us") <= mid).groupBy(col("g"))
+      .agg(count(lit(1)).as("n_half")).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Long]("n_half")).toMap
+    val threshOf = stats.map { r =>
+      val g = r.getAs[String]("g")
+      val nHalf = halfCounts.getOrElse(g, 0L)
+      g -> (if (nHalf <= keep) Long.MaxValue
+            else (BigInt(1152921504606846976L) * keep / nHalf).toLong)
+    }.toList
     val threshExpr = literalCaseOn(col("g"), threshOf)
     val surv = ev.filter(col("us") <= mid && col("h") <= threshExpr)
     val wB = org.apache.spark.sql.expressions.Window
@@ -984,12 +1002,17 @@ object AnalyticsQueries {
     val boundsLocal = QuantileSketch.quantiles(sk, qs)
       .groupBy(col("scope")).agg(sort_array(collect_list(col("est"))).as("bs"))
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toList
-    val bucketExpr = boundsLocal.tail.foldLeft(
-      when(col("g") === boundsLocal.head._1, graft.functions.SortedSearch
-        .sortedCountLE(typedLit(boundsLocal.head._2), col("v")))) {
-      case (acc, (gv, bs)) => acc.when(col("g") === gv,
-        graft.functions.SortedSearch.sortedCountLE(typedLit(bs), col("v")))
-    }
+    // Empty-corpus guard: no types ⇒ null bucket everywhere ⇒ the
+    // isNotNull filter below yields an empty result (the behavior the
+    // old broadcast-join form had for free).
+    val bucketExpr =
+      if (boundsLocal.isEmpty) lit(null).cast("long")
+      else boundsLocal.tail.foldLeft(
+        when(col("g") === boundsLocal.head._1, graft.functions.SortedSearch
+          .sortedCountLE(typedLit(boundsLocal.head._2), col("v")))) {
+        case (acc, (gv, bs)) => acc.when(col("g") === gv,
+          graft.functions.SortedSearch.sortedCountLE(typedLit(bs), col("v")))
+      }
     val bucketed = ev
       .withColumn("bucket", bucketExpr.cast("long"))
       .filter(col("bucket").isNotNull)

@@ -1005,17 +1005,47 @@ object RelationalQueries {
       |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ── Analytic window-function surface (ntile/ranks/distribution/nth) ────
+  // Round-11 re-plan: the straightforward Window.partitionBy(status) form
+  // is a 3-partition TOTAL SORT of the whole relation (10.1 s at the 100×
+  // decade — the recurring low-cardinality-group cliff). Every output
+  // column is a pure function of (rn, n) — o_orderkey is UNIQUE, so
+  // dense_rank = rank = row_number — plus two per-status head keys, so
+  // the scalable plan is DistributionRanks (bucket by sampled literal
+  // bounds → exact cell-count offsets → cell-sized rank windows) with
+  // ntile/percent_rank/cume_dist re-derived by their definitional
+  // integer/double arithmetic (bit-identical: same (rn, n) longs in, the
+  // same double division Spark's window functions perform internally) and
+  // first/third keys inlined from a head-cell mini-scan.
   private val windowAnalytics: Q = (s, dir) => {
-    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
-    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.orders(s, dir).select(
+    import graft.operators.DistributionRanks
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val gr = DistributionRanks.groupRanks(
+      o, col("o_orderstatus"), col("o_orderkey"), "rn", "n")
+    val heads = DistributionRanks.headKeys(
+      o, col("o_orderstatus"), col("o_orderkey"), gr, 3)
+    def headExpr(idx: Int): org.apache.spark.sql.Column =
+      heads.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, ks)) =>
+        when(col("o_orderstatus") === g,
+          ks.lift(idx).map(lit(_)).getOrElse(lit(null)).cast("long"))
+          .otherwise(acc)
+    }
+    // ntile(4) definitional arithmetic: the first n%4 tiles carry
+    // n div 4 + 1 rows (when n < 4 every row lands in the THEN branch, so
+    // the ELSE's div-by-zero is unreachable)
+    gr.ranked.select(
       col("o_orderkey"), col("o_orderstatus"),
-      ntile(4).over(w).cast("long").as("quartile"),
-      dense_rank().over(w).cast("long").as("drank"),
-      round(percent_rank().over(w), 6).as("prank"),
-      round(cume_dist().over(w), 6).as("cdist"),
-      first(col("o_orderkey")).over(wf).as("first_key"),
-      nth_value(col("o_orderkey"), 3).over(wf).as("third_key"))
+      expr("""CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+             |     THEN (rn - 1) div (n div 4 + 1) + 1
+             |     ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+             |END""".stripMargin).cast("long").as("quartile"),
+      col("rn").as("drank"),
+      when(col("n") === 1, lit(0.0))
+        .otherwise(round((col("rn") - 1) / (col("n") - 1), 6)).as("prank"),
+      round(col("rn") / col("n"), 6).as("cdist"),
+      headExpr(0).as("first_key"),
+      headExpr(2).as("third_key"))
   }
 
   private val windowAnalyticsSql =

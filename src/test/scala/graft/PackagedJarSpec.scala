@@ -12,14 +12,16 @@ class PackagedJarSpec extends AnyFunSuite {
 
   // Artifact path comes from sbt (build.sbt sets -Dgraft.packaged.jar
   // from Compile/packageBin/artifactPath) so a version bump can't break
-  // the suite; the glob fallback covers running the class outside sbt.
+  // the suite; the glob fallback covers running the class outside sbt
+  // and prefers the NEWEST jar by mtime so a stale older-versioned
+  // artifact lying around can't be smoked silently.
   private val jar: java.io.File = sys.props.get("graft.packaged.jar")
     .map(new java.io.File(_))
     .orElse {
       val dir = new java.io.File("target/scala-2.13")
       Option(dir.listFiles()).flatMap(_.filter(f =>
         f.getName.endsWith(".jar") && !f.getName.contains("sources") &&
-          !f.getName.contains("javadoc")).sortBy(_.getName).headOption)
+          !f.getName.contains("javadoc")).sortBy(-_.lastModified()).headOption)
     }
     .getOrElse(new java.io.File("target/scala-2.13/missing.jar"))
 

@@ -406,6 +406,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("window_analytics: cell-bucketed exact ranks, no group-sized total sort") {
+    // round-11 re-plan (DistributionRanks): ntile/percent_rank/cume_dist
+    // are re-derived from (rn, n) arithmetic; the only Window in the
+    // result plan must be the CELL-sized (group, bucket) rank — a window
+    // partitioned by the group alone is the 100× total-sort cliff coming
+    // back (10.1 s at 15 M rows pre-re-plan).
+    val exec = Queries.all("window_analytics")(spark, sf001)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(p.contains("sorted_count_le"),
+      s"literal-bounds binary-search bucket pick missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-offset broadcast join missing:\n$p")
+    assert(!p.contains("ntile(") && !p.contains("percent_rank("),
+      s"window-function form regressed (group-sized sort partitions):\n$p")
+    val coarseWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.size < 2 => w
+    }
+    assert(coarseWindows.isEmpty,
+      s"a Window partitioned by fewer than (group, bucket) keys is a " +
+        s"group-sized total sort:\n$exec")
+  }
+
   test("PLANS.md pins every query whose sf0.1 median exceeds 1 s") {
     // The audit-trail contract (VERDICT r6 item 4): any query expensive
     // enough to matter (>1 s median in BENCH_DETAIL.json at sf0.1) must
