@@ -125,6 +125,58 @@ object Multimodal {
     })
   }
 
+  /** Perceptual hash of a media payload — the average-hash (aHash)
+    * construction over byte space: the payload splits into `bits` equal
+    * CELLS (cell of byte k = k·bits div len); bit j is 1 iff cell j's
+    * mean byte value exceeds the whole payload's mean. Means compare by
+    * EXACT integer cross-multiplication (s_j·n_tot > s_tot·n_j — no
+    * doubles cross an engine boundary), so a SQL oracle replays the hash
+    * bit-for-bit. Position-SENSITIVE by construction — unlike a plain
+    * byte-histogram simhash, which collapses for same-distribution
+    * payloads (every doc of one corpus shares letter frequencies →
+    * near-identical histograms → a degenerate all-pairs clique); cell
+    * means differ whenever content ORDER differs, the property real
+    * aHash/dHash/pHash get from their spatial grid.
+    *
+    * Near-dup behavior: a local byte edit perturbs ONE cell's mean (flips
+    * only bits whose margin is within the edit); reordering within a cell
+    * (re-encode jitter) leaves the hash unchanged. Returns
+    * (doc_id, simhash) rows — the input contract of
+    * [[graft.operators.DedupOps.simHashBandedPairs]]; 60 bits splits
+    * into the 4×15 pigeonhole bands that cover Hamming ≤ 3.
+    *
+    * Payloads shorter than 2 bytes are dropped (no cells to compare —
+    * and a 0/1-byte payload has no meaningful content signature). */
+  def perceptualHash(df: DataFrame, idCol: Column, payloadCol: Column,
+                     bits: Int = 60): DataFrame = {
+    require(bits >= 1 && bits <= 62, "bits must fit a positive long")
+    val base = df.select(idCol.as("doc_id"),
+        lower(hex(payloadCol)).as("hx"))
+      .filter(length(col("hx")) >= 4) // ≥ 2 bytes
+      .withColumn("len", (length(col("hx")).cast("long") / 2).cast("long"))
+    // one row per byte: (doc_id, cell, byte value); the explode is the
+    // honest cost of content hashing (every byte read once) — rows never
+    // carry the payload, only (id, j, bval) longs
+    val bytes = base.select(col("doc_id"), col("len"),
+        posexplode(expr("transform(sequence(0, CAST(length(hx) AS INT) div 2 - 1)," +
+          " k -> CAST(conv(substring(hx, k*2+1, 2), 16, 10) AS BIGINT))"))
+          .as(Seq("k", "bval")))
+      .select(col("doc_id"),
+        expr(s"k * $bits div len").cast("int").as("j"), col("bval"))
+    val cells = bytes.groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("bval")).as("s"), count(lit(1)).as("n"))
+    // per-payload totals as a window over the ≤ bits-row groups (never a
+    // second pass over the byte explode)
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    cells
+      .withColumn("ts", sum(col("s")).over(wDoc))
+      .withColumn("tn", sum(col("n")).over(wDoc))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") * col("tn") > col("ts") * col("n"),
+          expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)))
+        .as("simhash"))
+  }
+
   /** Expression-level metadata features — the cheap path that needs no
     * decode and stays inside whole-stage codegen: size, hash, magic-byte
     * prefix. Use before shuffling or routing payloads. */

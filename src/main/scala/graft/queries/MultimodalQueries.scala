@@ -162,14 +162,94 @@ object MultimodalQueries {
       |       CAST(1 + distinct_bytes % 30 AS BIGINT) AS frames
       |FROM bh""".stripMargin
 
+  // ── perceptual-hash near-dup dedup over payload BYTES ──────────────────
+  // The dedup modality the text/embedding families don't cover: two media
+  // payloads that differ at the byte level (re-encode jitter, a corrupted
+  // byte) but share content. Pipeline: aHash-style 60-bit perceptual hash
+  // (Multimodal.perceptualHash — position-sensitive cell means, exact
+  // integer bit rule) → the SAME banded pigeonhole pair miner the text
+  // family uses (DedupOps.simHashBandedPairs, 4×15 bands cover Hamming
+  // ≤ 3, candidates via band equi-joins — NEVER all-pairs) → keep-min
+  // drop rule. Two planted perturbation kinds ride the fixture payloads,
+  // both id-offset far above any ScaleGen replica range (10¹²/2·10¹²)
+  // and classified by construction, not threshold:
+  //   swaps: first two bytes exchanged — same cell, hash-IDENTICAL by
+  //          construction (hamming 0), so detection is guaranteed;
+  //   tweaks: first byte forced to 0xff — one cell's mean moves, flipping
+  //          only margin-thin bits (the realistic near-miss population).
+  // Output: every dropped payload with its kept canonical and the pair's
+  // hamming (packed min over (d1, hamming) for a deterministic pick).
+  private val multimodalNearDedup: Q = (s, dir) => {
+    import graft.operators.DedupOps
+    val base = Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      lower(hex(col("text").cast("binary"))).as("hx"))
+    val swaps = base
+      .filter(col("media_id") % 20 === 0 && length(col("hx")) >= 122)
+      .select((col("media_id") + lit(1000000000000L)).as("media_id"),
+        concat(expr("substring(hx, 3, 2)"), expr("substring(hx, 1, 2)"),
+          expr("substring(hx, 5)")).as("hx"))
+    val tweaks = base
+      .filter(col("media_id") % 20 === 7 && length(col("hx")) >= 4)
+      .select((col("media_id") + lit(2000000000000L)).as("media_id"),
+        concat(lit("ff"), expr("substring(hx, 3)")).as("hx"))
+    val media = base.unionByName(swaps).unionByName(tweaks)
+    val ph = Multimodal.perceptualHash(
+      media, col("media_id"), unhex(col("hx")), bits = 60)
+    val pairs = DedupOps.simHashBandedPairs(ph, bands = 4, maxDist = 3, bits = 60)
+    pairs.groupBy(col("d2").as("media_id"))
+      .agg(min(col("d1") * 1000 + col("hamming")).as("kfp"))
+      .select(col("media_id"), expr("kfp div 1000").as("kept_as"),
+        (col("kfp") % 1000).cast("long").as("hamming"))
+  }
+
+  // quadratic reference oracle (bit-replay of the hash, then ALL pairs —
+  // fine at gate scale; the engine side is the banded plan)
+  private val multimodalNearDedupSql =
+    """WITH base AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx
+      |              FROM documents),
+      |pl AS (
+      |  SELECT media_id + 1000000000000 AS media_id,
+      |         substring(hx, 3, 2) || substring(hx, 1, 2) || substring(hx, 5) AS hx
+      |  FROM base WHERE media_id % 20 = 0 AND length(hx) >= 122
+      |  UNION ALL
+      |  SELECT media_id + 2000000000000 AS media_id,
+      |         'ff' || substring(hx, 3) AS hx
+      |  FROM base WHERE media_id % 20 = 7 AND length(hx) >= 4),
+      |media AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
+      |bytes AS (
+      |  SELECT media_id, (k * 60) // (length(hx) // 2) AS j,
+      |         CAST(('0x' || substring(hx, k * 2 + 1, 2)) AS BIGINT) AS bval
+      |  FROM (SELECT media_id, hx, unnest(range(0, length(hx) // 2)) AS k
+      |        FROM media WHERE length(hx) >= 4)),
+      |cells AS (SELECT media_id, j, sum(bval) AS s, count(*) AS n
+      |          FROM bytes GROUP BY 1, 2),
+      |tot AS (SELECT media_id, sum(s) AS ts, sum(n) AS tn
+      |        FROM cells GROUP BY 1),
+      |ph AS (SELECT c.media_id,
+      |              CAST(sum(CASE WHEN c.s * t.tn > t.ts * c.n
+      |                            THEN (CAST(1 AS BIGINT) << c.j)
+      |                            ELSE 0 END) AS BIGINT) AS simhash
+      |       FROM cells c JOIN tot t USING (media_id) GROUP BY 1),
+      |pairs AS (SELECT a.media_id AS d1, b.media_id AS d2,
+      |                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+      |          FROM ph a JOIN ph b ON a.media_id < b.media_id
+      |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+      |SELECT d2 AS media_id,
+      |       CAST(min(d1 * 1000 + hamming) // 1000 AS BIGINT) AS kept_as,
+      |       CAST(min(d1 * 1000 + hamming) % 1000 AS BIGINT) AS hamming
+      |FROM pairs GROUP BY 1""".stripMargin
+
   val all: Map[String, Q] = Map(
     "multimodal_meta"          -> multimodalMeta,
     "multimodal_frames"        -> multimodalFrames,
     "multimodal_pipeline"      -> multimodalPipeline,
-    "multimodal_pipeline_hist" -> multimodalPipelineHist)
+    "multimodal_pipeline_hist" -> multimodalPipelineHist,
+    "multimodal_near_dedup"    -> multimodalNearDedup)
   val oracles: Map[String, String] = Map(
     "multimodal_meta"          -> multimodalMetaSql,
     "multimodal_frames"        -> multimodalFramesSql,
     "multimodal_pipeline"      -> multimodalPipelineSql,
-    "multimodal_pipeline_hist" -> multimodalPipelineHistSql)
+    "multimodal_pipeline_hist" -> multimodalPipelineHistSql,
+    "multimodal_near_dedup"    -> multimodalNearDedupSql)
 }

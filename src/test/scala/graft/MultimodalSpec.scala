@@ -76,4 +76,44 @@ class MultimodalSpec extends SparkSpec {
       .map(f => f.media_id -> f.n_bytes).toMap
     assert(meta == feat)
   }
+
+  test("perceptualHash matches the hand-computed aHash bit rule") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // reference aHash: cell of byte k = k*bits div len; bit j set iff
+    // cell mean > payload mean (exact cross-multiplied integers)
+    def ref(bytes: Array[Byte], bits: Int): Long = {
+      val len = bytes.length.toLong
+      val vals = bytes.map(_ & 0xff)
+      val cells = vals.zipWithIndex
+        .groupBy { case (_, k) => (k * bits / len).toInt }
+        .view.mapValues(a => (a.map(_._1.toLong).sum, a.length.toLong)).toMap
+      val ts = vals.map(_.toLong).sum
+      val tn = len
+      cells.collect { case (j, (s, n)) if s * tn > ts * n => 1L << j }.sum
+    }
+    val payloads = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog, twice over".getBytes("UTF-8"),
+      2L -> Array.tabulate(300)(i => ((i * 37 + 11) % 251).toByte),
+      3L -> Array[Byte](0, 127), // 2 bytes: the minimum accepted payload
+      4L -> Array[Byte](5))      // 1 byte: dropped (no cells to compare)
+    val df = payloads.toDF("media_id", "payload")
+    val got = Multimodal.perceptualHash(df, col("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(4L), "sub-2-byte payloads must drop")
+    payloads.filter(_._2.length >= 2).foreach { case (id, bs) =>
+      assert(got(id) == ref(bs, 60), s"payload $id hash mismatch")
+    }
+    // reorder WITHIN a cell leaves the hash unchanged; a byte edit does not
+    val big = payloads(1)._2
+    val swapped = big.clone(); swapped(0) = big(1); swapped(1) = big(0)
+    val edited = big.clone(); edited(0) = 0xff.toByte
+    val df2 = Seq(10L -> big, 11L -> swapped, 12L -> edited)
+      .toDF("media_id", "payload")
+    val h2 = Multimodal.perceptualHash(df2, col("media_id"), col("payload"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h2(10L) == h2(11L), "same-cell byte swap must be hash-invariant")
+    assert(java.lang.Long.bitCount(h2(10L) ^ h2(12L)) <= 3,
+      "a one-byte edit should stay within the banded hamming radius here")
+  }
 }
