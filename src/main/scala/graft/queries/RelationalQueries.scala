@@ -358,14 +358,21 @@ object RelationalQueries {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      // revenue as the exact integer ten-thousandth (the q9 convention):
+      // round(double_sum, 2) flipped a cent at the 10× corpus — a double
+      // sum is summation-ORDER-dependent, so at 60 M rows the rounded
+      // display value isn't even deterministic across Spark runs, let
+      // alone engines. Each term is an exact 4-dp integer; the integer
+      // sum is fold-order-free in both engines.
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000, 0).cast("long")).as("revenue_fp"))
   }
 
   private val q7VolumeShippingSql =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-      |       round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000)
+      |                AS BIGINT)) AS BIGINT) AS revenue_fp
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
