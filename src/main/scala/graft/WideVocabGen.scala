@@ -26,14 +26,18 @@ import org.apache.spark.sql.functions._
   *    P(rank = k) ∝ ~1/k (Zipf exponent ~1: few stopword-like ranks with
   *    huge df, a long tail of df ≈ 1..10);
   *  - doc length: 40..200 tokens by doc hash;
-  *  - planted near-dups: every doc with doc_id % 10 == 0 gets a twin at
-  *    doc_id + 10^7 (far above the base range; membership, not
-  *    threshold, still classifies) whose tokens at pos % 5 == 0 are
-  *    re-drawn under a different hash salt — exactly 1/5 of positions
-  *    differ, so word-multiset overlap ≈ 4/5 and 3-gram-shingle overlap
-  *    ≈ 2/5 (a window of 3 consecutive positions avoids all perturbed
-  *    positions for 2 of every 5 alignments), bracketing the gates'
-  *    Jaccard thresholds from both sides.
+  *  - planted near-dups at three CONTROLLED similarity tiers (a twin
+  *    re-draws tokens at pos % m == 0 under a different hash salt; with
+  *    3-gram shingles the unchanged-window fraction is u ≈ (m−3)/m and
+  *    shingle-Jaccard J = u/(2−u)):
+  *      tier A, m=30 (doc_id % 10 == 0, twin at +10^7):  J₃ ≈ 0.82 —
+  *        above the minhash gate's 0.8 verify threshold;
+  *      tier B, m=15 (doc_id % 10 == 3, twin at +2·10^7): J₃ ≈ 0.67 —
+  *        above the prefix filter's τ = 3/5, below 0.8;
+  *      tier C, m=5  (doc_id % 10 == 6, twin at +3·10^7): J₃ ≈ 0.25 —
+  *        the negative control (candidate-or-below, verified away).
+  *    Twin ids sit far above the base range; membership, not threshold,
+  *    still classifies.
   * Every other table copies verbatim, so the out dir runs ANY registry
   * query.
   */
@@ -68,17 +72,21 @@ object WideVocabGen {
           col("doc_id").cast("string"))), lit(161L))).cast("int"))
       .withColumn("text", expr(
         s"array_join(transform(sequence(0, len - 1), p -> ${tokenExpr("wv_")}), ' ')"))
-    val planted = spark.range(nDocs.toLong).select(col("id").as("doc_id"))
-      .filter(col("doc_id") % 10 === 0)
-      .withColumn("len",
-        (lit(40) + pmod(xxhash64(concat(lit("wvlen_"),
-          col("doc_id").cast("string"))), lit(161L))).cast("int"))
-      .withColumn("text", expr(
-        s"array_join(transform(sequence(0, len - 1), p -> " +
-          s"CASE WHEN p % 5 = 0 THEN ${tokenExpr("wvalt_")} " +
-          s"ELSE ${tokenExpr("wv_")} END), ' ')"))
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
-    val docs = base.unionByName(planted)
+    def plantTier(residue: Int, m: Int, offset: Long) =
+      spark.range(nDocs.toLong).select(col("id").as("doc_id"))
+        .filter(col("doc_id") % 10 === residue)
+        .withColumn("len",
+          (lit(40) + pmod(xxhash64(concat(lit("wvlen_"),
+            col("doc_id").cast("string"))), lit(161L))).cast("int"))
+        .withColumn("text", expr(
+          s"array_join(transform(sequence(0, len - 1), p -> " +
+            s"CASE WHEN p % $m = 0 THEN ${tokenExpr("wvalt_")} " +
+            s"ELSE ${tokenExpr("wv_")} END), ' ')"))
+        .withColumn("doc_id", col("doc_id") + lit(offset))
+    val docs = base
+      .unionByName(plantTier(0, 30, 10000000L))
+      .unionByName(plantTier(3, 15, 20000000L))
+      .unionByName(plantTier(6, 5, 30000000L))
       .withColumn("lang", element_at(
         typedLit(Seq("en", "es", "de", "fr", "zh")),
         (pmod(xxhash64(concat(lit("wvlang_"),
@@ -98,8 +106,8 @@ object WideVocabGen {
     }
     Seq("embeddings", "events", "lineitem", "orders",
       "region", "nation", "customer", "supplier", "part").foreach(copyVerbatim)
-    println(s"[widevocab] wrote $nDocs base + ${nDocs / 10} planted docs, " +
-      s"vocab=$vocab -> $out")
+    println(s"[widevocab] wrote $nDocs base + 3 x ${nDocs / 10} planted " +
+      s"tiers (J3 ~ 0.82/0.67/0.25), vocab=$vocab -> $out")
     spark.stop()
   }
 }
