@@ -108,7 +108,12 @@ object Bench {
       (elapsed, err)
     }
 
-    queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
+    // SPARK_GRAFT_NO_WARMUP=1 skips the untimed warmup pass — for
+    // COLD-JVM measurements (e.g. the streaming sentinel gates' cold
+    // spread protocol: 3 separate single-run invocations, each paying
+    // session init + codegen once, SCALING round-11)
+    if (sys.env.get("SPARK_GRAFT_NO_WARMUP").isEmpty)
+      queries.foreach { case (n, f) => runOne(n, f) } // warmup, untimed
     // In-sweep drift control: the same fixed query timed at sweep start,
     // middle, and end (median of 3 reps each). Cross-round totals are
     // only comparable up to BOX STATE — the r9→r10 sweep read 1.16×

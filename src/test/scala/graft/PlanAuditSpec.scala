@@ -406,6 +406,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q21: exists/not-exists aliases stay equi-joins, top-k never a global sort") {
+    // the 100× audit (SCALING round-11) saw three SortMergeJoins all
+    // keyed on l_orderkey (one partitioning reused) — the static pin is
+    // weaker but scale-independent: no product-shaped join may ever
+    // appear, the nation-filtered supplier dim must broadcast, and the
+    // top-100 must be TakeOrderedAndProject
+    val p = plan("q21_suppliers_waiting")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q21's correlated-exists rewrite must never plan a product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim broadcast missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject, not a global sort:\n$p")
+  }
+
+  test("q5 and q9: every dim joins by hash, the composite keys survive") {
+    // at 100× the only SortMergeJoin in either plan is fact⋈fact and q9's
+    // orders join flips to an AQE runtime broadcast (SCALING round-11);
+    // statically pin the invariants that hold at EVERY scale
+    Seq("q5_local_supplier_volume", "q9_product_profit").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name plans a product-shaped join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its dim broadcasts:\n$p")
+    }
+    // q9's two-column partsupp pair join must stay an equi-join on BOTH
+    // key columns (ps_partkey AND ps_suppkey) — dropping one would make
+    // the join 4× denser and silently change semantics
+    val q9 = plan("q9_product_profit")
+    assert(q9.contains("ps_partkey") && q9.contains("ps_suppkey"),
+      s"q9's composite partsupp join keys missing from the plan:\n$q9")
+  }
+
   test("window_analytics: cell-bucketed exact ranks, no group-sized total sort") {
     // round-11 re-plan (DistributionRanks): ntile/percent_rank/cume_dist
     // are re-derived from (rn, n) arithmetic; the only Window in the
