@@ -123,6 +123,90 @@ object DistributionRanks {
     GroupRanks(ranked, counts, bounds)
   }
 
+  /** Exact VALUE at one-or-more per-group ranks WITHOUT any group-sized
+    * sort — the generic form of the median/percentile rank-pick that
+    * kept the exact-rank gates (`mad_outliers`, `winsorize_values`) on
+    * per-type total sorts: sampled literal bounds bucket the relation,
+    * ONE exact (group, bucket) count pass locates each target rank's
+    * cell and in-cell offset on the driver, and a pruned mini-scan
+    * ranks ONLY inside target cells (expected n/buckets rows each).
+    *
+    * `ranksOf` maps a group's row count n to labeled 1-based target
+    * ranks (e.g. `n => Seq("med" -> (n + 1) / 2)`); the result maps
+    * (group, label) to the value at that ascending `valueCol` rank.
+    * Ties need no tiebreak: the VALUE at a rank is tie-order-invariant
+    * (any permutation of equal values puts the same value at the rank).
+    * Returns a driver-side map — callers inline it as a literal CASE on
+    * the group key (the join-tax rule), so the pick never rides a join.
+    *
+    * ==Execution contract (BATCH + EAGER)== runs three Spark jobs at
+    * call time; group cardinality ≤ [[QuantileSketch.maxLiteralGroups]]. */
+  def valuesAtRanks(df: DataFrame, groupCol: Column, valueCol: Column,
+      ranksOf: Long => Seq[(String, Long)], buckets: Int = 256)
+      : Map[(String, String), Long] = {
+    val base = df.select(groupCol.cast("string").as("_dr_g"),
+      valueCol.cast("long").as("_dr_o"))
+    val bounds = base.select(col("_dr_o"))
+      .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
+      .limit(buckets - 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else graft.functions.SortedSearch.sortedCountLE(
+        typedLit(bounds), col("_dr_o"))
+    val countRows = base.withColumn("_dr_b", bucketOf)
+      .groupBy(col("_dr_g"), col("_dr_b"))
+      .agg(count(lit(1)).as("_dr_c"))
+      .limit(QuantileSketch.maxLiteralGroups * (buckets + 1) + 1)
+      .collect()
+    require(countRows.length <=
+        QuantileSketch.maxLiteralGroups * (buckets + 1),
+      "DistributionRanks.valuesAtRanks: group × bucket cardinality above " +
+        "the literal-CASE contract — low-cardinality groups only")
+    val counts = countRows.map(r =>
+      (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val groups = counts.keys.map(_._1).toSeq.distinct.sorted
+    // locate every (group, label) target: walk buckets in order,
+    // accumulate exclusive offsets, stop inside the bucket covering r
+    val targets: Map[(String, Int), Seq[(String, Long)]] = groups.flatMap { g =>
+      val cells = (0 to bounds.size).flatMap(b =>
+        counts.get((g, b)).map(c => (b, c)))
+      val n = cells.map(_._2).sum
+      ranksOf(n).filter { case (_, r) => r >= 1 && r <= n }.map {
+        case (label, r) =>
+          var acc = 0L
+          val (b, off) = cells.collectFirst {
+            case (bb, c) if { val o = acc; acc += c; r > o && r <= o + c } =>
+              (bb, acc - counts((g, bb)))
+          }.get // total counts cover every 1..n rank — cannot miss
+          ((g, b), (label, r - off))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    if (targets.isEmpty) return Map.empty
+    val cellPred = targets.keys.map { case (g, b) =>
+      val lo = if (b == 0) lit(true)
+        else col("_dr_o") >= lit(bounds(b - 1))
+      val hi = if (bounds.isEmpty || b >= bounds.size) lit(true)
+        else col("_dr_o") < lit(bounds(b))
+      col("_dr_g") === lit(g) && lo && hi
+    }.reduce(_ || _)
+    val wCell = Window.partitionBy(col("_dr_g"), col("_dr_b"))
+      .orderBy(col("_dr_o"))
+    val localRanks = targets.values.flatten.map(_._2).toSeq.distinct
+    val picked = base.filter(cellPred)
+      .withColumn("_dr_b", bucketOf)
+      .withColumn("_dr_rn", row_number().over(wCell))
+      .filter(col("_dr_rn").isin(localRanks: _*))
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(2)), r.getInt(3).toLong, r.getLong(1)))
+    // map collected (g, b, localRank, value) rows back to labels
+    picked.flatMap { case (gb, rn, v) =>
+      targets.getOrElse(gb, Seq.empty).collect {
+        case (label, lr) if lr == rn => (gb._1, label) -> v
+      }
+    }.toMap
+  }
+
   /** Per-group HEAD keys — the k smallest `orderCol` values per group —
     * from ONE pushed-down mini-scan over only the head cells (the
     * buckets whose exclusive offset is < k), using the artifacts of a

@@ -191,37 +191,36 @@ object AnalyticsQueries {
       |JOIN last l ON r.user_id = l.user_id AND r.rn = l.mx_rn
       |JOIN mu m ON r.user_id = m.user_id""".stripMargin
 
-  /** Winsorization — per-type p05/p95 DISCRETE-rank bounds (the
-    * quantile_sketch rank-pick convention: value at ascending rank
-    * ceil(q·n), integer-exact in both engines, no interpolation float),
-    * then every value clipped into [lo, hi]. Bounds come from one ranked
-    * window pass over per-type partitions; the 5-row bounds relation
-    * broadcasts back onto the stream. Reports the clip counts and the
-    * winsorized fixed-point sum — the robust-mean building block. */
+  /** Winsorization — per-type p05/p95 DISCRETE-rank bounds (value at
+    * ascending rank ⌈n/20⌉ / ⌈19n/20⌉, exact integer ceilings — no
+    * interpolation float), then every value clipped into [lo, hi].
+    * Reports the clip counts and the winsorized fixed-point sum — the
+    * robust-mean building block. */
+  // Round-11 re-plan: the per-type ranked window was a total sort (the
+  // low-cardinality cliff); valuesAtRanks picks both bound values from
+  // cell-sized scans and they inline as literal CASEs. The rank
+  // arithmetic also moved from float ceil(0.05·n) to the EXACT integer
+  // ceilings (n+19) div 20 and (19n+19) div 20: 0.05 is not dyadic, so
+  // the double product crosses 1 ULP above the true value at n ≡ 0
+  // (mod 20) and Spark's ceil gave rank+1 where DuckDB's DECIMAL gave
+  // rank — a latent fixture-luck divergence (the memory-book threshold
+  // rule), now retired on BOTH sides.
   private val winsorizeValues: Q = (s, dir) => {
+    import graft.operators.DistributionRanks
     val ev = Tables.events(s, dir).select(col("event_type"),
       col("event_id"), round(col("value") * 100).cast("long").as("v"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
-    val ranked = ev
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
-    val bounds = ranked
-      .filter(col("rn") === ceil(lit(0.05) * col("n")) ||
-        col("rn") === ceil(lit(0.95) * col("n")))
-      .groupBy(col("event_type"))
-      .agg(min(when(col("rn") === ceil(lit(0.05) * col("n")), col("v")))
-          .as("lo_fp"),
-        min(when(col("rn") === ceil(lit(0.95) * col("n")), col("v")))
-          .as("hi_fp"))
-    ev.join(broadcast(bounds), "event_type")
-      .groupBy(col("event_type"))
+    val picks = DistributionRanks.valuesAtRanks(ev, col("event_type"),
+      col("v"), n => Seq("lo" -> (n + 19) / 20, "hi" -> (19 * n + 19) / 20))
+    def exprOf(label: String) = literalCaseOn(col("event_type"),
+      picks.toList.collect { case ((g, l), v) if l == label => g -> v }
+        .sortBy(_._1))
+    val (loExpr, hiExpr) = (exprOf("lo"), exprOf("hi"))
+    ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("lo_fp")).as("lo_fp"), min(col("hi_fp")).as("hi_fp"),
-        count_if(col("v") < col("lo_fp")).as("n_low"),
-        count_if(col("v") > col("hi_fp")).as("n_high"),
-        sum(greatest(col("lo_fp"), least(col("hi_fp"), col("v"))))
+        min(loExpr).as("lo_fp"), min(hiExpr).as("hi_fp"),
+        count_if(col("v") < loExpr).as("n_low"),
+        count_if(col("v") > hiExpr).as("n_high"),
+        sum(greatest(loExpr, least(hiExpr, col("v"))))
           .as("sum_wins_fp"))
   }
 
@@ -238,10 +237,10 @@ object AnalyticsQueries {
       |  FROM ev),
       |bounds AS (
       |  SELECT event_type,
-      |         min(CASE WHEN rn = ceil(0.05 * n) THEN v END) AS lo_fp,
-      |         min(CASE WHEN rn = ceil(0.95 * n) THEN v END) AS hi_fp
+      |         min(CASE WHEN rn = (n + 19) // 20 THEN v END) AS lo_fp,
+      |         min(CASE WHEN rn = (19 * n + 19) // 20 THEN v END) AS hi_fp
       |  FROM ranked
-      |  WHERE rn = ceil(0.05 * n) OR rn = ceil(0.95 * n)
+      |  WHERE rn = (n + 19) // 20 OR rn = (19 * n + 19) // 20
       |  GROUP BY 1)
       |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
       |       CAST(min(b.lo_fp) AS BIGINT) AS lo_fp,
@@ -445,30 +444,31 @@ object AnalyticsQueries {
     * 5-row med/MAD tables broadcast back — the ~50%-breakdown-point
     * outlier rule a long-tailed metric needs where one spike poisons a
     * mean-based z-score. */
+  // Round-11 re-plan: the two rankPick calls were per-type TOTAL SORTS
+  // (the recurring low-cardinality cliff, ~2 sorts of the whole relation
+  // at 100×). DistributionRanks.valuesAtRanks picks the exact median by
+  // rank from cell-sized scans (sampled bounds → one count pass → a
+  // pruned target-cell mini-scan), and the 5-value results inline as
+  // literal CASEs (the join-tax rule) — the median VALUE at rank
+  // (n+1) div 2 is tie-order-invariant, so dropping the event_id
+  // tiebreak changes nothing.
   private val madOutliers: Q = (s, dir) => {
+    import graft.operators.DistributionRanks
     val ev = Tables.events(s, dir).select(col("event_type"),
       col("event_id"), round(col("value") * 100).cast("long").as("v"))
-    def rankPick(df: org.apache.spark.sql.DataFrame, valueCol: String,
-        outCol: String) = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col(valueCol), col("event_id"))
-      val wn = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type"))
-      df.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wn))
-        .filter(col("rn") === expr("(n + 1) div 2"))
-        .select(col("event_type"), col(valueCol).as(outCol))
-    }
-    val med = rankPick(ev, "v", "med_fp")
-    val dev = ev.join(broadcast(med), "event_type")
-      .withColumn("d", abs(col("v") - col("med_fp")))
-    val mad = rankPick(dev.select(col("event_type"), col("event_id"),
-      col("d")), "d", "mad_fp")
-    dev.join(broadcast(mad), "event_type")
-      .groupBy(col("event_type"))
+    val med = DistributionRanks.valuesAtRanks(ev, col("event_type"),
+      col("v"), n => Seq("med" -> (n + 1) / 2))
+    val medExpr = literalCaseOn(col("event_type"),
+      med.toList.map { case ((g, _), v) => g -> v }.sortBy(_._1))
+    val dev = ev.withColumn("d", abs(col("v") - medExpr))
+    val mad = DistributionRanks.valuesAtRanks(dev, col("event_type"),
+      col("d"), n => Seq("med" -> (n + 1) / 2))
+    val madExpr = literalCaseOn(col("event_type"),
+      mad.toList.map { case ((g, _), v) => g -> v }.sortBy(_._1))
+    dev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        min(col("med_fp")).as("med_fp"), min(col("mad_fp")).as("mad_fp"),
-        count_if(col("d") > col("mad_fp") * 3).as("n_outliers"))
+        min(medExpr).as("med_fp"), min(madExpr).as("mad_fp"),
+        count_if(col("d") > madExpr * 3).as("n_outliers"))
   }
 
   private val madOutliersSql =
@@ -1179,17 +1179,42 @@ object AnalyticsQueries {
     * assignment and the two rational-rank statistics per type partition.
     * percent_rank = (rank−1)/(n−1) and cume_dist = peers/n are ratios of
     * small exact integers — identical doubles in both engines, no
-    * rounding needed (pinned at 6 dp anyway for hygiene). */
+    * rounding needed (pinned at 6 dp anyway for hygiene).
+    *
+    * Round-11 re-plan: the Window.partitionBy(event_type) form was the
+    * recurring low-cardinality total-sort cliff (5 types × full sort at
+    * 100×). The composite (v, event_id) order key packs into ONE long
+    * (v·2⁴⁰ + event_id — order-preserving because event_id < 2⁴⁰ and
+    * v ≥ 0, both GUARDED with an in-projection assert so a corpus that
+    * outgrows the pack throws instead of silently mis-ranking), and
+    * DistributionRanks delivers exact per-type ranks from cell-sized
+    * windows; (rank = row_number: the packed key is unique since
+    * event_id is). ntile/percent_rank/cume_dist re-derive from (rn, n)
+    * by their definitional arithmetic — bit-identical to the window
+    * functions (same longs in, same double divisions). */
   private val windowDistributionFuncs: Q = (s, dir) => {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("v"), col("event_id"))
-    Tables.events(s, dir)
+    import graft.operators.DistributionRanks
+    val ev = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
         round(col("value") * 100).cast("long").as("v"))
-      .withColumn("quartile", ntile(4).over(w).cast("long"))
-      .withColumn("pct_rank", round(percent_rank().over(w), 6))
-      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("_ord",
+        when(col("event_id") >= 0 && col("event_id") < lit(1L << 40) &&
+            col("v") >= 0 && col("v") < lit(1L << 22),
+          col("v") * lit(1L << 40) + col("event_id"))
+        .otherwise(assert_true(lit(false),
+          lit("window_distribution_funcs: (v, event_id) outgrew the " +
+            "order-preserving 62-bit pack — widen the pack")).cast("long")))
+    val ranked = DistributionRanks.withGroupRanks(
+      ev, col("event_type"), col("_ord"), "rn", "n")
+    ranked.select(
+      col("event_type"), col("event_id"), col("v"),
+      expr("""CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+             |     THEN (rn - 1) div (n div 4 + 1) + 1
+             |     ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+             |END""".stripMargin).cast("long").as("quartile"),
+      when(col("n") === 1, lit(0.0))
+        .otherwise(round((col("rn") - 1) / (col("n") - 1), 6)).as("pct_rank"),
+      round(col("rn") / col("n"), 6).as("cume"))
   }
 
   private val windowDistributionFuncsSql =

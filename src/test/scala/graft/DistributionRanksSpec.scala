@@ -77,6 +77,34 @@ class DistributionRanksSpec extends SparkSpec {
     assert(heads("b") == Seq(9L))
   }
 
+  test("valuesAtRanks picks the exact per-group rank values for every bucket count") {
+    val rows = (1L to 301L).map(i => (s"g${i % 3}", i * 13 % 997)) ++
+      Seq(("solo", 42L))
+    val df = rows.toDF("g", "o")
+    // reference: value at 1-based ascending rank, computed by hand
+    val ref = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.size.toLong
+      Seq((g, "med") -> sorted(((n + 1) / 2 - 1).toInt),
+        (g, "lo") -> sorted(((n + 19) / 20 - 1).toInt))
+    }.toMap
+    for (buckets <- Seq(1, 2, 7, 64, 256)) {
+      val got = DistributionRanks.valuesAtRanks(df, col("g"), col("o"),
+        n => Seq("med" -> (n + 1) / 2, "lo" -> (n + 19) / 20), buckets)
+      assert(got == ref, s"buckets=$buckets diverged from hand ranks")
+    }
+  }
+
+  test("valuesAtRanks: ties collapse, out-of-range ranks drop, empty input empty") {
+    val ties = Seq(("a", 5L), ("a", 5L), ("a", 5L), ("a", 9L)).toDF("g", "o")
+    val got = DistributionRanks.valuesAtRanks(ties, col("g"), col("o"),
+      n => Seq("r2" -> 2L, "r4" -> 4L, "over" -> (n + 1), "zero" -> 0L))
+    assert(got == Map(("a", "r2") -> 5L, ("a", "r4") -> 9L))
+    val empty = Seq.empty[(String, Long)].toDF("g", "o")
+    assert(DistributionRanks.valuesAtRanks(empty, col("g"), col("o"),
+      n => Seq("med" -> (n + 1) / 2)).isEmpty)
+  }
+
   test("empty input yields an empty ranked relation, not a plan-build error") {
     val df = Seq.empty[(String, Long)].toDF("g", "o")
     val out = DistributionRanks.withGroupRanks(df, col("g"), col("o"), "rn", "n")
