@@ -156,13 +156,18 @@ object Multimodal {
       .withColumn("len", (length(col("hx")).cast("long") / 2).cast("long"))
     // one row per byte: (doc_id, cell, byte value); the explode is the
     // honest cost of content hashing (every byte read once) — rows never
-    // carry the payload, only (id, j, bval) longs
+    // carry the payload, only (id, j, bval) longs. The hex splits into
+    // byte pairs with ONE \G-anchored regex pass per payload —
+    // per-element substring(hx, k*2+1, 2) re-scans the string per byte
+    // (UTF8String.substring is O(position)), i.e. O(len²) per payload:
+    // the same inline-slice tax the round-10 shingle fix retired,
+    // measured at 5.0 s of this gate's first sf0.1 sweep appearance.
     val bytes = base.select(col("doc_id"), col("len"),
-        posexplode(expr("transform(sequence(0, CAST(length(hx) AS INT) div 2 - 1)," +
-          " k -> CAST(conv(substring(hx, k*2+1, 2), 16, 10) AS BIGINT))"))
-          .as(Seq("k", "bval")))
+        posexplode(split(col("hx"), "(?<=\\G..)")).as(Seq("k", "bhex")))
+      .filter(length(col("bhex")) === 2) // trailing empty split token
       .select(col("doc_id"),
-        expr(s"k * $bits div len").cast("int").as("j"), col("bval"))
+        expr(s"k * $bits div len").cast("int").as("j"),
+        expr("CAST(conv(bhex, 16, 10) AS BIGINT)").as("bval"))
     val cells = bytes.groupBy(col("doc_id"), col("j"))
       .agg(sum(col("bval")).as("s"), count(lit(1)).as("n"))
     // per-payload totals as a window over the ≤ bits-row groups (never a
