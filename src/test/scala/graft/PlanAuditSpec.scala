@@ -520,7 +520,13 @@ class PlanAuditSpec extends SparkSpec {
       // documented ~7% box smear; bpe_merges and minhash_lsh_pairs were
       // pinned long ago, the other two pinned with this crossing)
       "avro_logical_roundtrip", "bpe_merges", "cms_topk_terms",
-      "minhash_lsh_pairs")
+      "minhash_lsh_pairs",
+      // round-11: the DistributionRanks re-plans pay eager bound/count
+      // passes at SF scale (1.05 / 1.11 s — they buy the 100× decade:
+      // 10.1 → 5.9 s and ~10 → 4.7 s, SCALING round-11), and the new
+      // perceptual-hash gate (2.2 s after the \G-split fix)
+      "window_analytics", "window_distribution_funcs",
+      "multimodal_near_dedup")
     val plansMd = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("PLANS.md")), "UTF-8")
     val pinned = "=+ (\\S+) =+".r.findAllMatchIn(plansMd).map(_.group(1)).toSet
