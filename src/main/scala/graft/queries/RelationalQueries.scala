@@ -55,25 +55,41 @@ object RelationalQueries {
       |GROUP BY 1, 2""".stripMargin
 
   // ── Aggregation: multi-measure hash agg (TPC-H Q1 shape) ───────────────
+  // Price sums emit EXACT fixed-point integers (round 11): a
+  // round(sum(double), 2) over fact-scale 2-dp prices is
+  // summation-order-dependent — the 10×-corpus campaigns flipped a cent
+  // on q7 (r11 early) and q5 (r11 late, on a corpus that had PASSED the
+  // same check hours before), so every fact-scale price display in the
+  // family moved to the q9 convention: exact per-row integer
+  // cents/ten-thousandths, order-free integer sums. Quantity sums stay
+  // double: integer-valued doubles sum exactly below 2⁵³. avg_price is
+  // the truncated integer-cents average (sum_cents div count) — no
+  // display float after integer arithmetic (the r10 rule).
   private val q1Agg: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("sum_base_price_fp"),
+        sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("sum_disc_price_fp"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        expr("sum(cast(round(l_extendedprice * 100) as bigint)) div count(1)")
+          .cast("long").as("avg_price_fp"),
         count(lit(1)).as("count_order"))
 
   private val q1AggSql =
     """SELECT l_returnflag, l_linestatus,
       |       round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_base_price_fp,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |         AS sum_disc_price_fp,
       |       round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
-      |       round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // count(*) AS BIGINT)
+      |         AS avg_price_fp,
       |       CAST(count(*) AS BIGINT) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY 1, 2""".stripMargin
@@ -88,11 +104,12 @@ object RelationalQueries {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("revenue_fp"))
       .select(col("l_orderkey"),
         unix_timestamp(col("o_orderdate")).as("o_date"),
-        col("o_orderpriority"), col("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+        col("o_orderpriority"), col("revenue_fp"))
+      .orderBy(col("revenue_fp").desc, col("l_orderkey"))
       .limit(10)
   }
 
@@ -100,7 +117,8 @@ object RelationalQueries {
     """SELECT l_orderkey,
       |       CAST(epoch(o_orderdate) AS BIGINT) AS o_date,
       |       o_orderpriority,
-      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |         AS revenue_fp
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -108,7 +126,7 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+      |ORDER BY revenue_fp DESC, l_orderkey LIMIT 10""".stripMargin
 
   // ── TPC-H Q5: local supplier volume (6-table join) ─────────────────────
   // The canonical join-order stress: two big fact tables (lineitem,
@@ -132,14 +150,18 @@ object RelationalQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-      .select(col("n_name"), col("revenue"))
+      // revenue_fp: the gate this class fix is NAMED for — the second
+      // full-registry 10× campaign flipped this cent on a corpus that
+      // had passed the identical check the same day (summation order)
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("revenue_fp"))
+      .select(col("n_name"), col("revenue_fp"))
   }
 
   private val q5LocalSupplierVolumeSql =
     """SELECT n_name,
-      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |         AS revenue_fp
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -225,12 +247,13 @@ object RelationalQueries {
         col("l_orderkey") === col("o_orderkey"), "leftsemi")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice")), 2).as("revenue"))
+        sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("revenue_fp"))
   }
 
   private val bloomPrefilterJoinSql =
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
-      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_fp
       |FROM lineitem
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
       |                     WHERE o_totalprice > 200000)
@@ -253,17 +276,18 @@ object RelationalQueries {
       .join(broadcast(Tables.nation(s, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
-      .select(col("c_custkey"), col("c_name"), col("revenue"),
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("revenue_fp"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_fp"),
         round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
-      .orderBy(col("revenue").desc, col("c_custkey"))
+      .orderBy(col("revenue_fp").desc, col("c_custkey"))
       .limit(20)
   }
 
   private val q10ReturnedItemsSql =
     """SELECT c_custkey, c_name,
-      |       round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |         AS revenue_fp,
       |       round(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal, n_name
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -273,7 +297,7 @@ object RelationalQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |  AND l_returnflag = 'R'
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
-      |ORDER BY revenue DESC, c_custkey
+      |ORDER BY revenue_fp DESC, c_custkey
       |LIMIT 20""".stripMargin
 
   // ── TPC-H Q21: suppliers who kept orders waiting ───────────────────────
@@ -492,10 +516,11 @@ object RelationalQueries {
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
         && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
         && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * col("l_discount") * 10000, 0)
+        .cast("long")).as("revenue_fp"))
 
   private val q6ForecastRevenueSql =
-    """SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
+    """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_fp
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -565,26 +590,27 @@ object RelationalQueries {
     val rev = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("total_revenue"))
-    val maxRev = rev.agg(max(col("total_revenue")).as("max_rev"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("total_revenue_fp"))
+    val maxRev = rev.agg(max(col("total_revenue_fp")).as("max_rev"))
     Tables.supplier(s, dir)
       .join(rev, col("s_suppkey") === col("l_suppkey"))
       .crossJoin(broadcast(maxRev))
-      .filter(col("total_revenue") === col("max_rev"))
-      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .filter(col("total_revenue_fp") === col("max_rev"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_fp"))
   }
 
   private val q15TopSupplierSql =
     """WITH revenue AS (
       |  SELECT l_suppkey AS supplier_no,
-      |         round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS total_revenue
+      |         CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+      |           AS total_revenue_fp
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       |  GROUP BY 1)
-      |SELECT s_suppkey, s_name, total_revenue
+      |SELECT s_suppkey, s_name, total_revenue_fp
       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+      |WHERE total_revenue_fp = (SELECT max(total_revenue_fp) FROM revenue)""".stripMargin
 
   // ── TPC-H Q17: small-quantity-order revenue (correlated per-part avg) ──
   // The correlated scalar subquery decorrelated by hand into the plan
@@ -606,11 +632,12 @@ object RelationalQueries {
     brandLines
       .join(broadcast(thresholds), col("l_partkey") === col("ap_partkey"))
       .filter(col("l_quantity") < col("qty_thresh"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+      .agg(expr("sum(cast(round(l_extendedprice * 100) as bigint)) div 7")
+        .cast("long").as("avg_yearly_fp"))
   }
 
   private val q17SmallQtyRevenueSql =
-    """SELECT round(CAST(sum(l_extendedprice) / 7.0 AS DOUBLE), 2) AS avg_yearly
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT) AS avg_yearly_fp
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE p_brand = 'Brand#21' AND p_size < 15
       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -640,12 +667,12 @@ object RelationalQueries {
           && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
           && col("l_quantity").between(20, 30)))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+        .cast("long")).as("revenue_fp"))
   }
 
   private val q19DiscountedRevenueSql =
-    """SELECT round(CAST(sum(l_extendedprice * (1.0 - l_discount)) AS DOUBLE), 2) AS revenue
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_fp
       |FROM lineitem JOIN part ON p_partkey = l_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -936,12 +963,13 @@ object RelationalQueries {
   private val rollupSales: Q = (s, dir) =>
     Tables.lineitem(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("sum_price_fp"),
         count(lit(1)).as("n_rows"))
 
   private val rollupSalesSql =
     """SELECT l_returnflag, l_linestatus,
-      |       round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_price,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_fp,
       |       CAST(count(*) AS BIGINT) AS n_rows
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
@@ -949,12 +977,13 @@ object RelationalQueries {
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("sum_price_fp"))
 
   private val cubeOrdersSql =
     """SELECT o_orderstatus, o_orderpriority,
       |       CAST(count(*) AS BIGINT) AS n_orders,
-      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS sum_price
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_fp
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   // ── SQL window functions: ranking + lag + running frame ────────────────

@@ -43,10 +43,12 @@ object SqlQueries {
     s.sql("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_fp,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS sum_disc_price_fp,
              round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div count(*)
+               AS avg_price_fp,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -79,7 +79,7 @@ class QueriesSpec extends SparkSpec {
   test("q15 returns the max-revenue supplier(s), one revenue value only") {
     val rows = Queries.all("q15_top_supplier")(spark, sf001).collect()
     assert(rows.nonEmpty)
-    assert(rows.map(_.getDouble(rows.head.fieldIndex("total_revenue"))).distinct.length == 1)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("total_revenue_fp"))).distinct.length == 1)
   }
 
   test("q22 targets only the configured country codes, non-vacuously") {
