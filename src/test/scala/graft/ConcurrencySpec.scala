@@ -43,7 +43,13 @@ class ConcurrencySpec extends SparkSpec {
     // racing 19 other tenants; scratchPath isolates per (tag, sf, pid) —
     // concurrent DISTINCT gates may share the process, same-gate
     // self-races are out of contract, documented in SCALING)
-    "cohort_retention", "incremental_mv_refresh")
+    "cohort_retention", "incremental_mv_refresh",
+    // round-11 re-plans raced: window_analytics runs DistributionRanks'
+    // EAGER bound/count collects + a broadcast-offsets join at gate-build
+    // time (driver-side state under concurrent tenants), mad_outliers
+    // chains TWO sequential valuesAtRanks picks, and the perceptual-hash
+    // gate drives simHashBandedPairs' localCheckpoint under contention
+    "window_analytics", "mad_outliers", "multimodal_near_dedup")
 
   /** Canonical result fingerprint: sorted row renderings (schema-ordered
     * columns, null-safe) — identical iff the row multisets are. */
