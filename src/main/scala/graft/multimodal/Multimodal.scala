@@ -166,7 +166,10 @@ object Multimodal {
         posexplode(split(col("hx"), "(?<=\\G..)")).as(Seq("k", "bhex")))
       .filter(length(col("bhex")) === 2) // trailing empty split token
       .select(col("doc_id"),
-        expr(s"k * $bits div len").cast("int").as("j"),
+        // CAST(k AS BIGINT) first: posexplode's k is INT, so a bare
+        // k * bits would multiply in 32-bit and silently wrap for
+        // payloads past ~35 MB (k > Int.MaxValue / bits)
+        expr(s"CAST(k AS BIGINT) * $bits div len").cast("int").as("j"),
         expr("CAST(conv(bhex, 16, 10) AS BIGINT)").as("bval"))
     val cells = bytes.groupBy(col("doc_id"), col("j"))
       .agg(sum(col("bval")).as("s"), count(lit(1)).as("n"))

@@ -46,6 +46,20 @@ import org.apache.spark.sql.functions._
   */
 object DistributionRanks {
 
+  /** Sentinel standing in for a NULL group key. SQL windows rank a null
+    * partition like any other (`PARTITION BY g` groups nulls together);
+    * the driver-side maps here key groups by String, where a raw null
+    * would NPE `.sorted` and an inner join on `_dr_g` would silently DROP
+    * null-group rows. Coalescing to a reserved string (a NUL byte cannot
+    * appear in a cast-from-anything group value) keeps null groups as
+    * their own partition, bit-identical to the window form. Appears as
+    * the key in [[GroupRanks.counts]] / [[valuesAtRanks]] results when
+    * the input had null groups. */
+  val NullGroupKey: String = "\u0000<null>"
+
+  private def groupKey(groupCol: Column): Column =
+    coalesce(groupCol.cast("string"), lit(NullGroupKey))
+
   /** Input columns + `rnCol` (1-based exact ascending rank of `orderCol`
     * within `groupCol`) + `nCol` (group size). `orderCol` must be a
     * BIGINT-compatible unique-per-group key. */
@@ -69,7 +83,7 @@ object DistributionRanks {
 
   def groupRanks(df: DataFrame, groupCol: Column, orderCol: Column,
       rnCol: String, nCol: String, buckets: Int = 256): GroupRanks = {
-    val base = df.withColumn("_dr_g", groupCol.cast("string"))
+    val base = df.withColumn("_dr_g", groupKey(groupCol))
       .withColumn("_dr_o", orderCol.cast("long"))
     // 1. bounds: a uniform sample of order keys (bottom-(buckets−1) by
     // 64-bit hash → TakeOrderedAndProject), sorted ascending. Bounds
@@ -144,7 +158,7 @@ object DistributionRanks {
   def valuesAtRanks(df: DataFrame, groupCol: Column, valueCol: Column,
       ranksOf: Long => Seq[(String, Long)], buckets: Int = 256)
       : Map[(String, String), Long] = {
-    val base = df.select(groupCol.cast("string").as("_dr_g"),
+    val base = df.select(groupKey(groupCol).as("_dr_g"),
       valueCol.cast("long").as("_dr_o"))
     val bounds = base.select(col("_dr_o"))
       .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
@@ -221,7 +235,7 @@ object DistributionRanks {
     * caught by the sf0.001 oracle only, fixture luck elsewhere). */
   def headKeys(df: DataFrame, groupCol: Column, orderCol: Column,
       gr: GroupRanks, k: Int): Map[String, Seq[Long]] = {
-    val base = df.select(groupCol.cast("string").as("_dr_g"),
+    val base = df.select(groupKey(groupCol).as("_dr_g"),
       orderCol.cast("long").as("_dr_o"))
     // per group: walk cells in bucket order until k rows are covered
     val headCells: Seq[(String, Int)] = gr.counts.keys.map(_._1).toSeq

@@ -1201,9 +1201,20 @@ object AnalyticsQueries {
         when(col("event_id") >= 0 && col("event_id") < lit(1L << 40) &&
             col("v") >= 0 && col("v") < lit(1L << 22),
           col("v") * lit(1L << 40) + col("event_id"))
+        // A NULL event_id/value also lands here (the when() guard
+        // evaluates to null and falls through) — the message must name
+        // the null, not the pack width: the oracle RANKS null-key rows,
+        // so a null-bearing corpus needs explicit null handling, not a
+        // wider pack.
         .otherwise(assert_true(lit(false),
-          lit("window_distribution_funcs: (v, event_id) outgrew the " +
-            "order-preserving 62-bit pack — widen the pack")).cast("long")))
+          when(col("event_id").isNull || col("v").isNull,
+            lit("window_distribution_funcs: NULL event_id/value — the " +
+              "oracle ranks null keys; add null handling before the " +
+              "62-bit pack"))
+          .otherwise(
+            lit("window_distribution_funcs: (v, event_id) outgrew the " +
+              "order-preserving 62-bit pack — widen the pack")))
+          .cast("long")))
     val ranked = DistributionRanks.withGroupRanks(
       ev, col("event_type"), col("_ord"), "rn", "n")
     ranked.select(

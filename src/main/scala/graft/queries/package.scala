@@ -44,12 +44,16 @@ package object queries {
             .exists(pid => ProcessHandle.of(pid)
               .map[Boolean](_.isAlive).orElse(false))
           if (!alive) {
+            // NonFatal, not just IOException: a concurrent sweep deleting
+            // entries mid-traversal surfaces as UncheckedIOException (a
+            // RuntimeException) from walk's lazy iteration — both racers
+            // must end with the dir gone, neither may crash the gate.
             try {
               val walk = Files.walk(p)
               try walk.sorted(java.util.Comparator.reverseOrder())
                 .forEach(f => Files.deleteIfExists(f))
               finally walk.close()
-            } catch { case _: java.io.IOException => () }
+            } catch { case scala.util.control.NonFatal(_) => () }
           }
         }
       }

@@ -105,6 +105,29 @@ class DistributionRanksSpec extends SparkSpec {
       n => Seq("med" -> (n + 1) / 2)).isEmpty)
   }
 
+  test("null group keys rank as their own partition (window semantics), never dropped") {
+    // `row_number() OVER (PARTITION BY g ...)` groups nulls together; the
+    // pre-fix code NPE'd on the driver-side .sorted and would have
+    // silently dropped null-group rows through the inner offsets join
+    val rows: Seq[(String, Long)] =
+      Seq((null, 30L), ("a", 1L), (null, 10L), ("a", 2L), (null, 20L))
+    val df = rows.toDF("g", "o")
+    val got = DistributionRanks
+      .withGroupRanks(df, col("g"), col("o"), "rn", "n", 4)
+      .select(col("g"), col("o"), col("rn"), col("n"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      (None, 10L) -> ((1L, 3L)), (None, 20L) -> ((2L, 3L)),
+      (None, 30L) -> ((3L, 3L)),
+      (Some("a"), 1L) -> ((1L, 2L)), (Some("a"), 2L) -> ((2L, 2L))))
+    // counts key null groups by the documented sentinel
+    val gr = DistributionRanks.groupRanks(df, col("g"), col("o"), "rn", "n", 4)
+    assert(gr.counts.keys.map(_._1).toSet ==
+      Set("a", DistributionRanks.NullGroupKey))
+  }
+
   test("empty input yields an empty ranked relation, not a plan-build error") {
     val df = Seq.empty[(String, Long)].toDF("g", "o")
     val out = DistributionRanks.withGroupRanks(df, col("g"), col("o"), "rn", "n")
