@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   *      bucket is the codegen'd O(log k) binary search
   *      ([[graft.functions.SortedSearch.sortedCountLE]]);
   *   2. count rows per (group, bucket) — one map-side-combinable scan;
-  *      the counts relation is groups × (buckets+1) rows, collected to
-  *      the driver, where exclusive prefix sums per group become each
-  *      cell's rank OFFSET and per-group totals `n`;
+  *      exclusive prefix sums per group over the counts relation become
+  *      each cell's rank OFFSET and per-group totals `n` (computed as a
+  *      running-sum window over the counts relation in [[withGroupRanks]]
+  *      — distributed, any group cardinality — or collected to the
+  *      driver in [[groupRanks]], whose counts map serves [[headKeys]]);
   *   3. rank within each (group, bucket) CELL (expected n/buckets rows —
   *      never a group-sized partition) and add the cell's offset,
-  *      delivered by a broadcast join on (group, bucket) (the offsets
-  *      relation is too wide for the ≤5-entry literal-CASE rule but
-  *      tiny for a broadcast).
+  *      delivered by a join on (group, bucket) (broadcast when the
+  *      offsets relation is tiny — AQE flips it at runtime).
   *
   * The result is bit-identical to `row_number() OVER (PARTITION BY group
   * ORDER BY order)`: offsets are exact counts, so where the sampled
@@ -39,10 +40,15 @@ import org.apache.spark.sql.functions._
   * cell placement (the same caveat as [[PrefixSum]]). Callers with ties
   * must pass a composite unique key.
   *
-  * ==Execution contract (BATCH + EAGER)==
-  * Runs Spark jobs at call time (bounds sample + cell counts). Group
-  * cardinality must be ≤ [[QuantileSketch.maxLiteralGroups]] — counts
-  * for every (group, bucket) pair are collected to the driver.
+  * ==Execution contract==
+  * Every entry point runs the bounds-sample Spark job at call time (one
+  * `buckets−1`-row collect, cardinality-independent). [[withGroupRanks]]
+  * is otherwise lazy and UNCAPPED (offsets stay distributed).
+  * [[groupRanks]] / [[valuesAtRanks]] / [[headKeys]] additionally
+  * collect the (group, bucket) cell counts — BATCH + EAGER, group
+  * cardinality ≤ [[QuantileSketch.maxLiteralGroups]] — because their
+  * contract is a DRIVER-SIDE map (the literal-CASE / head-picks
+  * consumers, the join-tax rule).
   */
 object DistributionRanks {
 
@@ -62,13 +68,62 @@ object DistributionRanks {
 
   /** Input columns + `rnCol` (1-based exact ascending rank of `orderCol`
     * within `groupCol`) + `nCol` (group size). `orderCol` must be a
-    * BIGINT-compatible unique-per-group key. */
+    * BIGINT-compatible unique-per-group key.
+    *
+    * FULLY DISTRIBUTED — works at ANY group cardinality (unlike
+    * [[groupRanks]], whose driver-side counts map serves [[headKeys]]
+    * consumers and keeps the low-cardinality cap). The cell OFFSETS come
+    * from a running sum OVER THE COUNTS RELATION itself
+    * (`sum(c) OVER (PARTITION BY g ORDER BY b)`): that window's
+    * partitions hold at most buckets+1 rows PER GROUP regardless of how
+    * many groups exist — high group cardinality only adds partitions,
+    * never partition size — so the per-group total-sort cliff this
+    * operator exists to avoid cannot reappear in its own offsets pass.
+    * The offsets relation (|groups| × ≤ buckets+1 rows) joins back on
+    * (group, bucket): tiny for low-cardinality groups (AQE flips the
+    * join to broadcast at runtime), and for high-cardinality groups the
+    * SMJ's (g, b) hash partitioning is exactly what the cell-rank window
+    * needs next, so the window adds a sort but NO extra shuffle.
+    *
+    * Only the bounds sample is eager (one `buckets−1`-row collect —
+    * fixed-size, cardinality-independent); the ranked relation itself is
+    * lazy. */
   def withGroupRanks(df: DataFrame, groupCol: Column, orderCol: Column,
       rnCol: String, nCol: String, buckets: Int = 256): DataFrame = {
-    val GroupRanks(ranked, _, _) =
-      groupRanks(df, groupCol, orderCol, rnCol, nCol, buckets)
-    ranked.drop("_dr_b")
+    val base = df.withColumn("_dr_g", groupKey(groupCol))
+      .withColumn("_dr_o", orderCol.cast("long"))
+    val bounds = sampleBounds(base, buckets)
+    val bucketed = base.withColumn("_dr_b", bucketOf(bounds))
+    val counts = bucketed.groupBy(col("_dr_g"), col("_dr_b"))
+      .agg(count(lit(1)).as("_dr_c"))
+    val wRun = Window.partitionBy(col("_dr_g")).orderBy(col("_dr_b"))
+    val wTot = Window.partitionBy(col("_dr_g"))
+    val offsets = counts.select(col("_dr_g"), col("_dr_b"),
+      (sum(col("_dr_c")).over(wRun) - col("_dr_c")).as("_dr_off"),
+      sum(col("_dr_c")).over(wTot).as(nCol))
+    val wCell = Window.partitionBy(col("_dr_g"), col("_dr_b"))
+      .orderBy(col("_dr_o"))
+    bucketed
+      .join(offsets, Seq("_dr_g", "_dr_b"))
+      .withColumn(rnCol,
+        (col("_dr_off") + row_number().over(wCell)).cast("long"))
+      .drop("_dr_off", "_dr_g", "_dr_o", "_dr_b")
   }
+
+  /** Bottom-(buckets−1)-by-hash sample of `_dr_o`, sorted ascending —
+    * bounds only shape CELLS, never results (see class doc). */
+  private def sampleBounds(base: DataFrame, buckets: Int): Seq[Long] =
+    base.select(col("_dr_o"))
+      .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
+      .limit(buckets - 1)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Codegen'd O(log buckets) bucket assignment for `_dr_o` (count-of-≤:
+    * lower-inclusive, upper-exclusive cells). */
+  private def bucketOf(bounds: Seq[Long]): Column =
+    if (bounds.isEmpty) lit(0)
+    else graft.functions.SortedSearch.sortedCountLE(
+      typedLit(bounds), col("_dr_o"))
 
   /** The driver-side artifacts alongside the ranked relation, for gates
     * that also need head-of-group picks (first/nth keys) without
@@ -85,19 +140,8 @@ object DistributionRanks {
       rnCol: String, nCol: String, buckets: Int = 256): GroupRanks = {
     val base = df.withColumn("_dr_g", groupKey(groupCol))
       .withColumn("_dr_o", orderCol.cast("long"))
-    // 1. bounds: a uniform sample of order keys (bottom-(buckets−1) by
-    // 64-bit hash → TakeOrderedAndProject), sorted ascending. Bounds
-    // only shape CELLS, never results, so the cheap non-cryptographic
-    // hash is fine here (unlike the oracle-replayable sketch gates).
-    val bounds = base.select(col("_dr_o"))
-      .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
-      .limit(buckets - 1)
-      .collect().map(_.getLong(0)).sorted.toSeq
-    val bucketOf: Column =
-      if (bounds.isEmpty) lit(0)
-      else graft.functions.SortedSearch.sortedCountLE(
-        typedLit(bounds), col("_dr_o"))
-    val bucketed = base.withColumn("_dr_b", bucketOf)
+    val bounds = sampleBounds(base, buckets)
+    val bucketed = base.withColumn("_dr_b", bucketOf(bounds))
     // 2. exact cell counts → driver (groups × (buckets+1) rows max)
     val countRows = bucketed.groupBy(col("_dr_g"), col("_dr_b"))
       .agg(count(lit(1)).as("_dr_c"))
@@ -160,15 +204,8 @@ object DistributionRanks {
       : Map[(String, String), Long] = {
     val base = df.select(groupKey(groupCol).as("_dr_g"),
       valueCol.cast("long").as("_dr_o"))
-    val bounds = base.select(col("_dr_o"))
-      .orderBy(xxhash64(col("_dr_o")), col("_dr_o"))
-      .limit(buckets - 1)
-      .collect().map(_.getLong(0)).sorted.toSeq
-    val bucketOf: Column =
-      if (bounds.isEmpty) lit(0)
-      else graft.functions.SortedSearch.sortedCountLE(
-        typedLit(bounds), col("_dr_o"))
-    val countRows = base.withColumn("_dr_b", bucketOf)
+    val bounds = sampleBounds(base, buckets)
+    val countRows = base.withColumn("_dr_b", bucketOf(bounds))
       .groupBy(col("_dr_g"), col("_dr_b"))
       .agg(count(lit(1)).as("_dr_c"))
       .limit(QuantileSketch.maxLiteralGroups * (buckets + 1) + 1)
@@ -208,7 +245,7 @@ object DistributionRanks {
       .orderBy(col("_dr_o"))
     val localRanks = targets.values.flatten.map(_._2).toSeq.distinct
     val picked = base.filter(cellPred)
-      .withColumn("_dr_b", bucketOf)
+      .withColumn("_dr_b", bucketOf(bounds))
       .withColumn("_dr_rn", row_number().over(wCell))
       .filter(col("_dr_rn").isin(localRanks: _*))
       .collect()

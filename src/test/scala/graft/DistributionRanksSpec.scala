@@ -128,6 +128,26 @@ class DistributionRanksSpec extends SparkSpec {
       Set("a", DistributionRanks.NullGroupKey))
   }
 
+  test("withGroupRanks is uncapped: 1e5 groups rank exactly with no driver counts collect") {
+    // the pre-r12 path collected (group × bucket) counts to the driver
+    // and required ≤ maxLiteralGroups (1000) groups — 1e5 groups would
+    // throw. The distributed-offsets path must (a) not throw, (b) stay
+    // bit-identical to the window form at high cardinality.
+    val n = 100000
+    val df = spark.range(3L * n).selectExpr(
+      s"concat('u', id % $n) AS g",
+      "(id * 2654435761) % 1000003 + id AS o") // unique-per-group keys
+    val w = Window.partitionBy(col("g")).orderBy(col("o"))
+    val expect = df.select(col("g"), col("o"),
+        row_number().over(w).cast("long").as("rn"),
+        count(lit(1)).over(Window.partitionBy(col("g"))).as("n"))
+    val got = DistributionRanks
+      .withGroupRanks(df, col("g"), col("o"), "rn", "n", 64)
+      .select(col("g"), col("o"), col("rn"), col("n"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "high-cardinality ranks diverged from the window form")
+  }
+
   test("empty input yields an empty ranked relation, not a plan-build error") {
     val df = Seq.empty[(String, Long)].toDF("g", "o")
     val out = DistributionRanks.withGroupRanks(df, col("g"), col("o"), "rn", "n")
