@@ -116,4 +116,84 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h2(10L) ^ h2(12L)) <= 3,
       "a one-byte edit should stay within the banded hamming radius here")
   }
+
+  test("tweak recall is exactly the margin model's prediction; the banded miner is exact in-threshold") {
+    // The near-dedup gate's tweak plants (first byte → 0xff) are caught
+    // 85–96% — this pins WHY, with an exact model instead of a measured
+    // constant. Derivation from the cross-multiplied bit rule
+    // (bit j = 1 iff m_j > 0, m_j = s_j·tn − ts·n_j): the tweak adds
+    // Δ = 255 − b₀ to cell 0's sum AND the total, so
+    //   j ≠ 0: m_j' = m_j − Δ·n_j  → flips (1→0) iff 0 < m_j ≤ Δ·n_j,
+    //          i.e. exactly the cells whose mean sits within Δ/tn of the
+    //          global mean (0→1 impossible: the margin only drops);
+    //   j = 0: m_0' = m_0 + Δ·(tn − n_0) → flips (0→1) iff
+    //          m_0 ≤ 0 < m_0 + Δ·(tn − n_0).
+    // A tweak is a near-dup BY THE HASH'S OWN DEFINITION iff that flip
+    // count ≤ 3; the 4×15-band pigeonhole then catches it with recall
+    // EXACTLY 1 (≤ 3 flips leave ≥ 1 band intact) — sub-100% plant catch
+    // is a property of the perturbation, never a miner miss. Both claims
+    // are asserted exactly below on the fixture's own tweak population.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val bits = 60
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+      .filter(_._2.length >= 2)
+    def cellsOf(bytes: Array[Byte]): (Map[Int, (Long, Long)], Long, Long) = {
+      val len = bytes.length.toLong
+      val cm = bytes.map(_ & 0xff).zipWithIndex
+        .groupBy { case (_, k) => (k * bits / len).toInt }
+        .view.mapValues(a => (a.map(_._1.toLong).sum, a.length.toLong)).toMap
+      (cm, bytes.map(b => (b & 0xff).toLong).sum, len)
+    }
+    def predictedHamming(bytes: Array[Byte]): Int = {
+      val delta = 255L - (bytes(0) & 0xff)
+      if (delta == 0) 0
+      else {
+        val (cm, ts, tn) = cellsOf(bytes)
+        val drops = cm.count { case (j, (s, n)) =>
+          j != 0 && { val m = s * tn - ts * n; m > 0 && m <= delta * n } }
+        val (s0, n0) = cm(0)
+        val m0 = s0 * tn - ts * n0
+        drops + (if (m0 <= 0 && m0 + delta * (tn - n0) > 0) 1 else 0)
+      }
+    }
+    val tweakBase = docs.filter { case (id, _) => id % 20 == 7 }
+    val tweaks = tweakBase.map { case (id, b) =>
+      val c = b.clone(); c(0) = 0xff.toByte; (id + 2000000000000L, c) }
+    val media = (docs ++ tweaks).toSeq.toDF("media_id", "payload")
+    val ph = Multimodal.perceptualHash(media, col("media_id"), col("payload"), bits)
+    val hashes = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1. margin model == actual hamming, for EVERY tweak (no hash replay
+    //    of the tweaked payload goes into the prediction)
+    tweakBase.foreach { case (id, b) =>
+      val actual = java.lang.Long.bitCount(
+        hashes(id) ^ hashes(id + 2000000000000L))
+      assert(predictedHamming(b) == actual,
+        s"doc $id: margin model predicted ${predictedHamming(b)}, hash moved $actual bits")
+    }
+    // 2. the banded miner returns EXACTLY the brute-force hamming ≤ 3
+    //    pair set (pigeonhole exactness — in-threshold recall 1)
+    val ids = hashes.keys.toArray.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j))) if h <= 3
+    } yield (ids(i), ids(j), h)).toSet
+    val mined = DedupOps.simHashBandedPairs(ph, bands = 4, maxDist = 3, bits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Long.bitCount(hashes(r.getLong(0)) ^ hashes(r.getLong(1))))).toSet
+    assert(mined == brute, "banded miner diverged from brute-force in-threshold pairs")
+    // 3. measured catch rate ≥ the model's vs-original in-threshold
+    //    fraction (a tweak may also pair with a DIFFERENT doc), and the
+    //    predicted fraction sits in the documented 85–96% band
+    val caught = mined.flatMap { case (a, b, _) => Seq(a, b) }
+      .count(_ >= 2000000000000L)
+    val predicted = tweakBase.count { case (_, b) => predictedHamming(b) <= 3 }
+    assert(caught >= predicted)
+    assert(tweakBase.nonEmpty &&
+      predicted.toDouble / tweakBase.length >= 0.80,
+      s"predicted in-threshold fraction $predicted/${tweakBase.length} fell below the documented band")
+  }
 }
