@@ -27,6 +27,12 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Plan text can embed control characters from string literals (e.g.
+    // DistributionRanks.NullGroupKey's U+0000 sentinel in a coalesce) —
+    // escape them so PLANS.md stays a text file for grep/diff/judges.
+    def sanitized(s: String): String =
+      s.flatMap(c => if (c < ' ' && c != '\n' && c != '\t')
+        f"\\u${c.toInt}%04x" else c.toString)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       // streaming-in-function gates run their query on build; their plan
@@ -41,7 +47,7 @@ object Explain {
         if (plans.isEmpty) println("(no streaming query executed — nothing captured)")
         plans.foreach { case (label, p) =>
           println(s"-- last micro-batch executed plan [$label] --")
-          println(p)
+          println(sanitized(p))
         }
       }
       else if (executed) {
@@ -49,8 +55,10 @@ object Explain {
         // collect(), not count(): an action like count() builds its OWN
         // QueryExecution, leaving this dataset's AQE plan un-finalized
         df.collect()
-        println(df.queryExecution.executedPlan.toString)
-      } else SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+        println(sanitized(df.queryExecution.executedPlan.toString))
+      } else println(sanitized(
+        SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))))
     }
     spark.stop()
   }
