@@ -857,10 +857,10 @@ object StreamingQueries {
       |sh AS (SELECT doc_id,
       |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |dt AS (SELECT DISTINCT doc_id,
+      |dt AS MATERIALIZED (SELECT DISTINCT doc_id,
       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
       |       FROM sh WHERE g IS NOT NULL),
-      |sig AS (SELECT doc_id, $mins
+      |sig AS MATERIALIZED (SELECT doc_id, $mins
       |        FROM dt GROUP BY doc_id),
       |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
       |-- originals classified by MEMBERSHIP in documents, not by an id
@@ -1196,10 +1196,10 @@ object StreamingQueries {
       |sh AS (SELECT doc_id,
       |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
       |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |dt AS (SELECT DISTINCT doc_id,
+      |dt AS MATERIALIZED (SELECT DISTINCT doc_id,
       |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
       |       FROM sh WHERE g IS NOT NULL),
-      |sig AS (SELECT doc_id, $mins
+      |sig AS MATERIALIZED (SELECT doc_id, $mins
       |        FROM dt GROUP BY doc_id),
       |key0 AS (SELECT doc_id, $fold AS band_key FROM sig),
       |-- originals classified by MEMBERSHIP in documents, not by an id

@@ -745,10 +745,10 @@ object TextQueries {
   }
 
   private lazy val pipelineCurationSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  ${minhashLshPairsSql.replace("\n", "\n  ")}
        |),
-       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |      UNION SELECT d2, d1 FROM pairs),
        |n AS (SELECT DISTINCT src AS node FROM e),
        |reach(node, lbl) AS (
@@ -1245,11 +1245,11 @@ object TextQueries {
        |sh AS (SELECT doc_id,
        |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id, g FROM sh WHERE g IS NOT NULL),
+       |dt AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM sh WHERE g IS NOT NULL),
        |dh AS (SELECT doc_id,
        |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS h
        |       FROM dt),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * h + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
        |        FROM dh GROUP BY doc_id)""".stripMargin
 
@@ -1274,10 +1274,10 @@ object TextQueries {
        |sh AS (SELECT doc_id,
        |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id,
+       |dt AS MATERIALIZED (SELECT DISTINCT doc_id,
        |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
        |       FROM sh WHERE g IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
        |        FROM dt GROUP BY doc_id)""".stripMargin
 
@@ -1310,13 +1310,13 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, $key AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""$ctes,
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.band_hash = b.band_hash
        |          AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
        |inter AS (SELECT d1, d2, count(*) AS inter
        |          FROM cand
        |          JOIN dt s1 ON s1.doc_id = d1
@@ -1368,8 +1368,8 @@ object TextQueries {
        |            FROM documents),
        |wh AS (SELECT doc_id, $charWindowHashSql AS g
        |       FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id, g FROM wh WHERE g IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |dt AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM wh WHERE g IS NOT NULL),
+       |sig AS MATERIALIZED (SELECT doc_id,
        |        ${(0 until NumHashes).map(i => s"min((${DedupOps.mhA(i)} * g + ${DedupOps.mhB(i)}) % ${DedupOps.MinHashP}) AS mh$i").mkString(",\n        ")}
        |        FROM dt GROUP BY doc_id)""".stripMargin
 
@@ -1410,10 +1410,10 @@ object TextQueries {
   }
 
   private val dedupClustersSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  ${minhashLshPairsSql.replace("\n", "\n  ")}
        |),
-       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |      UNION SELECT d2, d1 FROM pairs),
        |n AS (SELECT DISTINCT src AS node FROM e),
        |reach(node, lbl) AS (
@@ -1443,10 +1443,10 @@ object TextQueries {
   }
 
   private val canonicalDocsSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  ${minhashLshPairsSql.replace("\n", "\n  ")}
        |),
-       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |      UNION SELECT d2, d1 FROM pairs),
        |n AS (SELECT DISTINCT src AS node FROM e),
        |reach(node, lbl) AS (
@@ -1492,10 +1492,10 @@ object TextQueries {
   }
 
   private val leakageSafeSplitSql =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
        |  ${minhashLshPairsSql.replace("\n", "\n  ")}
        |),
-       |e AS (SELECT d1 AS src, d2 AS dst FROM pairs
+       |e AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
        |      UNION SELECT d2, d1 FROM pairs),
        |n AS (SELECT DISTINCT src AS node FROM e),
        |reach(node, lbl) AS (
@@ -1852,13 +1852,13 @@ object TextQueries {
        |sh AS (SELECT doc_id,
        |              w || '_' || lead(w,1) OVER win || '_' || lead(w,2) OVER win AS g
        |       FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-       |dt AS (SELECT DISTINCT doc_id,
+       |dt AS MATERIALIZED (SELECT DISTINCT doc_id,
        |              CAST(('0x' || substring(md5(g), 1, 10)) AS BIGINT) AS g
        |       FROM sh WHERE g IS NOT NULL),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |        $sigCols
        |        FROM dt GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandSelects),
        |bb AS (SELECT bands.* FROM bands JOIN flag USING (doc_id) WHERE is_b),
        |ob AS (SELECT bands.* FROM bands JOIN flag USING (doc_id) WHERE NOT is_b),
@@ -1868,7 +1868,7 @@ object TextQueries {
        |          FROM bb a JOIN bb b
        |            ON a.band = b.band AND a.band_hash = b.band_hash
        |           AND a.doc_id < b.doc_id),
-       |sz AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
        |vx AS (SELECT d1, d2 FROM (
        |         SELECT c.d1, c.d2, count(*) AS inter, z1.n AS n1, z2.n AS n2
        |         FROM candx c

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Incremental variant of check_oracle.py for long scale campaigns: checks
+only queries whose Spark output is COMPLETE (parquet + _SUCCESS), skips
+names already recorded in the ledger, and records per-query verdicts +
+wall time so a campaign can run while Verify is still producing outputs.
+
+Usage: python3 tools/check_oracle_inc.py <sfDir> <outDir> <oracleJson> <ledgerJson> [--skip name,...]
+
+Env knobs: DUCK_THREADS (default 8), DUCK_MEM (default 24GB).
+"""
+import sys, json, glob, os, time
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(spark_df, duck_df, name):
+    msgs = []
+    if list(spark_df.columns) != list(duck_df.columns):
+        return [f"columns spark={list(spark_df.columns)} duck={list(duck_df.columns)}"]
+    if len(spark_df) != len(duck_df):
+        return [f"rows spark={len(spark_df)} duck={len(duck_df)}"]
+    import numpy as np
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        try:
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                bad = ~(np.isclose(a.astype(float), b.astype(float),
+                                   rtol=0, atol=0, equal_nan=True))
+            else:
+                bad = ~(a.astype(str) == b.astype(str))
+        except Exception as e:
+            msgs.append(f"{c}: compare error {e}"); continue
+        if bad.any():
+            i = int(np.argmax(np.asarray(bad)))
+            msgs.append(f"{c}: {int(bad.sum())}/{len(a)} mismatches, "
+                        f"first@{i}: spark={a[i]!r} duck={b[i]!r}")
+    return msgs
+
+def main():
+    sf_dir, out_dir, oracle_json, ledger_path = sys.argv[1:5]
+    skip = set()
+    if len(sys.argv) > 5 and sys.argv[5] == "--skip":
+        skip = set(sys.argv[6].split(","))
+    ledger = {}
+    if os.path.exists(ledger_path):
+        ledger = json.load(open(ledger_path))
+    con = duckdb.connect()
+    con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '8')}")
+    con.execute(f"SET memory_limit = '{os.environ.get('DUCK_MEM', '24GB')}'")
+    os.makedirs("/tmp/duckspill", exist_ok=True)
+    con.execute("SET temp_directory = '/tmp/duckspill'")
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(p):
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p) or os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(oracle_json))
+    n_new = 0
+    for name, sql in sorted(oracles.items()):
+        if name in ledger or name in skip:
+            continue
+        qdir = os.path.join(out_dir, name)
+        if not os.path.exists(os.path.join(qdir, "_SUCCESS")):
+            continue  # Verify hasn't finished this one yet
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            duck_df = canon(con.execute(sql).df())
+            msgs = compare(spark_df, duck_df, name)
+        except Exception as e:
+            msgs = [f"exception: {e}"]
+        dt = round(time.time() - t0, 1)
+        verdict = {"pass": not msgs, "secs": dt}
+        if msgs:
+            verdict["detail"] = msgs[:5]
+            print(f"FAIL {name} ({dt}s): " + " | ".join(msgs[:3]), flush=True)
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows, {dt}s)", flush=True)
+        ledger[name] = verdict
+        json.dump(ledger, open(ledger_path, "w"), indent=1)
+        n_new += 1
+    npass = sum(1 for v in ledger.values() if v["pass"])
+    print(f"== ledger: {npass} pass / {len(ledger) - npass} fail / "
+          f"{len(oracles) - len(ledger)} unchecked (+{n_new} this run) ==")
+
+if __name__ == "__main__":
+    main()
