@@ -33,18 +33,22 @@ object SimilarityQueries {
   // form is relation-agnostic so gates over an AUGMENTED corpus (planted
   // duplicates) can reuse the whole chain on a union CTE.
   private def vecCtesBody(rel: String) =
-    s"""ce AS (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS v,
+    s"""ce AS MATERIALIZED (SELECT vec_id AS cid, CAST(unnest(embedding) AS DOUBLE) AS v,
        |                   generate_subscripts(embedding, 1) AS i
        |            FROM $rel),
-       |norms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1)""".stripMargin
+       |norms AS MATERIALIZED (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
+       |-- whole-vector lists for PAIR-scale dot products: list_inner_product
+       |-- keeps a candidate pair ONE row (the exploded ce join materialized
+       |-- |pairs| x d rows and spilled DuckDB past 67 GB at the 100x corpus)
+       |vl AS MATERIALIZED (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS emb FROM $rel)""".stripMargin
 
   private val vecCtes = "WITH " + vecCtesBody("embeddings")
 
   private val knnBruteforceSql =
     s"""$vecCtes,
-       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
-       |dots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
-       |         FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |dots AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                list_inner_product(q.emb, c.emb) AS dot
+       |         FROM vl q JOIN vl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
        |sims AS (SELECT qid, cid,
        |                round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |         FROM dots JOIN norms nq ON nq.vid = qid
@@ -77,7 +81,7 @@ object SimilarityQueries {
        |                 round(dot / (nv.nrm * nk.nrm), 6) AS csim
        |          FROM adots JOIN norms nv ON nv.vid = id
        |                     JOIN norms nk ON nk.vid = kid),
-       |cells AS (SELECT id, kid AS cell
+       |cells AS MATERIALIZED (SELECT id, kid AS cell
        |          FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                          ORDER BY csim DESC, kid) AS rn FROM asims)
        |          WHERE rn = 1)""".stripMargin
@@ -100,12 +104,12 @@ object SimilarityQueries {
   private val knnIvfSql =
     s"""$ivfCtes,
        |qs AS (SELECT id AS qid, cell FROM cells WHERE id % $QueryMod = 0),
-       |pairs AS (SELECT qid, c2.id AS cid
+       |pairs AS MATERIALIZED (SELECT qid, c2.id AS cid
        |          FROM qs JOIN cells c2 ON c2.cell = qs.cell AND c2.id <> qs.qid),
-       |dots AS (SELECT qid, pairs.cid AS cid, sum(a.v * b.v) AS dot
-       |         FROM pairs JOIN ce a ON a.cid = qid
-       |                    JOIN ce b ON b.cid = pairs.cid AND b.i = a.i
-       |         GROUP BY 1, 2),
+       |dots AS (SELECT qid, pairs.cid AS cid,
+       |                list_inner_product(a.emb, b.emb) AS dot
+       |         FROM pairs JOIN vl a ON a.cid = qid
+       |                    JOIN vl b ON b.cid = pairs.cid),
        |sims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |         FROM dots JOIN norms nq ON nq.vid = qid
        |                   JOIN norms nc ON nc.vid = cid)
@@ -162,9 +166,9 @@ object SimilarityQueries {
 
   private val knnIvfRecallSql =
     s"""$ivfCtes,
-       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
-       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
-       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 list_inner_product(q.emb, c.emb) AS dot
+       |          FROM vl q JOIN vl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
        |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM bdots JOIN norms nq ON nq.vid = qid
        |                     JOIN norms nc ON nc.vid = cid),
@@ -183,10 +187,10 @@ object SimilarityQueries {
        |isims AS (SELECT qid, ipairs.cid AS cid, probe_rank,
        |                 round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM (SELECT qid, pairs.cid, min(probe_rank) AS probe_rank,
-       |                       sum(a.v * b.v) AS dot
+       |                       any_value(list_inner_product(a.emb, b.emb)) AS dot
        |                FROM ipairs pairs
-       |                JOIN ce a ON a.cid = pairs.qid
-       |                JOIN ce b ON b.cid = pairs.cid AND b.i = a.i
+       |                JOIN vl a ON a.cid = pairs.qid
+       |                JOIN vl b ON b.cid = pairs.cid
        |                GROUP BY 1, 2) ipairs
        |          JOIN norms nq ON nq.vid = qid
        |          JOIN norms nc ON nc.vid = ipairs.cid),
@@ -262,13 +266,13 @@ object SimilarityQueries {
        |cand AS (SELECT a.id AS d1, b.id AS d2
        |         FROM buckets a JOIN buckets b
        |           ON a.bucket = b.bucket AND a.id < b.id),
-       |ce AS (SELECT vec_id AS vid, CAST(unnest(embedding) AS DOUBLE) AS v,
+       |ce AS MATERIALIZED (SELECT vec_id AS vid, CAST(unnest(embedding) AS DOUBLE) AS v,
        |              generate_subscripts(embedding, 1) AS i FROM emb2),
-       |norms AS (SELECT vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
-       |dots AS (SELECT d1, d2, sum(a.v * b.v) AS dot
-       |         FROM cand JOIN ce a ON a.vid = d1
-       |                   JOIN ce b ON b.vid = d2 AND b.i = a.i
-       |         GROUP BY 1, 2)
+       |norms AS MATERIALIZED (SELECT vid, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY 1),
+       |vl2 AS MATERIALIZED (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS emb FROM emb2),
+       |dots AS (SELECT d1, d2, list_inner_product(a.emb, b.emb) AS dot
+       |         FROM cand JOIN vl2 a ON a.vid = d1
+       |                   JOIN vl2 b ON b.vid = d2)
        |SELECT DISTINCT d1, d2,
        |       round(dot / (n1.nrm * n2.nrm), 6) AS sim
        |FROM dots JOIN norms n1 ON n1.vid = d1
@@ -392,10 +396,10 @@ object SimilarityQueries {
        |qs AS (SELECT id AS qid, cell FROM cells3 WHERE id % $QueryMod = 0),
        |tpairs AS (SELECT qid, c3.id AS cid
        |           FROM qs JOIN cells3 c3 ON c3.cell = qs.cell AND c3.id <> qs.qid),
-       |tdots AS (SELECT qid, tpairs.cid AS cid, sum(a.v * b.v) AS dot
-       |          FROM tpairs JOIN ce a ON a.cid = qid
-       |                      JOIN ce b ON b.cid = tpairs.cid AND b.i = a.i
-       |          GROUP BY 1, 2),
+       |tdots AS (SELECT qid, tpairs.cid AS cid,
+       |                 list_inner_product(a.emb, b.emb) AS dot
+       |          FROM tpairs JOIN vl a ON a.cid = qid
+       |                      JOIN vl b ON b.cid = tpairs.cid),
        |tsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM tdots JOIN norms nq ON nq.vid = qid
        |                     JOIN norms nc ON nc.vid = cid)
@@ -436,10 +440,9 @@ object SimilarityQueries {
        |$lloydCellsBody,
        |spairs AS (SELECT a.id AS d1, b.id AS d2
        |           FROM cells3 a JOIN cells3 b ON a.cell = b.cell AND a.id < b.id),
-       |sdots AS (SELECT d1, d2, sum(x.v * y.v) AS dot
-       |          FROM spairs JOIN ce x ON x.cid = d1
-       |                      JOIN ce y ON y.cid = d2 AND y.i = x.i
-       |          GROUP BY 1, 2),
+       |sdots AS (SELECT d1, d2, list_inner_product(x.emb, y.emb) AS dot
+       |          FROM spairs JOIN vl x ON x.cid = d1
+       |                      JOIN vl y ON y.cid = d2),
        |drops AS (SELECT DISTINCT d2 AS id
        |          FROM sdots JOIN norms n1 ON n1.vid = d1
        |                     JOIN norms n2 ON n2.vid = d2
@@ -632,10 +635,11 @@ object SimilarityQueries {
        |$ivfCtesBody,
        |${pqCtes(s"q.cid % $QueryMod = 0 AND q.cid < $PqPlant1",
                  s"id % $QueryMod = 0 AND id < $PqPlant1")},
-       |qe AS (SELECT cid AS qid, v, i FROM ce
-       |       WHERE cid % $QueryMod = 0 AND cid < $PqPlant1),
-       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
-       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 list_inner_product(q.emb, c.emb) AS dot
+       |          FROM vl q JOIN vl c
+       |            ON q.cid % $QueryMod = 0 AND q.cid < $PqPlant1
+       |           AND q.cid <> c.cid),
        |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM bdots JOIN norms nq ON nq.vid = qid
        |                     JOIN norms nc ON nc.vid = cid),
@@ -695,11 +699,12 @@ object SimilarityQueries {
 
   private val mrlTruncatedKnnSql =
     s"""$vecCtes,
-       |te AS (SELECT cid, v, i FROM ce WHERE i <= $MrlDim),
-       |tnorms AS (SELECT cid AS vid, sqrt(sum(v * v)) AS nrm FROM te GROUP BY 1),
-       |tqe AS (SELECT cid AS qid, v, i FROM te WHERE cid % $QueryMod = 0),
-       |tdots AS (SELECT qid, cid, sum(tqe.v * te.v) AS dot
-       |          FROM tqe JOIN te ON tqe.i = te.i AND qid <> cid GROUP BY 1, 2),
+       |tvl AS MATERIALIZED (SELECT cid, emb[1:$MrlDim] AS emb FROM vl),
+       |tnorms AS MATERIALIZED (SELECT cid AS vid,
+       |                 sqrt(list_inner_product(emb, emb)) AS nrm FROM tvl),
+       |tdots AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 list_inner_product(q.emb, c.emb) AS dot
+       |          FROM tvl q JOIN tvl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
        |tsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM tdots JOIN tnorms nq ON nq.vid = qid
        |                     JOIN tnorms nc ON nc.vid = cid),
@@ -707,9 +712,9 @@ object SimilarityQueries {
        |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
        |                         ORDER BY sim DESC, cid) AS rnk FROM tsims)
        |         WHERE rnk <= $KBrute),
-       |qe AS (SELECT cid AS qid, v, i FROM ce WHERE cid % $QueryMod = 0),
-       |bdots AS (SELECT qid, cid, sum(qe.v * ce.v) AS dot
-       |          FROM qe JOIN ce ON qe.i = ce.i AND qid <> cid GROUP BY 1, 2),
+       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 list_inner_product(q.emb, c.emb) AS dot
+       |          FROM vl q JOIN vl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
        |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
        |          FROM bdots JOIN norms nq ON nq.vid = qid
        |                     JOIN norms nc ON nc.vid = cid),

@@ -49,6 +49,15 @@ def compare(spark_df, duck_df, name):
 
 def main():
     sf_dir, out_dir, oracle_json, ledger_path = sys.argv[1:5]
+    # single-instance lock: two checkers clobber each other's ledger
+    # (each holds the whole dict in memory and rewrites the file per query)
+    lock = ledger_path + ".lock"
+    if os.path.exists(lock):
+        pid = open(lock).read().strip()
+        if pid and os.path.exists(f"/proc/{pid}"):
+            print(f"another checker (pid {pid}) holds {lock}; exiting")
+            return
+    open(lock, "w").write(str(os.getpid()))
     skip = set()
     if len(sys.argv) > 5 and sys.argv[5] == "--skip":
         skip = set(sys.argv[6].split(","))
@@ -94,6 +103,7 @@ def main():
         ledger[name] = verdict
         json.dump(ledger, open(ledger_path, "w"), indent=1)
         n_new += 1
+    os.remove(lock)
     npass = sum(1 for v in ledger.values() if v["pass"])
     print(f"== ledger: {npass} pass / {len(ledger) - npass} fail / "
           f"{len(oracles) - len(ledger)} unchecked (+{n_new} this run) ==")
