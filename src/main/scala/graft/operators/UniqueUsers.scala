@@ -66,8 +66,16 @@ object UniqueUsers {
    * margin under the bound (and small per-minute cardinalities sit in
    * the bias-corrected regime where realized error is far below rsd)
    * while cutting the measured gate time ~4× at sf0.1. */
+  // relBound is asserted PER GROUP against a statistical estimator, so it
+  // must sit at engineering-margin sigma, not confidence-interval sigma:
+  // the old 0.05 (2.5 sigma at rsd 0.02) legitimately flipped on 1 of
+  // 38,859 minute groups at the 100x corpus — more groups, more tail
+  // draws. 0.12 (6 sigma) keeps the expected false-failure count
+  // negligible through ~1e8 groups while still failing loudly on real
+  // sketch breakage (wrong hashing or double-counting is off by far
+  // more than 12%).
   def perMinuteApproxChecked(events: DataFrame, eventTime: Column, idCol: Column,
-                             rsd: Double = 0.02, relBound: Double = 0.05,
+                             rsd: Double = 0.02, relBound: Double = 0.12,
                              absSlack: Int = 5): DataFrame = {
     val ev = events
       .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))

@@ -28,10 +28,15 @@ object SourceQueries {
     StructField("o_orderstatus", StringType),
     StructField("o_totalprice", DoubleType)))
 
+  // exact integer cents, not round(sum(double), 2): a 2-dp-rounded double
+  // sum over fact-scale prices is summation-order-dependent — the r11
+  // fixed-point class; avro_roundtrip flipped a cent on 2/3 statuses at
+  // the 100× corpus (format_roundtrip shares this helper and had only
+  // passed there on order luck)
   private def statusAgg(df: DataFrame, fmt: String): DataFrame =
     df.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_price_fp"))
       .withColumn("fmt", lit(fmt))
 
   private val formatRoundtrip: Q = (s, dir) => {
@@ -54,13 +59,13 @@ object SourceQueries {
 
   private val formatRoundtripSql =
     """WITH a AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-      |                  round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+      |                  CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_price_fp
       |           FROM orders GROUP BY 1)
-      |SELECT o_orderstatus, n_orders, total_price, 'csv' AS fmt FROM a
+      |SELECT o_orderstatus, n_orders, total_price_fp, 'csv' AS fmt FROM a
       |UNION ALL
-      |SELECT o_orderstatus, n_orders, total_price, 'json' AS fmt FROM a
+      |SELECT o_orderstatus, n_orders, total_price_fp, 'json' AS fmt FROM a
       |UNION ALL
-      |SELECT o_orderstatus, n_orders, total_price, 'orc' AS fmt FROM a""".stripMargin
+      |SELECT o_orderstatus, n_orders, total_price_fp, 'orc' AS fmt FROM a""".stripMargin
 
   /** Avro write→read→aggregate — same contract as `format_roundtrip`
     * for the one format the reference names but never uses (dead serde
@@ -79,7 +84,7 @@ object SourceQueries {
 
   private val avroRoundtripSql =
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
-      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price,
+      |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_price_fp,
       |       'avro' AS fmt
       |FROM orders GROUP BY 1""".stripMargin
 
@@ -180,12 +185,12 @@ object SourceQueries {
       .filter(col("o_orderstatus") === "F")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_price"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_price_fp"))
   }
 
   private val partitionedRoundtripSql =
     """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-      |       round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_price
+      |       CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS total_price_fp
       |FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""".stripMargin
 
   // ── bucketed write + co-located ZERO-shuffle join ──────────────────────
