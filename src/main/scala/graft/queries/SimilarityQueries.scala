@@ -495,12 +495,16 @@ object SimilarityQueries {
   // satisfies the % QueryMod test).
   private def pqCtes(adcPred: String, probePred: String) =
     s"""sse AS (SELECT cid, CAST(floor((i - 1) / $PqSubDim) AS BIGINT) AS g, i, v FROM ce),
-       |snorms AS (SELECT cid, g, sqrt(sum(v * v)) AS nrm FROM sse GROUP BY 1, 2),
-       |pinit AS (SELECT cid AS code, g, i, v FROM sse WHERE cid < $PqKsub),
-       |pinorms AS (SELECT code, g, sqrt(sum(v * v)) AS nrm FROM pinit GROUP BY 1, 2),
-       |pdots0 AS (SELECT a.cid AS id, a.g, b.code, sum(a.v * b.v) AS dot
-       |           FROM sse a JOIN pinit b ON a.g = b.g AND a.i = b.i
-       |           GROUP BY 1, 2, 3),
+       |ssl AS MATERIALIZED (SELECT cid, g, list(v ORDER BY i) AS sub
+       |                     FROM sse GROUP BY 1, 2),
+       |snorms AS MATERIALIZED (SELECT cid, g,
+       |                 sqrt(list_inner_product(sub, sub)) AS nrm FROM ssl),
+       |pinit_l AS (SELECT cid AS code, g, sub FROM ssl WHERE cid < $PqKsub),
+       |pinorms AS (SELECT code, g, sqrt(list_inner_product(sub, sub)) AS nrm
+       |            FROM pinit_l),
+       |pdots0 AS (SELECT a.cid AS id, a.g, b.code,
+       |                  list_inner_product(a.sub, b.sub) AS dot
+       |           FROM ssl a JOIN pinit_l b ON a.g = b.g),
        |psims0 AS (SELECT id, pdots0.g, pdots0.code AS code,
        |                  round(dot / (sn.nrm * pn.nrm), 6) AS csim
        |           FROM pdots0 JOIN snorms sn ON sn.cid = id AND sn.g = pdots0.g
@@ -512,11 +516,15 @@ object SimilarityQueries {
        |cbook AS (SELECT passign.g, passign.code, sse.i, round(avg(sse.v), 6) AS v
        |          FROM sse JOIN passign ON sse.cid = passign.id AND sse.g = passign.g
        |          GROUP BY 1, 2, 3),
-       |cbnorms AS (SELECT g, code, sqrt(sum(v * v)) AS nrm FROM cbook GROUP BY 1, 2),
-       |cn2 AS (SELECT g, code, round(sum(v * v), 6) AS cnorm2 FROM cbook GROUP BY 1, 2),
-       |edots AS (SELECT a.cid AS id, a.g, b.code, sum(a.v * b.v) AS dot
-       |          FROM sse a JOIN cbook b ON a.g = b.g AND a.i = b.i
-       |          GROUP BY 1, 2, 3),
+       |cbook_l AS MATERIALIZED (SELECT g, code, list(v ORDER BY i) AS sub
+       |                         FROM cbook GROUP BY 1, 2),
+       |cbnorms AS (SELECT g, code, sqrt(list_inner_product(sub, sub)) AS nrm
+       |            FROM cbook_l),
+       |cn2 AS (SELECT g, code, round(list_inner_product(sub, sub), 6) AS cnorm2
+       |        FROM cbook_l),
+       |edots AS (SELECT a.cid AS id, a.g, b.code,
+       |                 list_inner_product(a.sub, b.sub) AS dot
+       |          FROM ssl a JOIN cbook_l b ON a.g = b.g),
        |esims AS (SELECT id, edots.g, edots.code AS code,
        |                 round(dot / (sn.nrm * cb.nrm), 6) AS csim
        |          FROM edots JOIN snorms sn ON sn.cid = id AND sn.g = edots.g
@@ -525,9 +533,10 @@ object SimilarityQueries {
        |             SELECT *, row_number() OVER (PARTITION BY id, g
        |                       ORDER BY csim DESC, code) AS rn FROM esims)
        |           WHERE rn = 1),
-       |adc AS (SELECT q.cid AS qid, q.g, b.code, round(sum(q.v * b.v), 6) AS pdot
-       |        FROM sse q JOIN cbook b ON q.g = b.g AND q.i = b.i
-       |        WHERE $adcPred GROUP BY 1, 2, 3),
+       |adc AS (SELECT q.cid AS qid, q.g, b.code,
+       |               round(list_inner_product(q.sub, b.sub), 6) AS pdot
+       |        FROM ssl q JOIN cbook_l b ON q.g = b.g
+       |        WHERE $adcPred),
        |pqprobe AS (SELECT id AS qid, kid AS cell
        |            FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                            ORDER BY csim DESC, kid) AS rn

@@ -67,8 +67,9 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '8')}")
     con.execute(f"SET memory_limit = '{os.environ.get('DUCK_MEM', '24GB')}'")
-    os.makedirs("/tmp/duckspill", exist_ok=True)
-    con.execute("SET temp_directory = '/tmp/duckspill'")
+    spill = f"/tmp/duckspill_{os.getpid()}"  # per-process: two checkers
+    os.makedirs(spill, exist_ok=True)        # sharing one dir evict each
+    con.execute(f"SET temp_directory = '{spill}'")  # other's temp blocks
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):
