@@ -74,9 +74,10 @@ object SimilarityQueries {
   // (≥ 1e6) can never satisfy, so augmented-corpus gates inherit the
   // same deterministic init.
   private def ivfCtesBodyPred(centsPred: String) =
-    s"""cents AS (SELECT cid AS kid, v, i FROM ce WHERE $centsPred),
-       |adots AS (SELECT ce.cid AS id, kid, sum(ce.v * cents.v) AS dot
-       |          FROM ce JOIN cents ON ce.i = cents.i GROUP BY 1, 2),
+    s"""cents_l AS (SELECT cid AS kid, emb FROM vl WHERE $centsPred),
+       |adots AS (SELECT a.cid AS id, kid,
+       |                 list_inner_product(a.emb, b.emb) AS dot
+       |          FROM vl a JOIN cents_l b ON true),
        |asims AS (SELECT id, kid,
        |                 round(dot / (nv.nrm * nk.nrm), 6) AS csim
        |          FROM adots JOIN norms nv ON nv.vid = id
@@ -324,8 +325,10 @@ object SimilarityQueries {
        |c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
        |       FROM ce JOIN cells ON ce.cid = cells.id GROUP BY 1, 2),
        |c1n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c1 GROUP BY 1),
-       |a2dots AS (SELECT ce.cid AS id, c1.kid, sum(ce.v * c1.v) AS dot
-       |           FROM ce JOIN c1 ON ce.i = c1.i GROUP BY 1, 2),
+       |c1_l AS (SELECT kid, list(v ORDER BY i) AS emb FROM c1 GROUP BY 1),
+       |a2dots AS (SELECT a.cid AS id, b.kid,
+       |                  list_inner_product(a.emb, b.emb) AS dot
+       |           FROM vl a JOIN c1_l b ON true),
        |a2sims AS (SELECT id, a2dots.kid,
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a2dots JOIN norms nv ON nv.vid = id
@@ -366,8 +369,10 @@ object SimilarityQueries {
     s"""c1 AS (SELECT cells.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
        |       FROM ce JOIN cells ON ce.cid = cells.id GROUP BY 1, 2),
        |c1n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c1 GROUP BY 1),
-       |a2dots AS (SELECT ce.cid AS id, c1.kid, sum(ce.v * c1.v) AS dot
-       |           FROM ce JOIN c1 ON ce.i = c1.i GROUP BY 1, 2),
+       |c1_l AS (SELECT kid, list(v ORDER BY i) AS emb FROM c1 GROUP BY 1),
+       |a2dots AS (SELECT a.cid AS id, b.kid,
+       |                  list_inner_product(a.emb, b.emb) AS dot
+       |           FROM vl a JOIN c1_l b ON true),
        |a2sims AS (SELECT id, a2dots.kid,
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a2dots JOIN norms nv ON nv.vid = id
@@ -379,8 +384,10 @@ object SimilarityQueries {
        |c2 AS (SELECT cells2.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
        |       FROM ce JOIN cells2 ON ce.cid = cells2.id GROUP BY 1, 2),
        |c2n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c2 GROUP BY 1),
-       |a3dots AS (SELECT ce.cid AS id, c2.kid, sum(ce.v * c2.v) AS dot
-       |           FROM ce JOIN c2 ON ce.i = c2.i GROUP BY 1, 2),
+       |c2_l AS (SELECT kid, list(v ORDER BY i) AS emb FROM c2 GROUP BY 1),
+       |a3dots AS (SELECT a.cid AS id, b.kid,
+       |                  list_inner_product(a.emb, b.emb) AS dot
+       |           FROM vl a JOIN c2_l b ON true),
        |a3sims AS (SELECT id, a3dots.kid,
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a3dots JOIN norms nv ON nv.vid = id
