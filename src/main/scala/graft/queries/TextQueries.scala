@@ -1316,18 +1316,16 @@ object TextQueries {
        |         FROM bands a JOIN bands b
        |           ON a.band = b.band AND a.band_hash = b.band_hash
        |          AND a.doc_id < b.doc_id),
-       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
-       |inter AS (SELECT d1, d2, count(*) AS inter
-       |          FROM cand
-       |          JOIN dt s1 ON s1.doc_id = d1
-       |          JOIN dt s2 ON s2.doc_id = d2 AND s2.g = s1.g
-       |          GROUP BY 1, 2)
+       |dl AS MATERIALIZED (SELECT doc_id, list(g ORDER BY g) AS gs, count(*) AS n
+       |                    FROM dt GROUP BY 1),
+       |inter AS (SELECT d1, d2, len(list_intersect(a.gs, b.gs)) AS inter,
+       |                 a.n AS n1, b.n AS n2
+       |          FROM cand JOIN dl a ON a.doc_id = d1
+       |                    JOIN dl b ON b.doc_id = d2)
        |SELECT d1, d2,
-       |       round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) AS jaccard
+       |       round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) AS jaccard
        |FROM inter
-       |JOIN sz z1 ON z1.doc_id = d1
-       |JOIN sz z2 ON z2.doc_id = d2
-       |WHERE round(CAST(inter AS DOUBLE) / (z1.n + z2.n - inter), 6) >= $Threshold""".stripMargin
+       |WHERE round(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 6) >= $Threshold""".stripMargin
   }
 
   private val minhashLshPairsSql =
@@ -1868,22 +1866,19 @@ object TextQueries {
        |          FROM bb a JOIN bb b
        |            ON a.band = b.band AND a.band_hash = b.band_hash
        |           AND a.doc_id < b.doc_id),
-       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+       |dl AS MATERIALIZED (SELECT doc_id, list(g ORDER BY g) AS gs, count(*) AS n
+       |                    FROM dt GROUP BY 1),
        |vx AS (SELECT d1, d2 FROM (
-       |         SELECT c.d1, c.d2, count(*) AS inter, z1.n AS n1, z2.n AS n2
+       |         SELECT c.d1, c.d2, len(list_intersect(a.gs, b.gs)) AS inter,
+       |                a.n AS n1, b.n AS n2
        |         FROM candx c
-       |         JOIN dt s1 ON s1.doc_id = c.d1
-       |         JOIN dt s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-       |         JOIN sz z1 ON z1.doc_id = c.d1 JOIN sz z2 ON z2.doc_id = c.d2
-       |         GROUP BY c.d1, c.d2, z1.n, z2.n)
+       |         JOIN dl a ON a.doc_id = c.d1 JOIN dl b ON b.doc_id = c.d2)
        |       WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= $Threshold),
        |vs AS (SELECT d1, d2 FROM (
-       |         SELECT c.d1, c.d2, count(*) AS inter, z1.n AS n1, z2.n AS n2
+       |         SELECT c.d1, c.d2, len(list_intersect(a.gs, b.gs)) AS inter,
+       |                a.n AS n1, b.n AS n2
        |         FROM cands c
-       |         JOIN dt s1 ON s1.doc_id = c.d1
-       |         JOIN dt s2 ON s2.doc_id = c.d2 AND s2.g = s1.g
-       |         JOIN sz z1 ON z1.doc_id = c.d1 JOIN sz z2 ON z2.doc_id = c.d2
-       |         GROUP BY c.d1, c.d2, z1.n, z2.n)
+       |         JOIN dl a ON a.doc_id = c.d1 JOIN dl b ON b.doc_id = c.d2)
        |       WHERE round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) >= $Threshold),
        |dox AS (SELECT d1 AS doc_id, count(*) AS n FROM vx GROUP BY 1),
        |dos AS (SELECT d2 AS doc_id, count(*) AS n FROM vs GROUP BY 1)
