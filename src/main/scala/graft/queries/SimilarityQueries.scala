@@ -82,10 +82,10 @@ object SimilarityQueries {
        |                 round(dot / (nv.nrm * nk.nrm), 6) AS csim
        |          FROM adots JOIN norms nv ON nv.vid = id
        |                     JOIN norms nk ON nk.vid = kid),
-       |cells AS MATERIALIZED (SELECT id, kid AS cell
-       |          FROM (SELECT *, row_number() OVER (PARTITION BY id
-       |                          ORDER BY csim DESC, kid) AS rn FROM asims)
-       |          WHERE rn = 1)""".stripMargin
+       |cells AS MATERIALIZED (
+       |          SELECT id, arg_max(kid, CAST(round(csim * 1e6) AS BIGINT)
+       |                    * 4294967296 + (4294967296 - kid)) AS cell
+       |          FROM asims GROUP BY id)""".stripMargin
 
   private val ivfCtesBody = ivfCtesBodyPred(s"cid < $NCentroids")
 
@@ -333,10 +333,9 @@ object SimilarityQueries {
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a2dots JOIN norms nv ON nv.vid = id
        |                       JOIN c1n ck ON ck.kid = a2dots.kid),
-       |cells2 AS (SELECT id, kid AS cell
-       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
-       |                           ORDER BY csim DESC, kid) AS rn FROM a2sims)
-       |           WHERE rn = 1)
+       |cells2 AS (SELECT id, arg_max(kid, CAST(round(csim * 1e6) AS BIGINT)
+       |                     * 4294967296 + (4294967296 - kid)) AS cell
+       |           FROM a2sims GROUP BY id)
        |SELECT cells2.cell AS cent_id, CAST(ce.i AS BIGINT) AS dim,
        |       round(avg(ce.v), 6) AS centroid
        |FROM ce JOIN cells2 ON ce.cid = cells2.id
@@ -377,10 +376,9 @@ object SimilarityQueries {
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a2dots JOIN norms nv ON nv.vid = id
        |                       JOIN c1n ck ON ck.kid = a2dots.kid),
-       |cells2 AS (SELECT id, kid AS cell
-       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
-       |                           ORDER BY csim DESC, kid) AS rn FROM a2sims)
-       |           WHERE rn = 1),
+       |cells2 AS (SELECT id, arg_max(kid, CAST(round(csim * 1e6) AS BIGINT)
+       |                     * 4294967296 + (4294967296 - kid)) AS cell
+       |           FROM a2sims GROUP BY id),
        |c2 AS (SELECT cells2.cell AS kid, ce.i, round(avg(ce.v), 6) AS v
        |       FROM ce JOIN cells2 ON ce.cid = cells2.id GROUP BY 1, 2),
        |c2n AS (SELECT kid, sqrt(sum(v * v)) AS nrm FROM c2 GROUP BY 1),
@@ -392,10 +390,9 @@ object SimilarityQueries {
        |                  round(dot / (nv.nrm * ck.nrm), 6) AS csim
        |           FROM a3dots JOIN norms nv ON nv.vid = id
        |                       JOIN c2n ck ON ck.kid = a3dots.kid),
-       |cells3 AS (SELECT id, kid AS cell
-       |           FROM (SELECT *, row_number() OVER (PARTITION BY id
-       |                           ORDER BY csim DESC, kid) AS rn FROM a3sims)
-       |           WHERE rn = 1)""".stripMargin
+       |cells3 AS (SELECT id, arg_max(kid, CAST(round(csim * 1e6) AS BIGINT)
+       |                     * 4294967296 + (4294967296 - kid)) AS cell
+       |           FROM a3sims GROUP BY id)""".stripMargin
 
   private val knnIvfTrainedSql =
     s"""$ivfCtes,
@@ -516,10 +513,9 @@ object SimilarityQueries {
        |                  round(dot / (sn.nrm * pn.nrm), 6) AS csim
        |           FROM pdots0 JOIN snorms sn ON sn.cid = id AND sn.g = pdots0.g
        |                       JOIN pinorms pn ON pn.code = pdots0.code AND pn.g = pdots0.g),
-       |passign AS (SELECT id, g, code FROM (
-       |              SELECT *, row_number() OVER (PARTITION BY id, g
-       |                        ORDER BY csim DESC, code) AS rn FROM psims0)
-       |            WHERE rn = 1),
+       |passign AS (SELECT id, g, arg_max(code, CAST(round(csim * 1e6) AS BIGINT)
+       |                      * 4294967296 + (4294967296 - code)) AS code
+       |            FROM psims0 GROUP BY id, g),
        |cbook AS (SELECT passign.g, passign.code, sse.i, round(avg(sse.v), 6) AS v
        |          FROM sse JOIN passign ON sse.cid = passign.id AND sse.g = passign.g
        |          GROUP BY 1, 2, 3),
@@ -536,10 +532,9 @@ object SimilarityQueries {
        |                 round(dot / (sn.nrm * cb.nrm), 6) AS csim
        |          FROM edots JOIN snorms sn ON sn.cid = id AND sn.g = edots.g
        |                     JOIN cbnorms cb ON cb.code = edots.code AND cb.g = edots.g),
-       |ecodes AS (SELECT id, g, code FROM (
-       |             SELECT *, row_number() OVER (PARTITION BY id, g
-       |                       ORDER BY csim DESC, code) AS rn FROM esims)
-       |           WHERE rn = 1),
+       |ecodes AS (SELECT id, g, arg_max(code, CAST(round(csim * 1e6) AS BIGINT)
+       |                     * 4294967296 + (4294967296 - code)) AS code
+       |           FROM esims GROUP BY id, g),
        |adc AS (SELECT q.cid AS qid, q.g, b.code,
        |               round(list_inner_product(q.sub, b.sub), 6) AS pdot
        |        FROM ssl q JOIN cbook_l b ON q.g = b.g
