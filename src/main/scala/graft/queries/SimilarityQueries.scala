@@ -764,13 +764,22 @@ object SimilarityQueries {
          |it$t AS (SELECT u$t.i, round(u$t.u/sqrt(m$t.n2), 6) AS w
          |         FROM u$t CROSS JOIN m$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ce AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-       |                   generate_subscripts(embedding, 1) AS i FROM embeddings),
-       |gram AS (SELECT a.i AS i, b.i AS j,
-       |                CAST(SUM(CAST(round((a.v*b.v)*$f6) AS BIGINT)) AS BIGINT) AS g
-       |         FROM ce a JOIN ce b USING (vec_id) GROUP BY 1, 2),
-       |sums AS (SELECT i, CAST(SUM(CAST(round(v*$f6) AS BIGINT)) AS BIGINT) AS s
-       |         FROM ce GROUP BY 1),
+    s"""WITH vl AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS emb
+       |                         FROM embeddings),
+       |-- gram by list indexing over a dim x dim fanout of the vector-list
+       |-- relation: the prior ce-self-join form (unnest x unnest JOIN ON
+       |-- vec_id) materialized the n*d^2 join output before aggregating and
+       |-- out-spilled DuckDB's temp dir past 76 GB at the 100x corpus; this
+       |-- form streams the same n*d^2 products into a d^2-group aggregate
+       |-- with no join at all. Arithmetic is bit-identical: emb[i] is the
+       |-- same DOUBLE the unnest produced, and the per-element fixed-point
+       |-- round happens before the sum exactly as before.
+       |dims AS (SELECT unnest(generate_series(1, $PcaDim)) AS d),
+       |gram AS (SELECT a.d AS i, b.d AS j,
+       |                CAST(SUM(CAST(round((emb[a.d]*emb[b.d])*$f6) AS BIGINT)) AS BIGINT) AS g
+       |         FROM vl CROSS JOIN dims a CROSS JOIN dims b GROUP BY 1, 2),
+       |sums AS (SELECT d.d AS i, CAST(SUM(CAST(round(emb[d.d]*$f6) AS BIGINT)) AS BIGINT) AS s
+       |         FROM vl CROSS JOIN dims d GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
        |cov AS (SELECT g.i, g.j,
        |               round(g.g/(nn.n*$f6)

@@ -99,9 +99,14 @@ object SqlQueries {
         UNION ALL
         SELECT m + INTERVAL '1' MONTH FROM months WHERE m < DATE '1998-12-01'
       )
+      -- total_price is exact integer cents (the fixed-point family rule):
+      -- round(sum(double), 2) flipped a cent on 7/84 months at the 100x
+      -- corpus (15 M orders), the same order-dependent summation class as
+      -- TPC-H q5/q7 — per-row cents then an order-free integer sum.
       SELECT date_format(m, 'yyyy-MM') AS month,
              count(o_orderkey) AS n_orders,
-             round(coalesce(sum(o_totalprice), 0.0), 2) AS total_price
+             coalesce(sum(cast(round(o_totalprice * 100) as bigint)), 0)
+               AS total_price_fp
       FROM months LEFT JOIN orders
         ON date_trunc('MONTH', o_orderdate) = CAST(m AS TIMESTAMP)
       GROUP BY 1""")
@@ -115,7 +120,8 @@ object SqlQueries {
       |)
       |SELECT strftime(m, '%Y-%m') AS month,
       |       CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-      |       round(CAST(coalesce(sum(o_totalprice), 0) AS DOUBLE), 2) AS total_price
+      |       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+      |         AS total_price_fp
       |FROM months LEFT JOIN orders
       |  ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
       |GROUP BY 1""".stripMargin
