@@ -211,20 +211,22 @@ object TextQueries {
 
   private val textNormalizeSql = {
     val in = Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
-    s"""WITH tok AS (
-       |  SELECT doc_id, w, i FROM (
-       |    SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
-       |    FROM (SELECT doc_id,
-       |                 str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ') AS ws
-       |          FROM documents))
-       |  WHERE w <> '' AND w NOT IN $in),
-       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS normalized,
-       |               count(*) AS n_kept
-       |        FROM tok GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(agg.normalized, '') AS normalized,
-       |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
-       |       md5(coalesce(agg.normalized, '')) AS norm_fp
-       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin
+    // Row-local list-lambda replay: the prior unnest + string_agg(ORDER
+    // BY i) form exploded 500 k docs into ~50 M token rows and rebuilt
+    // every document inside a grouped sorted string aggregate — DuckDB
+    // cannot spill that op and the 100x corpus OOM-poisoned the whole
+    // campaign connection. list_filter preserves the split order, so
+    // array_to_string over it is the same normalized text with zero row
+    // amplification — the same row-local shape the Spark side computes.
+    s"""SELECT doc_id,
+       |       coalesce(array_to_string(kept, ' '), '') AS normalized,
+       |       CAST(coalesce(len(kept), 0) AS BIGINT) AS n_kept,
+       |       md5(coalesce(array_to_string(kept, ' '), '')) AS norm_fp
+       |FROM (SELECT doc_id,
+       |             list_filter(
+       |               str_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' '),
+       |               w -> w <> '' AND w NOT IN $in) AS kept
+       |      FROM documents)""".stripMargin
   }
 
   // ── cross-domain join: documents ⋈ embeddings (doc_id = vec_id) ────────

@@ -64,18 +64,22 @@ def main():
     ledger = {}
     if os.path.exists(ledger_path):
         ledger = json.load(open(ledger_path))
-    con = duckdb.connect()
-    con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '8')}")
-    con.execute(f"SET memory_limit = '{os.environ.get('DUCK_MEM', '24GB')}'")
-    spill = f"/tmp/duckspill_{os.getpid()}"  # per-process: two checkers
-    os.makedirs(spill, exist_ok=True)        # sharing one dir evict each
-    con.execute(f"SET temp_directory = '{spill}'")  # other's temp blocks
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            p = os.path.join(p, "*.parquet")
-        if glob.glob(p) or os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def connect():
+        con = duckdb.connect()
+        con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '8')}")
+        con.execute(f"SET memory_limit = '{os.environ.get('DUCK_MEM', '24GB')}'")
+        spill = f"/tmp/duckspill_{os.getpid()}"  # per-process: two checkers
+        os.makedirs(spill, exist_ok=True)        # sharing one dir evict each
+        con.execute(f"SET temp_directory = '{spill}'")  # other's temp blocks
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                p = os.path.join(p, "*.parquet")
+            if glob.glob(p) or os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return con
+    con = connect()
     oracles = json.load(open(oracle_json))
     n_new = 0
     for name, sql in sorted(oracles.items()):
@@ -94,6 +98,15 @@ def main():
             msgs = compare(spark_df, duck_df, name)
         except Exception as e:
             msgs = [f"exception: {e}"]
+            # an OOM-killed query leaves the shared connection's buffer
+            # pool poisoned (every later query fails tiny allocations) —
+            # rebuild the connection so one heavy replay can't corrupt
+            # the rest of the campaign
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect()
         dt = round(time.time() - t0, 1)
         verdict = {"pass": not msgs, "secs": dt}
         if msgs:
