@@ -775,13 +775,18 @@ object SimilarityQueries {
        |-- same DOUBLE the unnest produced, and the per-element fixed-point
        |-- round happens before the sum exactly as before.
        |dims AS (SELECT unnest(generate_series(1, $PcaDim)) AS d),
-       |gram AS (SELECT a.d AS i, b.d AS j,
+       |-- gram/sums/cov MATERIALIZED: cov is referenced by every power
+       |-- iteration AND the eigenvalue CTE (7 references) — inlined, DuckDB
+       |-- re-derives the n*d^2 aggregate once per reference CONCURRENTLY,
+       |-- and seven in-flight corpus passes out-spilled the box where one
+       |-- pass runs in 34 s with zero spill at the 100x corpus.
+       |gram AS MATERIALIZED (SELECT a.d AS i, b.d AS j,
        |                CAST(SUM(CAST(round((emb[a.d]*emb[b.d])*$f6) AS BIGINT)) AS BIGINT) AS g
        |         FROM vl CROSS JOIN dims a CROSS JOIN dims b GROUP BY 1, 2),
-       |sums AS (SELECT d.d AS i, CAST(SUM(CAST(round(emb[d.d]*$f6) AS BIGINT)) AS BIGINT) AS s
+       |sums AS MATERIALIZED (SELECT d.d AS i, CAST(SUM(CAST(round(emb[d.d]*$f6) AS BIGINT)) AS BIGINT) AS s
        |         FROM vl CROSS JOIN dims d GROUP BY 1),
        |nn AS (SELECT COUNT(*) AS n FROM embeddings),
-       |cov AS (SELECT g.i, g.j,
+       |cov AS MATERIALIZED (SELECT g.i, g.j,
        |               round(g.g/(nn.n*$f6)
        |                     - (sa.s/(nn.n*$f6))*(sb.s/(nn.n*$f6)), 6) AS c
        |        FROM gram g CROSS JOIN nn
