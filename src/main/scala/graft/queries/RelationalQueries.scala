@@ -1295,7 +1295,12 @@ object RelationalQueries {
       |           SELECT x, y, row_number() OVER (
       |             PARTITION BY x ORDER BY c DESC, y) AS rn FROM w)
       |         WHERE rn <= 5),
-      |e0 AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM topk),
+      |-- MATERIALIZED: the triangle triple-join references e0 three times —
+      |-- inlined, DuckDB re-derives the full order-cooccurrence edge build
+      |-- (a ~720M-row self-join at the 100x corpus) once per reference
+      |-- concurrently and out-spills the box; materialized, e0 is a few
+      |-- thousand edges and the triple join is trivial.
+      |e0 AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM topk),
       |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w2
       |        FROM e0 e1
       |        JOIN e0 e2 ON e2.a = e1.b
