@@ -44,6 +44,51 @@ object SimilarityQueries {
 
   private val vecCtes = "WITH " + vecCtesBody("embeddings")
 
+  // Exact top-k per query WITHOUT sorting the pair relation. A
+  // row_number window over the brute half materializes and SORTS 8e8
+  // pair rows (75 GB+ of DuckDB temp at the 100x corpus — out-spilled
+  // the box and blocked the campaign's last three checks), and a grouped
+  // list() aggregate fares no better (DuckDB's external agg spills the
+  // raw input rows). Two passes of SCALAR aggregation instead:
+  //   pass 1: per (qid, cid % 64) bucket, the max packed (sim, cid) —
+  //     256k scalar states, streams with zero spill; the 5th-highest of
+  //     a query's 64 bucket maxima is a PROVABLE lower bound on its true
+  //     5th-best pack (the maxima are actual candidates with distinct
+  //     cids, so ≥ 5 candidates reach it — ranks only move up when the
+  //     filter discards others);
+  //   pass 2: re-scan the pair relation keeping pack ≥ threshold —
+  //     a few dozen survivors per query — and window-rank just those.
+  // The pair source is scanned twice (sequential by dependency), which
+  // trades ~2x compute for O(queries) memory. sims are already 6-dp
+  // rounded so round(sim*1e6) is exact; the 2^42 complement breaks ties
+  // by smallest cid (vec ids stay far below 2^42 at every ScaleGen
+  // decade); a query with < 5 non-empty buckets gets a -inf threshold
+  // (list[5] IS NULL) and keeps everything — tiny by construction.
+  // Bit-identical to ranking the full relation: distinct 6-dp sims map
+  // to distinct packs, equal sims order by the cid complement.
+  private val PackBase = 4398046511104L // 2^42
+  private def packExpr(rel: String = "") = {
+    val p = if (rel.isEmpty) "" else s"$rel."
+    s"CAST(round(${p}sim * 1e6) AS BIGINT) * $PackBase + ($PackBase - ${p}cid)"
+  }
+  private def topKPrefiltered(name: String, src: String, k: Int,
+                              where: String = "",
+                              cols: String = "qid, cid") = {
+    val w = if (where.isEmpty) "" else s" WHERE $where"
+    val and = if (where.isEmpty) "WHERE" else s"WHERE ($where) AND"
+    s"""${name}_th AS (SELECT qid, list_sort(list(m), 'DESC')[$k] AS t
+       |  FROM (SELECT qid, max(${packExpr()}) AS m
+       |        FROM $src$w GROUP BY qid, cid % 64)
+       |  GROUP BY qid),
+       |$name AS (SELECT $cols FROM (
+       |    SELECT s.qid, s.cid, s.sim,
+       |           CAST(row_number() OVER (PARTITION BY s.qid
+       |                ORDER BY s.sim DESC, s.cid) AS BIGINT) AS rank
+       |    FROM $src s JOIN ${name}_th th ON th.qid = s.qid
+       |    $and ${packExpr("s")} >= coalesce(th.t, -9223372036854775807))
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
   private val knnBruteforceSql =
     s"""$vecCtes,
        |dots AS (SELECT q.cid AS qid, c.cid AS cid,
@@ -165,18 +210,24 @@ object SimilarityQueries {
         col("monotone_ok"), col("avg_recall_ok"))
   }
 
+  // vln fuses each vector's norm next to its list so the PAIR-scale sims
+  // are pure projections — joining `norms` against an 8e8-row pair
+  // relation lets the optimizer's cardinality guess pick the pair side
+  // as a hash-join BUILD side (measured: 26-62 GB of temp at the 100x
+  // corpus, the last unexplained spill source in this family). The
+  // arithmetic is unchanged: the same nrm doubles divide the same dots.
+  private val vlnCte =
+    """vln AS MATERIALIZED (SELECT v.cid, v.emb, n.nrm
+      |                     FROM vl v JOIN norms n ON n.vid = v.cid)""".stripMargin
+
   private val knnIvfRecallSql =
     s"""$ivfCtes,
-       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
-       |                 list_inner_product(q.emb, c.emb) AS dot
-       |          FROM vl q JOIN vl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
-       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
-       |          FROM bdots JOIN norms nq ON nq.vid = qid
-       |                     JOIN norms nc ON nc.vid = cid),
-       |btop AS (SELECT qid, cid
-       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
-       |         WHERE rnk <= $KBrute),
+       |$vlnCte,
+       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 round(list_inner_product(q.emb, c.emb)
+       |                       / (q.nrm * c.nrm), 6) AS sim
+       |          FROM vln q JOIN vln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
+       |${topKPrefiltered("btop", "bsims", KBrute)},
        |qprobe AS (SELECT id AS qid, kid AS cell, rn AS probe_rank
        |           FROM (SELECT *, row_number() OVER (PARTITION BY id
        |                           ORDER BY csim DESC, kid) AS rn
@@ -185,25 +236,23 @@ object SimilarityQueries {
        |ipairs AS (SELECT qid, c2.id AS cid, probe_rank
        |           FROM qprobe JOIN cells c2
        |             ON c2.cell = qprobe.cell AND c2.id <> qprobe.qid),
-       |isims AS (SELECT qid, ipairs.cid AS cid, probe_rank,
-       |                 round(dot / (nq.nrm * nc.nrm), 6) AS sim
-       |          FROM (SELECT qid, pairs.cid, min(probe_rank) AS probe_rank,
-       |                       any_value(list_inner_product(a.emb, b.emb)) AS dot
-       |                FROM ipairs pairs
-       |                JOIN vl a ON a.cid = pairs.qid
-       |                JOIN vl b ON b.cid = pairs.cid
-       |                GROUP BY 1, 2) ipairs
-       |          JOIN norms nq ON nq.vid = qid
-       |          JOIN norms nc ON nc.vid = ipairs.cid),
-       |itop1 AS (SELECT qid, cid
-       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                          ORDER BY sim DESC, cid) AS rnk
-       |                FROM isims WHERE probe_rank = 1)
-       |          WHERE rnk <= $KBrute),
-       |itop2 AS (SELECT qid, cid
-       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                          ORDER BY sim DESC, cid) AS rnk FROM isims)
-       |          WHERE rnk <= $KBrute),
+       |-- the (qid, cid) dedup (a cid probed by BOTH cells) now aggregates
+       |-- the per-row 6-dp sim directly: duplicate rows are the same pair,
+       |-- hence the identical dot, norms, and rounded sim — any_value over
+       |-- them equals the old round-after-dedup form bit for bit.
+       |-- MATERIALIZED: referenced by both prefiltered top-k pairs (4 CTE
+       |-- references) — inlined, the 2e8-group dedup aggregate re-derives
+       |-- concurrently per reference (the pca-cov lesson).
+       |isims AS MATERIALIZED (
+       |          SELECT qid, pairs.cid AS cid, min(probe_rank) AS probe_rank,
+       |                 any_value(round(list_inner_product(a.emb, b.emb)
+       |                                 / (a.nrm * b.nrm), 6)) AS sim
+       |          FROM ipairs pairs
+       |          JOIN vln a ON a.cid = pairs.qid
+       |          JOIN vln b ON b.cid = pairs.cid
+       |          GROUP BY 1, 2),
+       |${topKPrefiltered("itop1", "isims", KBrute, "probe_rank = 1")},
+       |${topKPrefiltered("itop2", "isims", KBrute)},
        |per_q AS (SELECT b.qid,
        |                 count(i1.cid) AS hits_probe1,
        |                 count(i2.cid) AS hits_probe2
@@ -555,8 +604,17 @@ object SimilarityQueries {
        |                    AND adc.code = ecodes.code
        |            JOIN cn2 ON cn2.g = ecodes.g AND cn2.code = ecodes.code
        |            GROUP BY 1, 2),
-       |pqsims AS (SELECT qid, cid, round(num / (nq.nrm * sqrt(rn2)), 6) AS sim
-       |           FROM pscores JOIN norms nq ON nq.vid = qid)""".stripMargin
+       |-- query-restricted norms: joining the full `norms` against the
+       |-- candidate-pair-scale pscores risks the optimizer building the
+       |-- hash table on the 2e8-row side; |queries| rows can't.
+       |qnorms AS (SELECT id AS vid, nrm
+       |           FROM (SELECT vid AS id, nrm FROM norms) WHERE $probePred),
+       |-- MATERIALIZED: both prefiltered top-k passes reference pqsims —
+       |-- inlined, the candidate-pair ADC chain re-derives concurrently
+       |-- per reference (the pca-cov lesson).
+       |pqsims AS MATERIALIZED (
+       |           SELECT qid, cid, round(num / (nq.nrm * sqrt(rn2)), 6) AS sim
+       |           FROM pscores JOIN qnorms nq ON nq.vid = qid)""".stripMargin
 
   private lazy val knnIvfPqSql =
     s"""$ivfCtes,
@@ -646,22 +704,15 @@ object SimilarityQueries {
        |$ivfCtesBody,
        |${pqCtes(s"q.cid % $QueryMod = 0 AND q.cid < $PqPlant1",
                  s"id % $QueryMod = 0 AND id < $PqPlant1")},
-       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
-       |                 list_inner_product(q.emb, c.emb) AS dot
-       |          FROM vl q JOIN vl c
+       |$vlnCte,
+       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 round(list_inner_product(q.emb, c.emb)
+       |                       / (q.nrm * c.nrm), 6) AS sim
+       |          FROM vln q JOIN vln c
        |            ON q.cid % $QueryMod = 0 AND q.cid < $PqPlant1
        |           AND q.cid <> c.cid),
-       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
-       |          FROM bdots JOIN norms nq ON nq.vid = qid
-       |                     JOIN norms nc ON nc.vid = cid),
-       |btop AS (SELECT qid, cid
-       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
-       |         WHERE rnk <= $KBrute),
-       |pqtop AS (SELECT qid, cid
-       |          FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                          ORDER BY sim DESC, cid) AS rnk FROM pqsims)
-       |          WHERE rnk <= $KBrute),
+       |${topKPrefiltered("btop", "bsims", KBrute)},
+       |${topKPrefiltered("pqtop", "pqsims", KBrute)},
        |per_q AS (SELECT b.qid, count(p.cid) AS hits_pq
        |          FROM btop b
        |          LEFT JOIN pqtop p ON p.qid = b.qid AND p.cid = b.cid
@@ -711,28 +762,23 @@ object SimilarityQueries {
   private val mrlTruncatedKnnSql =
     s"""$vecCtes,
        |tvl AS MATERIALIZED (SELECT cid, emb[1:$MrlDim] AS emb FROM vl),
-       |tnorms AS MATERIALIZED (SELECT cid AS vid,
+       |-- tvln/vln carry the norm beside the list so the pair-scale sims
+       |-- never hash-join `(t)norms` against an 8e8-row relation (see the
+       |-- vln note in knnIvfRecallSql); arithmetic unchanged.
+       |tvln AS MATERIALIZED (SELECT cid, emb,
        |                 sqrt(list_inner_product(emb, emb)) AS nrm FROM tvl),
-       |tdots AS (SELECT q.cid AS qid, c.cid AS cid,
-       |                 list_inner_product(q.emb, c.emb) AS dot
-       |          FROM tvl q JOIN tvl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
-       |tsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
-       |          FROM tdots JOIN tnorms nq ON nq.vid = qid
-       |                     JOIN tnorms nc ON nc.vid = cid),
-       |ttop AS (SELECT qid, cid, sim, CAST(rnk AS BIGINT) AS rank
-       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                         ORDER BY sim DESC, cid) AS rnk FROM tsims)
-       |         WHERE rnk <= $KBrute),
-       |bdots AS (SELECT q.cid AS qid, c.cid AS cid,
-       |                 list_inner_product(q.emb, c.emb) AS dot
-       |          FROM vl q JOIN vl c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
-       |bsims AS (SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6) AS sim
-       |          FROM bdots JOIN norms nq ON nq.vid = qid
-       |                     JOIN norms nc ON nc.vid = cid),
-       |btop AS (SELECT qid, cid
-       |         FROM (SELECT *, row_number() OVER (PARTITION BY qid
-       |                         ORDER BY sim DESC, cid) AS rnk FROM bsims)
-       |         WHERE rnk <= $KBrute),
+       |tsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 round(list_inner_product(q.emb, c.emb)
+       |                       / (q.nrm * c.nrm), 6) AS sim
+       |          FROM tvln q JOIN tvln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
+       |${topKPrefiltered("ttop", "tsims", KBrute,
+                           cols = "qid, cid, sim, rank")},
+       |$vlnCte,
+       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |                 round(list_inner_product(q.emb, c.emb)
+       |                       / (q.nrm * c.nrm), 6) AS sim
+       |          FROM vln q JOIN vln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
+       |${topKPrefiltered("btop", "bsims", KBrute)},
        |hits AS (SELECT b.qid, count(*) AS h
        |         FROM btop b JOIN ttop t ON b.qid = t.qid AND b.cid = t.cid
        |         GROUP BY 1)

@@ -64,6 +64,16 @@ def main():
     ledger = {}
     if os.path.exists(ledger_path):
         ledger = json.load(open(ledger_path))
+    # sweep spill dirs abandoned by dead checkers (a crashed run leaves
+    # its duckdb_temp_storage behind — 37 GB of orphaned spill starved a
+    # later run into a bogus no-space FAIL); same dead-pid rule as the
+    # engine's scratchPath sweep
+    import shutil
+    for d in glob.glob("/tmp/duckspill_*"):
+        pid = d.rsplit("_", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(d, ignore_errors=True)
+
     def connect():
         con = duckdb.connect()
         con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '8')}")
