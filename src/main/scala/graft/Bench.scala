@@ -121,6 +121,15 @@ object Bench {
     // the three calibration medians normalize that for free (a drifting
     // box shows a start→end slope; a uniformly slower box shows a level
     // shift vs the prior round's calibration).
+    // Box-load marker: 1-minute loadavg at timed-sweep start/end, recorded
+    // next to the calibration so a contended sweep is SELF-IDENTIFYING —
+    // the r12 driver artifact read a uniform 1.28× smear because DuckDB
+    // oracle replays shared the box, and nothing in the artifact said so.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split(" ").head
+      catch { case _: Throwable => "-1" }
+    val loadStart = loadavg()
     val calibName = "q1_agg"
     def calibrate(): Double = SparkEntry.queries.get(calibName) match {
       case Some(f) =>
@@ -162,7 +171,8 @@ object Bench {
       "\"" + k + "\":[" + fmt(min) + "," + fmt(med) + "," + fmt(max) + "]"
     }.mkString("{", ",", "}")
     val calib = s"""{"query":"$calibName","start":${fmt(calibStart)},""" +
-      s""""middle":${fmt(calibMiddle)},"end":${fmt(calibEnd)}}"""
+      s""""middle":${fmt(calibMiddle)},"end":${fmt(calibEnd)},""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailJson =
       s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","calibration":$calib,"spread_min_med_max":$detail}"""
     // SPARK_GRAFT_ONLY iteration runs must not clobber the round's

@@ -76,8 +76,18 @@ object SimilarityQueries {
                               cols: String = "qid, cid") = {
     val w = if (where.isEmpty) "" else s" WHERE $where"
     val and = if (where.isEmpty) "WHERE" else s"WHERE ($where) AND"
-    s"""${name}_th AS (SELECT qid, list_sort(list(m), 'DESC')[$k] AS t
-       |  FROM (SELECT qid, max(${packExpr()}) AS m
+    // The pack encoding is only exact under two invariants: cid < 2^42
+    // (else the complement underflows into the sim field) and sim already
+    // 6-dp rounded (else pack ties disagree with the ORDER BY s.sim
+    // ranking). Both are guarded IN the pass-1 aggregate (zero extra
+    // scans: max(cid) and the unrounded flag ride the same group-by) and
+    // a violation errors the replay loudly instead of mis-ranking.
+    s"""${name}_th AS (SELECT qid,
+       |    CASE WHEN max(mc) >= $PackBase OR max(unr) = 1
+       |         THEN CAST(error('packExpr invariant: cid >= 2^42 or sim not 6dp-rounded') AS BIGINT)
+       |         ELSE list_sort(list(m), 'DESC')[$k] END AS t
+       |  FROM (SELECT qid, max(${packExpr()}) AS m, max(cid) AS mc,
+       |               max(CASE WHEN sim <> round(sim, 6) THEN 1 ELSE 0 END) AS unr
        |        FROM $src$w GROUP BY qid, cid % 64)
        |  GROUP BY qid),
        |$name AS (SELECT $cols FROM (

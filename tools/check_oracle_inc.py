@@ -68,10 +68,18 @@ def main():
     # its duckdb_temp_storage behind — 37 GB of orphaned spill starved a
     # later run into a bogus no-space FAIL); same dead-pid rule as the
     # engine's scratchPath sweep
+    # ... but a dead-looking pid can be a LIVE checker in another pid
+    # namespace sharing a bind-mounted /tmp — require the dir to also be
+    # mtime-stale (>1h untouched; an active spill dir is written
+    # constantly) before deleting it
     import shutil
     for d in glob.glob("/tmp/duckspill_*"):
         pid = d.rsplit("_", 1)[-1]
-        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+        try:
+            stale = time.time() - os.stat(d).st_mtime > 3600
+        except OSError:
+            continue
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}") and stale:
             shutil.rmtree(d, ignore_errors=True)
 
     def connect():
@@ -102,21 +110,31 @@ def main():
         if not files:
             continue
         t0 = time.time()
-        try:
+
+        def attempt():
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
             duck_df = canon(con.execute(sql).df())
-            msgs = compare(spark_df, duck_df, name)
+            return compare(spark_df, duck_df, name)
+        try:
+            msgs = attempt()
         except Exception as e:
-            msgs = [f"exception: {e}"]
             # an OOM-killed query leaves the shared connection's buffer
             # pool poisoned (every later query fails tiny allocations) —
             # rebuild the connection so one heavy replay can't corrupt
-            # the rest of the campaign
+            # the rest of the campaign; then RETRY once on the fresh
+            # connection so a transient hiccup (poisoned pool, parquet
+            # read blip) isn't ledgered as a permanent FAIL
             try:
                 con.close()
             except Exception:
                 pass
             con = connect()
+            try:
+                msgs = attempt()
+            except Exception as e2:
+                msgs = [f"exception: {e2}"]
+                con.close()
+                con = connect()
         dt = round(time.time() - t0, 1)
         verdict = {"pass": not msgs, "secs": dt}
         if msgs:
