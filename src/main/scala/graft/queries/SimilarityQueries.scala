@@ -233,7 +233,14 @@ object SimilarityQueries {
   private val knnIvfRecallSql =
     s"""$ivfCtes,
        |$vlnCte,
-       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |-- NOT MATERIALIZED (here and every brute pair CTE): both
+       |-- prefiltered top-k passes reference the 8e8-row pair relation,
+       |-- and DuckDB auto-materializes a multi-referenced CTE — 60-80 GB
+       |-- of temp at the 100x corpus, the disk abort that blocked three
+       |-- campaign drains. Inlined, each reference is a STREAMING scan
+       |-- feeding a scalar aggregate / tiny-build hash join: ~2x compute,
+       |-- ~zero spill — the right trade for a relation 400x the box RAM.
+       |bsims AS NOT MATERIALIZED (SELECT q.cid AS qid, c.cid AS cid,
        |                 round(list_inner_product(q.emb, c.emb)
        |                       / (q.nrm * c.nrm), 6) AS sim
        |          FROM vln q JOIN vln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
@@ -715,7 +722,7 @@ object SimilarityQueries {
        |${pqCtes(s"q.cid % $QueryMod = 0 AND q.cid < $PqPlant1",
                  s"id % $QueryMod = 0 AND id < $PqPlant1")},
        |$vlnCte,
-       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |bsims AS NOT MATERIALIZED (SELECT q.cid AS qid, c.cid AS cid,
        |                 round(list_inner_product(q.emb, c.emb)
        |                       / (q.nrm * c.nrm), 6) AS sim
        |          FROM vln q JOIN vln c
@@ -777,14 +784,14 @@ object SimilarityQueries {
        |-- vln note in knnIvfRecallSql); arithmetic unchanged.
        |tvln AS MATERIALIZED (SELECT cid, emb,
        |                 sqrt(list_inner_product(emb, emb)) AS nrm FROM tvl),
-       |tsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |tsims AS NOT MATERIALIZED (SELECT q.cid AS qid, c.cid AS cid,
        |                 round(list_inner_product(q.emb, c.emb)
        |                       / (q.nrm * c.nrm), 6) AS sim
        |          FROM tvln q JOIN tvln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),
        |${topKPrefiltered("ttop", "tsims", KBrute,
                            cols = "qid, cid, sim, rank")},
        |$vlnCte,
-       |bsims AS (SELECT q.cid AS qid, c.cid AS cid,
+       |bsims AS NOT MATERIALIZED (SELECT q.cid AS qid, c.cid AS cid,
        |                 round(list_inner_product(q.emb, c.emb)
        |                       / (q.nrm * c.nrm), 6) AS sim
        |          FROM vln q JOIN vln c ON q.cid % $QueryMod = 0 AND q.cid <> c.cid),

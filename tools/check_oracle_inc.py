@@ -114,9 +114,10 @@ def main():
         def attempt():
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
             duck_df = canon(con.execute(sql).df())
-            return compare(spark_df, duck_df, name)
+            return compare(spark_df, duck_df, name), len(spark_df)
+        nrows = -1
         try:
-            msgs = attempt()
+            msgs, nrows = attempt()
         except Exception as e:
             # an OOM-killed query leaves the shared connection's buffer
             # pool poisoned (every later query fails tiny allocations) —
@@ -130,7 +131,7 @@ def main():
                 pass
             con = connect()
             try:
-                msgs = attempt()
+                msgs, nrows = attempt()
             except Exception as e2:
                 msgs = [f"exception: {e2}"]
                 con.close()
@@ -141,7 +142,7 @@ def main():
             verdict["detail"] = msgs[:5]
             print(f"FAIL {name} ({dt}s): " + " | ".join(msgs[:3]), flush=True)
         else:
-            print(f"PASS {name} ({len(spark_df)} rows, {dt}s)", flush=True)
+            print(f"PASS {name} ({nrows} rows, {dt}s)", flush=True)
         ledger[name] = verdict
         json.dump(ledger, open(ledger_path, "w"), indent=1)
         n_new += 1
