@@ -134,11 +134,19 @@ object SetSimilarityQueries {
        |   AND greatest(a.sz, b.sz) * $TauNum <= least(a.sz, b.sz) * $TauDen
        |   AND least(a.sz - a.rn + 1, b.sz - b.rn + 1) * ${TauNum + TauDen}
        |       >= (a.sz + b.sz) * $TauNum),
+       |-- xi MATERIALIZED: forces the verification join to stay DOC-major
+       |-- (candidate x d1-tokens first, then match d2-tokens by doc+tok).
+       |-- Left to the optimizer, the three-way join can reorder to
+       |-- x.tok = y.tok FIRST - df^2 per token, which on a Zipf corpus
+       |-- (wide-vocab decade: head df ~ corpus size) is ~1e11 rows and
+       |-- out-spilled the box at 650k docs; |xi| is only |cand| x avg_sz.
+       |xi AS MATERIALIZED (
+       |  SELECT c.d1, c.d2, c.s1, c.s2, x.tok
+       |  FROM cand c JOIN toks x ON x.doc_id = c.d1),
        |inter AS (
-       |  SELECT c.d1, c.d2, c.s1, c.s2, count(*) AS inter
-       |  FROM cand c
-       |  JOIN toks x ON x.doc_id = c.d1
-       |  JOIN toks y ON y.doc_id = c.d2 AND y.tok = x.tok
+       |  SELECT xi.d1, xi.d2, xi.s1, xi.s2, count(*) AS inter
+       |  FROM xi
+       |  JOIN toks y ON y.doc_id = xi.d2 AND y.tok = xi.tok
        |  GROUP BY 1, 2, 3, 4)
        |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
        |       CAST(s1 + s2 - inter AS BIGINT) AS uni,
