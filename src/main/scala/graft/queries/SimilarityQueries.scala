@@ -90,12 +90,25 @@ object SimilarityQueries {
        |               max(CASE WHEN sim <> round(sim, 6) THEN 1 ELSE 0 END) AS unr
        |        FROM $src$w GROUP BY qid, cid % 64)
        |  GROUP BY qid),
+       |-- Join-free GLOBAL prefilter before the per-query threshold join:
+       |-- min(t) over all queries is a provable lower bound on every
+       |-- per-query threshold, and the 1-row cross join leaves the
+       |-- optimizer no build-side choice. Without it, DuckDB's cardinality
+       |-- guess for the aggregate-derived th relation can pick the PAIR
+       |-- side (8e8 rows at the 100x corpus) as the hash-join build —
+       |-- 50 GB+ of temp in minutes, the disk abort that blocked the
+       |-- campaign twice. The per-query join then sees only the global
+       |-- survivors (~queries x O(k..100) rows), safe either way.
+       |${name}_gth AS (SELECT min(coalesce(t, -9223372036854775807)) AS g
+       |                FROM ${name}_th),
        |$name AS (SELECT $cols FROM (
-       |    SELECT s.qid, s.cid, s.sim,
-       |           CAST(row_number() OVER (PARTITION BY s.qid
-       |                ORDER BY s.sim DESC, s.cid) AS BIGINT) AS rank
-       |    FROM $src s JOIN ${name}_th th ON th.qid = s.qid
-       |    $and ${packExpr("s")} >= coalesce(th.t, -9223372036854775807))
+       |    SELECT s2.qid, s2.cid, s2.sim,
+       |           CAST(row_number() OVER (PARTITION BY s2.qid
+       |                ORDER BY s2.sim DESC, s2.cid) AS BIGINT) AS rank
+       |    FROM (SELECT s.* FROM $src s, ${name}_gth g
+       |          $and ${packExpr("s")} >= g.g) s2
+       |    JOIN ${name}_th th ON th.qid = s2.qid
+       |    WHERE ${packExpr("s2")} >= coalesce(th.t, -9223372036854775807))
        |  WHERE rank <= $k)""".stripMargin
   }
 
