@@ -266,21 +266,26 @@ object SimilarityQueries {
        |ipairs AS (SELECT qid, c2.id AS cid, probe_rank
        |           FROM qprobe JOIN cells c2
        |             ON c2.cell = qprobe.cell AND c2.id <> qprobe.qid),
-       |-- the (qid, cid) dedup (a cid probed by BOTH cells) now aggregates
-       |-- the per-row 6-dp sim directly: duplicate rows are the same pair,
-       |-- hence the identical dot, norms, and rounded sim — any_value over
-       |-- them equals the old round-after-dedup form bit for bit.
-       |-- MATERIALIZED: referenced by both prefiltered top-k pairs (4 CTE
-       |-- references) — inlined, the 2e8-group dedup aggregate re-derives
-       |-- concurrently per reference (the pca-cov lesson).
-       |isims AS MATERIALIZED (
-       |          SELECT qid, pairs.cid AS cid, min(probe_rank) AS probe_rank,
-       |                 any_value(round(list_inner_product(a.emb, b.emb)
-       |                                 / (a.nrm * b.nrm), 6)) AS sim
-       |          FROM ipairs pairs
-       |          JOIN vln a ON a.cid = pairs.qid
-       |          JOIN vln b ON b.cid = pairs.cid
-       |          GROUP BY 1, 2),
+       |-- (qid, cid) dedup (a cid probed by BOTH cells) happens FIRST, on
+       |-- the SLIM id-only relation, and is the only thing materialized:
+       |-- the old form joined the 2e8-row pair relation against vln BEFORE
+       |-- deduping, so every pair row carried two 512-byte embedding lists
+       |-- — whichever operator buffered that intermediate (a flipped
+       |-- hash-join build side, the external dedup aggregate) wrote 75 GB+
+       |-- of temp and aborted the box. Slim icand is ~4 GB materialized;
+       |-- the sims are then computed in a NOT MATERIALIZED pass whose
+       |-- output rows are 32 bytes — even a wrong build-side choice in the
+       |-- downstream top-k joins buffers pair-scale rows WITHOUT payloads.
+       |icand AS MATERIALIZED (
+       |          SELECT qid, cid, min(probe_rank) AS probe_rank
+       |          FROM ipairs GROUP BY 1, 2),
+       |isims AS NOT MATERIALIZED (
+       |          SELECT qid, icand.cid AS cid, probe_rank,
+       |                 round(list_inner_product(a.emb, b.emb)
+       |                       / (a.nrm * b.nrm), 6) AS sim
+       |          FROM icand
+       |          JOIN vln a ON a.cid = icand.qid
+       |          JOIN vln b ON b.cid = icand.cid),
        |${topKPrefiltered("itop1", "isims", KBrute, "probe_rank = 1")},
        |${topKPrefiltered("itop2", "isims", KBrute)},
        |per_q AS (SELECT b.qid,
