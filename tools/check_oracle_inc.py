@@ -76,7 +76,16 @@ def main():
     for d in glob.glob("/tmp/duckspill_*"):
         pid = d.rsplit("_", 1)[-1]
         try:
-            stale = time.time() - os.stat(d).st_mtime > 3600
+            # dir mtime only moves on entry create/delete — DuckDB growing
+            # an existing temp file in-place leaves it stale-looking, so
+            # take the max mtime over the dir AND its contained files
+            mtimes = [os.stat(d).st_mtime]
+            for f in os.listdir(d):
+                try:
+                    mtimes.append(os.stat(os.path.join(d, f)).st_mtime)
+                except OSError:
+                    pass
+            stale = time.time() - max(mtimes) > 3600
         except OSError:
             continue
         if pid.isdigit() and not os.path.exists(f"/proc/{pid}") and stale:
@@ -134,7 +143,10 @@ def main():
                 msgs, nrows = attempt()
             except Exception as e2:
                 msgs = [f"exception: {e2}"]
-                con.close()
+                try:
+                    con.close()  # may itself raise on a poisoned pool
+                except Exception:
+                    pass
                 con = connect()
         dt = round(time.time() - t0, 1)
         verdict = {"pass": not msgs, "secs": dt}

@@ -29,8 +29,8 @@ from check_oracle_inc import canon, compare, TABLES
 def split_with_chain(sql):
     """Parse 'WITH [RECURSIVE] name AS [NOT] [MATERIALIZED] (body), ...
     <tail>' into ([(name, full_cte_text)], tail). Depth-aware split on
-    top-level commas; robust for machine-generated SQL (no comments with
-    unbalanced parens, no string literals containing parens at depth 0)."""
+    top-level commas; tracks -- comments AND single-quoted string
+    literals so parens/commas/dashes inside either never mis-split."""
     s = sql.strip()
     assert s.upper().startswith("WITH"), "not a WITH query"
     s = s[4:].lstrip()
@@ -39,11 +39,20 @@ def split_with_chain(sql):
     ctes = []
     i, depth, start = 0, 0, 0
     in_line_comment = False
+    in_str = False
     while i < len(s):
         c = s[i]
         if in_line_comment:
             if c == "\n":
                 in_line_comment = False
+        elif in_str:
+            if c == "'":
+                if s[i:i + 2] == "''":  # escaped quote inside literal
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
         elif c == "-" and s[i:i + 2] == "--":
             in_line_comment = True
         elif c == "(":
@@ -67,16 +76,27 @@ def split_with_chain(sql):
 
 def open_paren_idx(cte_text):
     """Index of the body's opening paren: the first '(' outside a --
-    comment (head comments may themselves contain parens)."""
-    in_c = False
-    for i, c in enumerate(cte_text):
+    comment or string literal (head comments may contain parens)."""
+    in_c = in_s = False
+    i = 0
+    while i < len(cte_text):
+        c = cte_text[i]
         if in_c:
             if c == "\n":
                 in_c = False
+        elif in_s:
+            if c == "'":
+                if cte_text[i:i + 2] == "''":
+                    i += 1
+                else:
+                    in_s = False
+        elif c == "'":
+            in_s = True
         elif cte_text[i:i + 2] == "--":
             in_c = True
         elif c == "(":
             return i
+        i += 1
     raise ValueError("no body parens found")
 
 
@@ -101,9 +121,34 @@ def main():
         stages = sys.argv[sys.argv.index("--stage") + 1].split(",")
     sql = json.load(open(oracle_json))[qname]
     ctes, tail = split_with_chain(sql)
+    # round-trip guard: re-assembling the parsed pieces must reproduce the
+    # input modulo whitespace — catches any future scanner blind spot
+    # (new literal/comment form) before it can run wrong algebra
+    rt = "WITH " + ", ".join(t for _, t in ctes) + " " + tail
+    src = sql.strip()
+    if src.upper().startswith("WITH") and src[4:].lstrip().upper().startswith("RECURSIVE"):
+        rt = "WITH RECURSIVE " + rt[len("WITH "):]
+    assert "".join(rt.split()) == "".join(src.split()), \
+        "WITH-chain round-trip mismatch: scanner mis-split this query"
     names = [n for n, _ in ctes]
     unknown = [st for st in stages if st not in names]
     assert not unknown, f"--stage names not in WITH chain: {unknown}"
+
+    # completeness + single-writer checks BEFORE burning replay time:
+    # a still-writing Spark output dir must not ledger a bogus FAIL, and
+    # a live incremental checker holds the whole ledger in memory and
+    # would clobber (then one-shot re-run) our staged verdict
+    qdir = os.path.join(out_dir, qname)
+    assert os.path.exists(os.path.join(qdir, "_SUCCESS")), \
+        f"{qdir} has no _SUCCESS — Spark output incomplete"
+    assert glob.glob(os.path.join(qdir, "*.parquet")), \
+        f"{qdir} has no parquet files"
+    lock = ledger_path + ".lock"
+    if os.path.exists(lock):
+        pid = open(lock).read().strip()
+        assert not (pid and os.path.exists(f"/proc/{pid}")), \
+            f"checker pid {pid} holds {lock}; refusing to race the ledger"
+    open(lock, "w").write(str(os.getpid()))
 
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '16')}")
@@ -155,6 +200,7 @@ def main():
         ledger = json.load(open(ledger_path))
     ledger[qname] = verdict
     json.dump(ledger, open(ledger_path, "w"), indent=1)
+    os.remove(lock)
 
 
 if __name__ == "__main__":
