@@ -170,11 +170,26 @@ object Bench {
     val detail = byQuery.map { case (k, min, med, max, _) =>
       "\"" + k + "\":[" + fmt(min) + "," + fmt(med) + "," + fmt(max) + "]"
     }.mkString("{", ",", "}")
+    // Calibration-normalized total: total × (pinned reference calibration /
+    // this sweep's calibration median). The pinned reference is the r11
+    // q1_agg quiet-box band (0.312 s) — with it, cross-round totals
+    // self-adjudicate in one line instead of the per-query ratio analysis
+    // the r12/r13 verdicts each had to run (242 vs 208 s was pure host
+    // variance; the calibrations said so, but nothing composed them).
+    val CalibRef = 0.312
+    val calibMedian = Seq(calibStart, calibMiddle, calibEnd)
+      .filter(_ > 0).sorted match {
+        case s if s.nonEmpty => s(s.size / 2)
+        case _ => -1.0
+      }
+    val normalizedTotal =
+      if (calibMedian > 0) fmt(byQuery.map(_._3).sum * CalibRef / calibMedian)
+      else "-1"
     val calib = s"""{"query":"$calibName","start":${fmt(calibStart)},""" +
       s""""middle":${fmt(calibMiddle)},"end":${fmt(calibEnd)},""" +
-      s""""loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
+      s""""reference":$CalibRef,"loadavg_start":$loadStart,"loadavg_end":${loadavg()}}"""
     val detailJson =
-      s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","calibration":$calib,"spread_min_med_max":$detail}"""
+      s"""{"sf":"$sfDir","runs":$runs,"unit":"sec","normalized_total":$normalizedTotal,"calibration":$calib,"spread_min_med_max":$detail}"""
     // SPARK_GRAFT_ONLY iteration runs must not clobber the round's
     // full-sweep artifact (a 3-query detail file looks like a sweep)
     val detailPath =

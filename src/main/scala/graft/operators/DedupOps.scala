@@ -619,14 +619,23 @@ object DedupOps {
     * volume ∝ contamination, not corpus size. Docs with zero overlap are
     * recovered by a left join against the doc list (no wide scan: ids
     * only). Same md5-derived 40-bit feature hash as the MinHash family,
-    * so the DuckDB oracle reproduces it bit-for-bit. */
+    * so the DuckDB oracle reproduces it bit-for-bit.
+    *
+    * The corpus-side gram pass is the codegen'd row-local kernel
+    * (`wordShingleHashes`, bit-identical to exploding string shingles
+    * through `shingleHash40`): the gate dominates `pipeline_curation` at
+    * every decade, and the kernel skips the shingle-string
+    * materialization + per-gram md5-of-string that the explode
+    * formulation pays on every corpus token (the repeatedSpans lesson,
+    * ≈2× there). Only the 8-byte hash — never the ~50-byte gram string —
+    * leaves the row. */
   def ngramOverlap(train: DataFrame, probe: DataFrame,
                    idCol: Column, textCol: Column, n: Int): DataFrame = {
     val probeHashes = broadcast(
-      shingleBag(probe, idCol, textCol, n)
-        .select(shingleHash40(col("g")).as("h")).distinct())
-    val matched = shingleBag(train, idCol, textCol, n)
-      .select(col("doc_id"), shingleHash40(col("g")).as("h"))
+      wordShingleHashes(probe, idCol, textCol, n)
+        .select(explode(col("hs")).as("h")).distinct())
+    val matched = wordShingleHashes(train, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
       .join(probeHashes, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("h")).as("n_overlap"))

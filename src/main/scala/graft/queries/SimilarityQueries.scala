@@ -539,6 +539,56 @@ object SimilarityQueries {
        |       (d.id IS NULL) AS kept
        |FROM cells3 c LEFT JOIN drops d ON d.id = c.id""".stripMargin
 
+  // ── SemDeDup at the DEPLOYED coarse K (K ∝ √n, computed not pinned) ────
+  // Retires the fixed-K gate's scale caveat: `semantic_dedup` pins
+  // K = NCentroids for a compact training replay, so cell population
+  // grows ∝ n and the within-cell pair volume ∝ n²/K — a quadratic
+  // oracle that was documented-infeasible at the 100× corpus (r12/r13
+  // campaigns). This gate promotes the deployment rule instead (the
+  // knn_ivfpq_deployed precedent, r7): K = max(NCentroids, ⌊√n⌋) is
+  // DERIVED from the corpus count on both sides — Spark from c.count(),
+  // the oracle from a scalar subquery over the same augmented relation —
+  // so cells stay O(√n) and pair volume grows n^1.5/2, replayable at
+  // every decade. Plants sit at +10^6, far above any √n this fixture
+  // reaches; the require keeps the init-set derivation honest if a
+  // future corpus breaks that ordering.
+  private val semanticDedupDeployed: Q = (s, dir) => {
+    val base = corpus(s, dir)
+    val planted = base.filter(col("id") % 100 === 0)
+      .select((col("id") + 1000000L).as("id"), col("vec"))
+    val c = base.unionByName(planted)
+    val k = deployedK(c.count())
+    require(k < 1000000L,
+      s"deployed K = $k reaches the planted-id range; init set would include plants")
+    val init = c.filter(col("id") < k)
+      .select(col("id").as("cent_id"), col("vec").as("cvec"))
+    VectorOps.semanticDedup(c, VectorOps.kmeans(c, init, KmeansIters),
+      SemDupThreshold)
+  }
+
+  private lazy val semanticDedupDeployedSql =
+    s"""WITH emb2 AS (SELECT vec_id, embedding FROM embeddings
+       |             UNION ALL
+       |             SELECT vec_id + 1000000, embedding FROM embeddings
+       |             WHERE vec_id % 100 = 0),
+       |${vecCtesBody("emb2")},
+       |kk AS (SELECT GREATEST($NCentroids, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+       |       FROM emb2),
+       |${ivfCtesBodyPred("cid < (SELECT k FROM kk)")},
+       |$lloydCellsBody,
+       |spairs AS (SELECT a.id AS d1, b.id AS d2
+       |           FROM cells3 a JOIN cells3 b ON a.cell = b.cell AND a.id < b.id),
+       |sdots AS (SELECT d1, d2, list_inner_product(x.emb, y.emb) AS dot
+       |          FROM spairs JOIN vl x ON x.cid = d1
+       |                      JOIN vl y ON y.cid = d2),
+       |drops AS (SELECT DISTINCT d2 AS id
+       |          FROM sdots JOIN norms n1 ON n1.vid = d1
+       |                     JOIN norms n2 ON n2.vid = d2
+       |          WHERE round(dot / (n1.nrm * n2.nrm), 6) >= $SemDupThreshold)
+       |SELECT c.id, CAST(c.cell AS BIGINT) AS cell,
+       |       (d.id IS NULL) AS kept
+       |FROM cells3 c LEFT JOIN drops d ON d.id = c.id""".stripMargin
+
   // ── IVF-PQ: product quantization over the coarse quantizer ─────────────
   // The 100 TB ANN memory story: vectors live in the index only as m
   // per-subspace codewords (here 4 subspaces × 16 dims, 4 codes each),
@@ -893,6 +943,7 @@ object SimilarityQueries {
     "kmeans_centroids"       -> kmeansCentroids,
     "knn_ivf_trained"        -> knnIvfTrained,
     "semantic_dedup"         -> semanticDedupQ,
+    "semantic_dedup_deployed" -> semanticDedupDeployed,
     "knn_ivfpq"              -> knnIvfPq,
     "knn_ivfpq_recall"       -> knnIvfPqRecall,
     "knn_ivfpq_deployed"     -> knnIvfPqDeployed,
@@ -912,6 +963,7 @@ object SimilarityQueries {
     "kmeans_centroids"       -> kmeansCentroidsSql,
     "knn_ivf_trained"        -> knnIvfTrainedSql,
     "semantic_dedup"         -> semanticDedupSql,
+    "semantic_dedup_deployed" -> semanticDedupDeployedSql,
     "knn_ivfpq"              -> knnIvfPqSql,
     "knn_ivfpq_recall"       -> knnIvfPqRecallSql,
     "knn_ivfpq_deployed"     -> knnIvfPqDeployedSql,
