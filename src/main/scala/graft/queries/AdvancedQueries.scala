@@ -319,34 +319,62 @@ object AdvancedQueries {
         round(abs(col("est") - col("exact")) / col("exact"), 4).as("rel_err"))
   }
 
+  // Oracle scale notes (the 1000×-decade drain, r14):
+  //  - `sk` (bottom-K rows by (h, v) per group) was a row_number window
+  //    over ALL of lineitem — a full 600 M-row sort that out-spilled the
+  //    box's disk at the 1000× corpus. Rewritten as the two-pass
+  //    threshold pattern (same family as SimilarityQueries'
+  //    topKPrefiltered, reversed for min): pass 1 takes per-(g, h%4096)
+  //    bucket MINIMA (tiny scalar states); the K-th smallest bucket min
+  //    is a PROVABLE upper bound on the true K-th smallest h (the K
+  //    minima are actual, distinct elements ≤ it); pass 2 window-ranks
+  //    only the h ≤ bound survivors (~thousands at any decade, md5 h is
+  //    uniform). A group with < K non-empty buckets gets a +inf bound
+  //    and keeps everything. Ranking survivors by (h, v) is identical to
+  //    ranking the full relation: the discarded rows all sit strictly
+  //    above the bound, hence above the K-th element.
+  //  - `ex` (the exact quantile reference) sorted the doubled relation
+  //    (1.2 B rows); DuckDB 1.0's quantile_disc(v, q) IS the
+  //    ceil(q·n)-th 1-based order statistic (verified programmatically
+  //    incl. the frac(q·n) ≤ q divergence cases vs floor(q·(n−1))+1),
+  //    and the (v, h) tiebreak never changes the SELECTED v (equal v's
+  //    are interchangeable at a rank boundary) — so the aggregate form
+  //    is value-identical with linear list states instead of a sort.
   private val quantileSketchSql = {
     val qsVals = QkQs.map(q => s"($q)").mkString(",")
+    val exCols = QkQs.zipWithIndex
+      .map { case (q, i) => s"quantile_disc(v, $q) AS eq$i" }.mkString(", ")
+    val exVals = QkQs.zipWithIndex
+      .map { case (q, i) => s"($q, t.eq$i)" }.mkString(", ")
     s"""WITH r AS (SELECT l_returnflag AS g,
        |                  CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)
        |                       || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15))
        |                       AS BIGINT) AS h,
        |                  l_extendedprice AS v
        |           FROM lineitem),
+       |skth AS (SELECT g, list_sort(list(m))[$QkK] AS t FROM (
+       |           SELECT g, min(h) AS m FROM r GROUP BY g, h % 4096)
+       |         GROUP BY g),
+       |skcand AS (SELECT r.g, r.h, r.v FROM r JOIN skth USING (g)
+       |           WHERE r.h <= coalesce(skth.t, 9223372036854775807)),
        |sk AS (SELECT g, h, v FROM (
        |         SELECT g, h, v,
        |                row_number() OVER (PARTITION BY g ORDER BY h, v) AS rk
-       |         FROM r) WHERE rk <= $QkK),
+       |         FROM skcand) WHERE rk <= $QkK),
        |msk AS (SELECT 'ALL' AS g, h, v FROM (
        |          SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk FROM sk)
        |        WHERE rk <= $QkK),
        |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk),
-       |rawall AS (SELECT * FROM r UNION ALL SELECT 'ALL', h, v FROM r),
+       |rawall AS (SELECT g, v FROM r UNION ALL SELECT 'ALL', v FROM r),
        |qs(q) AS (VALUES $qsVals),
        |est AS (SELECT t.g, qs.q, t.v FROM (
        |          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rk,
        |                 count(*) OVER (PARTITION BY g) AS n
        |          FROM allsk) t, qs
        |        WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT)),
-       |ex AS (SELECT t.g, qs.q, t.v FROM (
-       |         SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v, h) AS rk,
-       |                count(*) OVER (PARTITION BY g) AS n
-       |         FROM rawall) t, qs
-       |       WHERE t.rk = CAST(ceil(qs.q * t.n) AS BIGINT))
+       |ex AS (SELECT g, u.q, u.v FROM (
+       |         SELECT g, $exCols FROM rawall GROUP BY g) t,
+       |       LATERAL (VALUES $exVals) u(q, v))
        |SELECT est.g AS scope, est.q, est.v AS est, ex.v AS exact,
        |       round(abs(est.v - ex.v) / ex.v, 4) AS rel_err
        |FROM est JOIN ex ON ex.g = est.g AND ex.q = est.q""".stripMargin
