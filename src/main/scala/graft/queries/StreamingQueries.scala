@@ -674,11 +674,23 @@ object StreamingQueries {
         col("event_id"), col("user_id"))
       .withWatermark("eventTime", "2 days")
       .dropDuplicatesWithinWatermark("event_id")
-    val sink = s"streaming_ddww_${runSeq.incrementAndGet()}"
+    // FILE sink, not memory: append-mode dedup emits every surviving row,
+    // so a memory sink is a DRIVER-scale relation — at the 1000× decade
+    // (100 M events) one task's serialized result hit 1.68 GiB and killed
+    // the query on spark.driver.maxResultSize. The parquet sink keeps the
+    // deduped stream distributed; the verification aggregate then reads
+    // the sink files batch-side. (Found by the r14 1000× campaign — the
+    // operator was fine, the harness wasn't.)
+    val sinkDir = Paths.get(scratchPath("streaming_ddww_sink", dir))
+    val ckpt = Paths.get(scratchPath("streaming_ddww_ckpt", dir))
+    freshDir(sinkDir)
+    freshDir(ckpt)
     setStatePartitions(s, 4)
     locally {
       val q = deduped.writeStream
-        .format("memory").queryName(sink)
+        .format("parquet")
+        .option("path", sinkDir.toString)
+        .option("checkpointLocation", ckpt.toString)
         .outputMode("append")
         .start()
       try {
@@ -695,7 +707,7 @@ object StreamingQueries {
             s"(expected 2 data batches, source delivered $dataBatches)")
       } finally drainStop(q)
     }
-    s.table(sink)
+    s.read.parquet(sinkDir.toString)
       .groupBy(unix_timestamp(date_trunc("minute", col("eventTime"))).as("minute"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"))
