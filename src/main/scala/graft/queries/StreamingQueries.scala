@@ -45,9 +45,15 @@ object StreamingQueries {
     * per-deployment sizing knob, not a semantic: at cluster scale you size
     * it to executors × cores. No restore: the conf lives on the isolated
     * child session (`isolated`), which no other query shares. */
+  /** Streaming gates pin 4 state partitions (deterministic across the
+    * driver's 4- and 32-cpu harnesses). `SPARK_GRAFT_STATE_PARTITIONS`
+    * overrides for scale probes (e.g. the r15 state-depth-vs-starvation
+    * probe on `streaming_running_distinct` at 100 M events); unset in
+    * driver runs, so gate behavior is unchanged there. */
   private def setStatePartitions(s: org.apache.spark.sql.SparkSession,
                                  n: Int): Unit =
-    s.conf.set("spark.sql.shuffle.partitions", n)
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.get("SPARK_GRAFT_STATE_PARTITIONS").map(_.toInt).getOrElse(n))
 
   // events.parquet carries TIMESTAMP(NANOS); readStream needs an explicit
   // schema, and asking for long ts surfaces Spark's internal epoch-MICROS

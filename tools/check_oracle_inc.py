@@ -79,12 +79,16 @@ def main():
             # dir mtime only moves on entry create/delete — DuckDB growing
             # an existing temp file in-place leaves it stale-looking, so
             # take the max mtime over the dir AND its contained files
+            # ADVICE r15: recurse (os.walk), not just immediate children —
+            # a DuckDB version nesting temp files one level down would
+            # otherwise re-open the in-place-growth blind spot
             mtimes = [os.stat(d).st_mtime]
-            for f in os.listdir(d):
-                try:
-                    mtimes.append(os.stat(os.path.join(d, f)).st_mtime)
-                except OSError:
-                    pass
+            for root, dirs, files in os.walk(d):
+                for entry in dirs + files:
+                    try:
+                        mtimes.append(os.stat(os.path.join(root, entry)).st_mtime)
+                    except OSError:
+                        pass
             stale = time.time() - max(mtimes) > 3600
         except OSError:
             continue
@@ -149,7 +153,11 @@ def main():
                     pass
                 con = connect()
         dt = round(time.time() - t0, 1)
-        verdict = {"pass": not msgs, "secs": dt}
+        # r14 verdict item: label what `secs` measures — this wall is the
+        # DuckDB replay + compare only; the Spark materialization wall is
+        # a separate campaign measurement (ledger rows gain engine_secs
+        # via the campaign runner when known)
+        verdict = {"pass": not msgs, "secs": dt, "secs_is": "checker_wall"}
         if msgs:
             verdict["detail"] = msgs[:5]
             print(f"FAIL {name} ({dt}s): " + " | ".join(msgs[:3]), flush=True)

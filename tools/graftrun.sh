@@ -1,0 +1,19 @@
+#!/bin/bash
+# Direct-JVM runner for graft mains: same JDK17 add-opens as build.sbt,
+# no sbt build lock — lets a campaign main run while sbt is busy.
+# Usage: tools/graftrun.sh [-Xmx...] graft.Main args...
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+XMX="-Xmx${SPARK_DRIVER_MEM:-48g}"
+if [[ "${1:-}" == -Xmx* ]]; then XMX="$1"; shift; fi
+exec java $OPENS $XMX \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"

@@ -143,13 +143,46 @@ def main():
         f"{qdir} has no _SUCCESS — Spark output incomplete"
     assert glob.glob(os.path.join(qdir, "*.parquet")), \
         f"{qdir} has no parquet files"
+    # ADVICE r14: atomic acquisition (O_CREAT|O_EXCL) — the old
+    # exists-check-then-open(w) let two replays (or a replay racing a
+    # just-starting checker) both pass the liveness check and both write
+    # the lock, re-admitting the ledger-clobber race the lock prevents.
+    # One retry after removing a dead-pid lock; try/finally below removes
+    # the lock only if it still contains OUR pid.
     lock = ledger_path + ".lock"
-    if os.path.exists(lock):
-        pid = open(lock).read().strip()
-        assert not (pid and os.path.exists(f"/proc/{pid}")), \
-            f"checker pid {pid} holds {lock}; refusing to race the ledger"
-    open(lock, "w").write(str(os.getpid()))
+    mypid = str(os.getpid())
+    for attempt in (1, 2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(mypid)
+            break
+        except FileExistsError:
+            try:
+                pid = open(lock).read().strip()
+            except OSError:
+                pid = ""  # holder removed it between our open attempts
+            assert not (pid and os.path.exists(f"/proc/{pid}")), \
+                f"checker pid {pid} holds {lock}; refusing to race the ledger"
+            assert attempt == 1, \
+                f"{lock} reappeared after dead-pid removal; racing holder"
+            try:
+                os.remove(lock)  # dead pid — clear and retry once
+            except FileNotFoundError:
+                pass
+    try:
+        run_replay(sf_dir, out_dir, qname, ledger_path, ctes, names,
+                   tail, stages)
+    finally:
+        try:
+            if open(lock).read().strip() == mypid:
+                os.remove(lock)
+        except OSError:
+            pass
 
+
+def run_replay(sf_dir, out_dir, qname, ledger_path, ctes, names, tail,
+               stages):
     con = duckdb.connect()
     con.execute(f"SET threads = {os.environ.get('DUCK_THREADS', '16')}")
     con.execute(f"SET memory_limit = '{os.environ.get('DUCK_MEM', '48GB')}'")
@@ -188,7 +221,7 @@ def main():
     spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
     msgs = compare(spark_df, duck_df, qname)
     dt = round(time.time() - t0, 1)
-    verdict = {"pass": not msgs, "secs": dt,
+    verdict = {"pass": not msgs, "secs": dt, "secs_is": "checker_wall",
                "staged": stages}
     if msgs:
         verdict["detail"] = msgs[:5]
@@ -200,7 +233,6 @@ def main():
         ledger = json.load(open(ledger_path))
     ledger[qname] = verdict
     json.dump(ledger, open(ledger_path, "w"), indent=1)
-    os.remove(lock)
 
 
 if __name__ == "__main__":
