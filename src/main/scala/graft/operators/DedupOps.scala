@@ -41,8 +41,14 @@ object DedupOps {
   def shingleBag(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
     // tokens materialized in their own projection: the shingling lambda
     // must reference a bound column, not re-tokenize per element (see
-    // TextFunctions.shinglesOf perf note)
-    docs.select(idCol.as("doc_id"), TextFunctions.tokens(textCol).as("ws"))
+    // TextFunctions.shinglesOf perf note).
+    // FanOut first: tokenize + shingle + explode (and any partial
+    // aggregate a consumer fuses behind them) otherwise run inside the
+    // scan stage — one task on a single-row-group input (r15 profile:
+    // 0.7–0.9 s serial per consumer at sf0.1).
+    FanOut.bySize(docs.select(idCol.as("doc_id"), textCol.as("t")),
+        col("doc_id"))
+      .select(col("doc_id"), TextFunctions.tokens(col("t")).as("ws"))
       .select(col("doc_id"), explode(TextFunctions.shinglesOf(col("ws"), n)).as("g"))
 
   /** Distinct (id, shingle) pairs — needed where set semantics matter
@@ -55,7 +61,8 @@ object DedupOps {
     * n-gram-Jaccard counterpart of the word `shingleBag`; one codegen'd
     * transform + explode, no shuffle. */
   def charShingleBag(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    docs.select(idCol.as("doc_id"), textCol.as("t"))
+    FanOut.bySize(docs.select(idCol.as("doc_id"), textCol.as("t")),
+        col("doc_id"))
       .select(col("doc_id"),
         explode(TextFunctions.charShingles(col("t"), n)).as("g"))
 
@@ -244,11 +251,16 @@ object DedupOps {
     * `shingleHash40(md5(g))`), no Generate, no shuffle. Feeds
     * `lshPairsArrayLocal` for the word-shingle MinHash pipeline. */
   def wordShingleHashes(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    docs.select(idCol.as("doc_id"),
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.functions.WordShingleHashes(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol), n))
-        .as("hs"))
+    // FanOut before the kernel: the hash pass AND everything a consumer
+    // fuses behind it (MinHash signature fold, band build) otherwise run
+    // single-task inside the scan stage of a single-row-group input.
+    FanOut.bySize(docs.select(idCol.as("doc_id"), textCol.as("t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.WordShingleHashes(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")), n))
+          .as("hs"))
 
   /** Per-doc hashed char-n-gram arrays (doc_id, hs: array<long>) — the
     * ROW-LOCAL feature representation: one codegen'd rolling-hash pass
@@ -257,8 +269,10 @@ object DedupOps {
     * character), the same layout Spark ML's MinHashLSH uses; fine for
     * any doc that fits a task's memory, i.e. all of them. */
   def charShingleHashes(docs: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame =
-    docs.select(idCol.as("doc_id"),
-      TextFunctions.charNGramHashes(textCol, n).as("hs"))
+    FanOut.bySize(docs.select(idCol.as("doc_id"), textCol.as("t")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        TextFunctions.charNGramHashes(col("t"), n).as("hs"))
 
   /** Exact Jaccard over candidate pairs with SET-VALUED doc rows: two
     * joins pull each side's distinct feature array onto the pair, then
