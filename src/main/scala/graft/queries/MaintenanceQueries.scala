@@ -230,13 +230,19 @@ object MaintenanceQueries {
     * profile that reports them would embed engine collation in the
     * audit; null-rate and NDV are the collation-free string metrics). */
   private val profileColumns: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir).select(
-      col("l_orderkey").as("c_ok"),
-      col("l_partkey").as("c_pk"),
-      round(col("l_quantity") * 100).cast("long").as("c_q"),
-      round(col("l_extendedprice") * 100).cast("long").as("c_p"),
-      col("l_returnflag").as("c_rf"),
-      unix_timestamp(col("l_shipdate")).as("c_sd"))
+    // FanOut: the Expand ×6 fan-out + partial aggregate of the exact
+    // multi-NDV otherwise run inside the single-task scan stage of a
+    // single-row-group input (r15 profile: 2.3 s serial of the 3.3 s
+    // query at sf0.1); no-op at parallel-scan scale.
+    val li = graft.operators.FanOut.bySize(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("c_ok"),
+        col("l_partkey").as("c_pk"),
+        round(col("l_quantity") * 100).cast("long").as("c_q"),
+        round(col("l_extendedprice") * 100).cast("long").as("c_p"),
+        col("l_returnflag").as("c_rf"),
+        unix_timestamp(col("l_shipdate")).as("c_sd")),
+      col("c_ok"))
     val wide = li.agg(
       count(lit(1)).as("n_rows"),
       count(col("c_ok")).as("nn_ok"), countDistinct(col("c_ok")).as("d_ok"),
@@ -316,27 +322,39 @@ object MaintenanceQueries {
     * and row-tampered copies). */
   private[graft] def lineitemDigest(
       src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val li = src.select(
-      col("l_returnflag").as("g"),
-      conv(substring(md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"),
-        round(col("l_quantity") * 100).cast("long"),
-        round(col("l_extendedprice") * 100).cast("long"),
-        col("l_returnflag"), col("l_linestatus"),
-        unix_timestamp(col("l_shipdate")))), 1, 10), 16, 10)
+    // FanOut before the md5 row hash: on a single-row-group input the
+    // whole digest kernel + partial aggregate otherwise run on one core
+    // (r15 optimization; no-op at parallel-scan scale).
+    val li = graft.operators.FanOut.bySize(
+        src.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+        col("l_orderkey"))
+      .select(
+        col("l_returnflag").as("g"),
+        conv(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100).cast("long"),
+          round(col("l_extendedprice") * 100).cast("long"),
+          col("l_returnflag"), col("l_linestatus"),
+          unix_timestamp(col("l_shipdate")))), 1, 10), 16, 10)
         .cast("long").as("h"))
     // Mersenne-prime fold: exact wide sum (decimal 38 ≈ 10^38 headroom over
     // 2^40-bounded terms), reduced mod 2^61-1 so the published digest is a
     // BIGINT at any relation size — no wrap in Spark, no HUGEINT->BIGINT
     // cast failure in the oracle.
     val mersenne61 = lit(new java.math.BigDecimal(2305843009213693951L))
-    def digests(df: org.apache.spark.sql.RelationalGroupedDataset) = df.agg(
-      count(lit(1)).as("n_rows"),
-      (sum(col("h").cast("decimal(38,0)")) % mersenne61)
-        .cast("long").as("sum_h"),
-      expr("bit_xor(h)").as("xor_h"))
-    digests(li.groupBy(col("g"))).unionByName(
-      digests(li.withColumn("g", lit("ALL")).groupBy(col("g"))))
+    // ALL rollup rides the SAME scan via a 2-way explode of the group key
+    // (the quantile_sketch "doubled" pattern): md5 computed once per row,
+    // only the 10-byte (g, h) pair doubles in-flight — the r14 form's
+    // unionByName re-ran the full md5 scan for the ALL leg (2 serial
+    // scans measured at sf0.1; 2 full passes at any scale).
+    li.withColumn("g", explode(array(col("g"), lit("ALL"))))
+      .groupBy(col("g")).agg(
+        count(lit(1)).as("n_rows"),
+        (sum(col("h").cast("decimal(38,0)")) % mersenne61)
+          .cast("long").as("sum_h"),
+        expr("bit_xor(h)").as("xor_h"))
   }
 
   private val tableChecksum: Q = (s, dir) =>
@@ -375,54 +393,62 @@ object MaintenanceQueries {
     * the oracle replays tamper, digests, suspects, and the row diff. */
   private val merkleBucketDiff: Q = (s, dir) => {
     val nBuckets = 256
-    val base = Tables.lineitem(s, dir).select(
-      col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-      round(col("l_extendedprice") * 100).cast("long").as("p"))
-    def keyed(df: org.apache.spark.sql.DataFrame,
-        pCol: org.apache.spark.sql.Column) = df.select(
-      col("ok"), col("ln"),
-      pCol.as("p"),
-      pmod(conv(substring(md5(concat_ws("|", col("ok"), col("ln"))), 1, 15),
-        16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"))
-      .withColumn("row_h",
+    // Replica b derives ROW-WISE from a (the deterministic tamper), so
+    // both sides' keyed rows come out of ONE scan+projection: the key
+    // hash md5(ok|ln) is shared, and b's row hash only re-runs md5 on
+    // the ~1/997·1/|lines| tampered rows (r14 form: 4 independent
+    // scan+md5 passes — digest(a), digest(b), perKey(a), perKey(b) —
+    // each single-task on a single-row-group input; this form: 2 scans,
+    // half the md5 work, FanOut-parallelized). Digest/suspect/per-key
+    // semantics and output are unchanged — the oracle SQL is untouched.
+    def keyed = graft.operators.FanOut.bySize(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          round(col("l_extendedprice") * 100).cast("long").as("p")),
+        col("ok"))
+      .withColumn("p_b",
+        when(col("ok") % 997 === 0 && col("ln") === 1, col("p") + 1)
+          .otherwise(col("p")))
+      .select(col("ok"), col("ln"), col("p"), col("p_b"),
+        pmod(conv(substring(md5(concat_ws("|", col("ok"), col("ln"))), 1, 15),
+          16, 10).cast("long"), lit(nBuckets.toLong)).as("bucket"),
         conv(substring(md5(concat_ws("|", col("ok"), col("ln"), col("p"))),
-          1, 10), 16, 10).cast("long"))
-    val a = keyed(base, col("p"))
-    val b = keyed(base,
-      when(col("ok") % 997 === 0 && col("ln") === 1, col("p") + 1)
-        .otherwise(col("p")))
-    def digest(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy(col("bucket")).agg(
-        count(lit(1)).as("n"),
-        (sum(col("row_h").cast("decimal(38,0)")) %
-          lit(new java.math.BigDecimal(2305843009213693951L)))
-          .cast("long").as("sh"),
-        expr("bit_xor(row_h)").as("xh"))
-    val suspects = digest(a).as("da")
-      .join(digest(b).as("db"), Seq("bucket"), "full_outer")
-      .filter(col("da.n") =!= col("db.n") || col("da.sh") =!= col("db.sh") ||
-        col("da.xh") =!= col("db.xh") ||
-        col("da.n").isNull || col("db.n").isNull)
+          1, 10), 16, 10).cast("long").as("row_h_a"))
+      .withColumn("row_h_b",
+        when(col("p_b") === col("p"), col("row_h_a")).otherwise(
+          conv(substring(md5(concat_ws("|", col("ok"), col("ln"), col("p_b"))),
+            1, 10), 16, 10).cast("long")))
+    // Leaf digests for BOTH sides in one aggregate pass. Row counts per
+    // bucket are equal by construction (b is a projection of a), so the
+    // r14 full-outer-join suspect conditions (n mismatch, one-sided
+    // bucket) reduce to sum/xor digest mismatch — same suspect set.
+    val mersenne61 = lit(new java.math.BigDecimal(2305843009213693951L))
+    val suspects = keyed.groupBy(col("bucket")).agg(
+        (sum(col("row_h_a").cast("decimal(38,0)")) % mersenne61)
+          .cast("long").as("sh_a"),
+        (sum(col("row_h_b").cast("decimal(38,0)")) % mersenne61)
+          .cast("long").as("sh_b"),
+        expr("bit_xor(row_h_a)").as("xh_a"),
+        expr("bit_xor(row_h_b)").as("xh_b"))
+      .filter(col("sh_a") =!= col("sh_b") || col("xh_a") =!= col("xh_b"))
       .select(col("bucket"))
     // the fixture key (ok, ln) is NOT unique, so a row-by-row key join
     // would fan out m×n per duplicate key and cross-compare unrelated
     // rows; collapse each side to a per-KEY digest (count, price sum,
     // row-hash xor) first — the diff is then well-defined for any key
     // multiplicity, and the verdict localizes to keys, the granularity
-    // a repair job actually re-copies
-    def perKey(df: org.apache.spark.sql.DataFrame) =
-      df.join(broadcast(suspects), "bucket")
-        .groupBy(col("bucket"), col("ok"), col("ln"))
-        .agg(count(lit(1)).as("n"), sum(col("p")).as("sum_p"),
-          expr("bit_xor(row_h)").as("xh"))
-    perKey(a).as("ka")
-      .join(perKey(b).as("kb"), Seq("bucket", "ok", "ln"))
-      .filter(col("ka.n") =!= col("kb.n") ||
-        col("ka.sum_p") =!= col("kb.sum_p") ||
-        col("ka.xh") =!= col("kb.xh"))
+    // a repair job actually re-copies. Both sides' per-key digests ride
+    // the same suspect-bucket scan.
+    keyed.join(broadcast(suspects), "bucket")
+      .groupBy(col("bucket"), col("ok"), col("ln"))
+      .agg(sum(col("p")).as("sum_p_a"), sum(col("p_b")).as("sum_p_b"),
+        expr("bit_xor(row_h_a)").as("xh_a"),
+        expr("bit_xor(row_h_b)").as("xh_b"))
+      .filter(col("sum_p_a") =!= col("sum_p_b") ||
+        col("xh_a") =!= col("xh_b"))
       .select(col("ok").as("l_orderkey"), col("ln").as("l_linenumber"),
         col("bucket"),
-        col("ka.sum_p").as("price_a_fp"), col("kb.sum_p").as("price_b_fp"))
+        col("sum_p_a").as("price_a_fp"), col("sum_p_b").as("price_b_fp"))
   }
 
   private val merkleBucketDiffSql =
