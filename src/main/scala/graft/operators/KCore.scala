@@ -37,6 +37,10 @@ object KCore {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // keep's localCheckpoint measured FASTER than recomputing the
+      // degree aggregate per semi-join reference (r15 A/B: 2.8 s vs
+      // 3.6 s at sf0.1 — the un-checkpointed subplan did not
+      // broadcast-reuse across the two semi-joins); deliberately kept
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("a").as("n"))
         .localCheckpoint()

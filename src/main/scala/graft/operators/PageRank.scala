@@ -57,26 +57,26 @@ object PageRank {
           dampingPct: Int = 85,
           forceShuffle: Option[Boolean] = None,
           broadcastMaxVertices: Long = BroadcastMaxVertices): DataFrame = {
-    val session = vertices.sparkSession
-    val confParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-
     val verts = vertices.select(col("node").cast("long"))
     val n = verts.count()
     require(n > 0, "PageRank needs at least one vertex")
     val useShuffle = forceShuffle.getOrElse(n > broadcastMaxVertices)
 
-    val eRaw = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    // size loop stages to the edge count, never by mutating session conf
-    val loopParts = math.max(1,
-      math.min(confParts, math.ceil(eRaw.count() / 50000.0).toInt))
     // partition BEFORE the checkpoint (localCheckpoint preserves
     // outputPartitioning) on the column the per-round plan keys on, so
     // the edge relation is shuffled ONCE total, not once per round:
     // hash(dst) serves the broadcast path's inflow aggregate; hash(src)
     // serves the shuffle path's rank join (EnsureRequirements then
-    // shuffles only the rank side, to e's partition count)
-    val e = eRaw.repartition(loopParts, col(if (useShuffle) "src" else "dst"))
+    // shuffles only the rank side, to e's partition count).
+    // Loop-stage sizing is AQE partition coalescing (guide §2: derive
+    // partitioning from data size, not a constant): repartition WITHOUT
+    // an explicit count is AQE-coalescible, so the checkpointed edge
+    // relation lands at advisory-sized partitions at any scale — the r14
+    // form materialized the edges twice (checkpoint → count → repartition
+    // by a count-derived width → second checkpoint, three jobs) to learn
+    // a width AQE already knows.
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col(if (useShuffle) "src" else "dst"))
       .localCheckpoint()
 
     val deg = verts
@@ -86,8 +86,10 @@ object PageRank {
       .localCheckpoint()
     val base = (Scale * (100 - dampingPct)) / (100L * n)
 
+    // no checkpoint: rank₀ is a constant projection of the checkpointed
+    // deg — lineage stays depth-1 and the materialization job is saved
     var ranks = deg.select(col("node"), col("outdeg"),
-      lit(Scale / n).as("units")).localCheckpoint()
+      lit(Scale / n).as("units"))
     for (_ <- 1 to iters) {
       // src rows always have outdeg >= 1, so the integer div is safe
       val contrib =

@@ -1224,6 +1224,33 @@ object RelationalQueries {
       |       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002
       |FROM orders""".stripMargin
 
+  /** Ordered co-supply pairs with per-order co-occurrence counts
+    * (x, y, c) — the shared edge derivation of the five supplier-graph
+    * gates, in ONE grouped scan (r15 optimization): each order's
+    * supplier set is collected per order (bounded — an order has ≤ 7
+    * lines) and the s·(s−1) ordered pairs expand ROW-LOCALLY, replacing
+    * the r14 distinct → self-join-on-ok → groupBy form that scanned and
+    * shuffled the fact relation twice and joined it against itself.
+    * `c` counts co-occurring ORDERS exactly as the join form did (the
+    * per-order set generates each ordered pair once). The repartition
+    * on x lets the (x, y) count aggregate AND every downstream
+    * per-x top-k window ride one exchange — HashPartitioning(x)
+    * satisfies ClusteredDistribution(x, y) — so the whole edge build is
+    * fan-out + hash(x): two exchanges, one fact pass, no join. */
+  private def coSupplyCounted(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.FanOut.bySize(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")),
+        col("ok"))
+      .groupBy(col("ok")).agg(collect_set(col("sk")).as("sks"))
+      .select(explode(expr(
+        "flatten(transform(sks, x -> transform(filter(sks, y -> y != x), " +
+          "y -> named_struct('x', x, 'y', y))))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .repartition(col("x"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+
   // ── Link-analysis centrality: integer-unit PageRank ────────────────────
   // The co-supply graph: suppliers are adjacent when they ship lines of
   // the same order (lineitem self-join on l_orderkey, deduped, symmetric).
@@ -1232,13 +1259,12 @@ object RelationalQueries {
   // iterations and matches every unit exactly; a float PageRank could
   // never be cross-engine hash-gated. Top 25 by final rank.
   private def supplierPagerankPath(forceShuffle: Option[Boolean]): Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val e0 = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
-      .select(col("a.sk").as("s1"), col("b.sk").as("s2")).distinct()
-    val edges = e0.select(col("s1").as("src"), col("s2").as("dst"))
-      .unionByName(e0.select(col("s2").as("src"), col("s1").as("dst")))
+    // the symmetric edge relation IS the ordered co-supply pair set —
+    // every (x, y), x ≠ y, sharing an order (see coSupplyCounted; the
+    // r14 form re-derived it as distinct → self-join → distinct → union,
+    // two extra fact-relation shuffles + a join)
+    val edges = coSupplyCounted(s, dir)
+      .select(col("x").as("src"), col("y").as("dst"))
     val verts = Tables.supplier(s, dir).select(col("s_suppkey").as("node"))
     val ranks = graft.operators.PageRank.run(verts, edges, iters = 3,
       forceShuffle = forceShuffle)
@@ -1270,12 +1296,7 @@ object RelationalQueries {
     * orientation-independent, so the two enumeration strategies must
     * agree row-for-row. */
   private val supplierTriangles: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val w = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
-      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-      .agg(count(lit(1)).as("c"))
+    val w = coSupplyCounted(s, dir)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
     val e0 = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
@@ -1325,12 +1346,7 @@ object RelationalQueries {
     * exactly 8 peeling rounds, sound because peeling is idempotent at
     * the fixpoint. */
   private val supplierKcore: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val w = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
-      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-      .agg(count(lit(1)).as("c"))
+    val w = coSupplyCounted(s, dir)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
     val e0 = w.withColumn("rn", row_number().over(win))
@@ -1377,12 +1393,7 @@ object RelationalQueries {
     * Unreachable nodes would surface as −1 (none exist in this graph —
     * the left join states the contract anyway). */
   private val supplierHops: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val w = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
-      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-      .agg(count(lit(1)).as("c"))
+    val w = coSupplyCounted(s, dir)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
     val e0 = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
@@ -1406,12 +1417,7 @@ object RelationalQueries {
     * replay exact; 12 unrolled MATERIALIZED rounds in the oracle are
     * sound by fixpoint idempotence (the Bfs/KCore convention). */
   private val supplierWeightedPaths: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
-    val w = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.sk") =!= col("b.sk"))
-      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-      .agg(count(lit(1)).as("c"))
+    val w = coSupplyCounted(s, dir)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("x")).orderBy(col("c").desc, col("y"))
     val ew = w.withColumn("rn", row_number().over(win)).filter(col("rn") <= 5)
