@@ -53,6 +53,15 @@ object SetSimilarityQueries {
         graft.operators.DedupOps.shingleHash60(col("g")).as("tok"))
     val dfT = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-doc token array ordered rarest-first (global df, token tiebreak)
+    // localCheckpoint: ranked feeds FOUR subtree evaluations (the prefix
+    // relation's self-join sides + the verify join's two array sides);
+    // un-materialized, the shingle+distinct+rank chain re-runs per
+    // reference (the fan-out exchange dedups only the scan below it —
+    // r15 executed-plan audit). Footprint is the hashed per-doc arrays,
+    // 8 B/distinct token ≈ smaller than the input text, MEMORY_AND_DISK
+    // so it degrades to disk, never OOM — unlike the fact-scale CACHE
+    // pins the r13/r14 campaigns banned, this is bounded by the corpus'
+    // token footprint and released at query end.
     val ranked = toks.join(dfT, "tok")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
@@ -62,6 +71,7 @@ object SetSimilarityQueries {
         size(col("ord")).cast("long").as("sz"))
       .withColumn("p",
         col("sz") - expr(s"(sz * $TauNum + ${TauDen - 1}) div $TauDen") + 1)
+      .localCheckpoint()
     val pre = ranked.select(col("doc_id"), col("sz"),
       posexplode(slice(col("toks"), lit(1), col("p"))))
       .select(col("doc_id"), col("sz"), col("pos"), col("col").as("tok"))
@@ -173,9 +183,14 @@ object SetSimilarityQueries {
       .agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col("doc_id")).as("n"))
+    // localCheckpoint: postings feeds three subtree evaluations (both
+    // sides of the dot-product self-join + the norms aggregate); the
+    // same bounded, disk-degrading materialization argument as
+    // prefix_filter_jaccard's ranked relation (r15).
     val postings = tf.join(dfT, "tok").crossJoin(broadcast(n))
       .filter(col("df") * DfCapInv <= col("n"))
       .select(col("doc_id"), col("tok"), col("tf"))
+      .localCheckpoint()
     // norms over the SAME capped space the dots live in: cosine is
     // defined in the discriminative-term subspace (a full-vocabulary
     // norm against capped dots would deflate every score by the
