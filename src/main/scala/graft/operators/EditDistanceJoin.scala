@@ -61,9 +61,12 @@ object EditDistanceJoin {
     require(k >= 1 && k <= 4, s"passJoin expects 1 <= k <= 4, got $k")
     val nSeg = k + 1
 
-    val base = docs
+    // FanOut: the segment/probe explode + md5 substring hashing below
+    // otherwise fuse into the single-task scan stage of a
+    // single-row-group input (r15; no-op at parallel-scan scale)
+    val base = FanOut.bySize(docs
       .select(idCol.cast("long").as("_ej_id"), textCol.as("_ej_t"),
-        length(textCol).as("_ej_m"))
+        length(textCol).as("_ej_m")), col("_ej_id"))
       .filter(col("_ej_m") >= nSeg)
 
     // Segment arithmetic for a string of length l, slot i (1-based):
