@@ -98,18 +98,66 @@ object VectorOps {
     * (max sim, centroid-id tiebreak): (id, vec, cell, probe_rank 1..n).
     * n = 1 is plain cell assignment; n > 1 is the query side of
     * multi-probe. `centroids`: (cent_id, cvec). */
-  def ivfAssignN(corpus: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cent_id"))
+  /** (sim, id)-argmax packed into ONE long so the per-group argmax is a
+    * plain `max(long)` — a HashAggregate with map-side partial aggregation
+    * (optimization guide §2.3 "aggregate before you shuffle": the
+    * broadcast join emits K consecutive candidate rows per group, and the
+    * partial max collapses them to one row before the exchange — K× fewer
+    * shuffled rows, no sort). A struct-max carries the same rule but its
+    * array payload forces SortAggregate (measured: wash vs the window);
+    * the long-max keeps the whole path codegen'd.
+    *
+    * Encoding: (round(csim·1e6) + 1e6) · 2^42 + (2^42 − 1 − cent_id).
+    * csim is already 6-dp rounded and |csim| ≤ 1, so the biased first
+    * term is an exact integer in [0, 2e6] and the product stays below
+    * 2^63; max picks max csim, then (complement) MIN cent_id — exactly
+    * the window's (csim DESC, cent_id ASC) rule. Requires
+    * cent_id ∈ [0, 2^42) — ids are corpus vec_ids (≤ ~1e10 at the 1000×
+    * decade) plus plant offsets ≤ 2e6, orders of magnitude under the
+    * bound. The same encoding the DuckDB oracles' packExpr uses. */
+  private val ArgmaxPackBase = 1L << 42
+  private def packSimId(csim: Column, centId: Column): Column =
+    (round(csim * 1e6).cast("long") + 1000000L) * ArgmaxPackBase +
+      (lit(ArgmaxPackBase - 1) - centId)
+  private def unpackId(packed: Column): Column =
+    lit(ArgmaxPackBase - 1) - (packed % ArgmaxPackBase)
+
+  /** Candidate (group, csim, cent_id) rows for assignment: corpus ×
+    * broadcast centroids with the 6-dp-rounded cosine. */
+  private def assignSims(corpus: DataFrame, centroids: DataFrame): DataFrame =
     corpus.withColumn("nrm", norm(col("vec")))
       .crossJoin(broadcast(centroids.withColumn("cnrm", norm(col("cvec")))))
       .withColumn("csim",
         round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("probe_rank", row_number().over(w))
-      .filter(col("probe_rank") <= n)
-      .select(col("id"), col("vec"), col("cent_id").as("cell"), col("probe_rank"))
+
+  def ivfAssignN(corpus: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    val sims = assignSims(corpus, centroids)
+    if (n == 1) {
+      // `vec` rides in the GROUP KEY (ids are unique per corpus row, so
+      // (id, vec) groups ≡ id groups) — keeping the buffer a mutable
+      // long, which is what keeps this a HashAggregate.
+      sims.groupBy(col("id"), col("vec"))
+        .agg(max(packSimId(col("csim"), col("cent_id"))).as("p"))
+        .select(col("id"), col("vec"), unpackId(col("p")).as("cell"),
+          lit(1).as("probe_rank"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cent_id"))
+      sims.withColumn("probe_rank", row_number().over(w))
+        .filter(col("probe_rank") <= n)
+        .select(col("id"), col("vec"), col("cent_id").as("cell"), col("probe_rank"))
+    }
   }
+
+  /** `ivfAssign` without the vector payload: (id, cell) only — the shape
+    * index/probe consumers that never touch `vec` again should use (no
+    * array in the group key or the shuffle at all). */
+  def ivfAssignCell(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignSims(corpus, centroids)
+      .groupBy(col("id"))
+      .agg(max(packSimId(col("csim"), col("cent_id"))).as("p"))
+      .select(col("id"), unpackId(col("p")).as("cell"))
 
   /** IVF cell assignment: nearest centroid by cosine (max sim, centroid-id
     * tiebreak). `centroids`: (cent_id, cvec). Output: corpus + `cell`. */
@@ -232,18 +280,30 @@ object VectorOps {
     * subspace g — the `ivfAssign` cosine/round/tiebreak contract, with
     * the broadcast join keyed on g so every subspace is assigned in the
     * same single corpus pass. */
-  private def pqAssign(slices: DataFrame, codebooks: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("g"), col("id"))
-      .orderBy(col("csim").desc, col("cent_id"))
+  private def pqAssignSims(slices: DataFrame, codebooks: DataFrame): DataFrame =
     slices.withColumn("nrm", norm(col("vec")))
       .join(broadcast(codebooks.withColumn("cnrm", norm(col("cvec")))), Seq("g"))
       .withColumn("csim",
         round(dot(col("vec"), col("cvec")) / (col("nrm") * col("cnrm")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("g"), col("id"), col("vec"), col("cent_id").as("code"))
-  }
+
+  /** Packed-long argmax per (g, id) — the `ivfAssignN` n == 1 rationale:
+    * ksub× fewer shuffled rows (map-side partial max over the ksub
+    * consecutive codeword rows the broadcast join emits per slice), no
+    * per-partition sort, HashAggregate throughout. Same (csim DESC,
+    * cent_id ASC) selection rule via the packed encoding. */
+  private def pqAssign(slices: DataFrame, codebooks: DataFrame): DataFrame =
+    pqAssignSims(slices, codebooks)
+      .groupBy(col("g"), col("id"), col("vec"))
+      .agg(max(packSimId(col("csim"), col("cent_id"))).as("p"))
+      .select(col("g"), col("id"), col("vec"), unpackId(col("p")).as("code"))
+
+  /** `pqAssign` minus the slice payload: (id, g, code) — the encode shape
+    * (the search path never needs the raw slice again). */
+  private def pqAssignCode(slices: DataFrame, codebooks: DataFrame): DataFrame =
+    pqAssignSims(slices, codebooks)
+      .groupBy(col("g"), col("id"))
+      .agg(max(packSimId(col("csim"), col("cent_id"))).as("p"))
+      .select(col("g"), col("id"), unpackId(col("p")).as("code"))
 
   def pqTrain(corpus: DataFrame, m: Int, subDim: Int, ksub: Int,
               iters: Int): DataFrame = {
@@ -282,7 +342,7 @@ object VectorOps {
     * array, and the ONLY per-vector state the search below touches. */
   def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int,
                subDim: Int): DataFrame =
-    pqAssign(pqSlices(corpus, m, subDim),
+    pqAssignCode(pqSlices(corpus, m, subDim),
         codebooks.select(col("g"), col("code").as("cent_id"), col("csub").as("cvec")))
       .select(col("id"), col("g"), col("code"))
 
@@ -305,17 +365,19 @@ object VectorOps {
   def ivfPqKnn(corpus: DataFrame, coarseCentroids: DataFrame,
                codebooks: DataFrame, queryFilter: Column, k: Int,
                nProbe: Int, m: Int, subDim: Int): DataFrame = {
-    val cells = ivfAssign(corpus, coarseCentroids)
+    val cells = ivfAssignCell(corpus, coarseCentroids)
       .select(col("id").as("cid"), col("cell"))
     val qcells = ivfAssignN(corpus.filter(queryFilter), coarseCentroids, nProbe)
       .select(col("id").as("qid"), col("cell"))
     val codes = pqEncode(corpus, codebooks, m, subDim)
       .select(col("id").as("cid"), col("g"), col("code"))
     val queries = corpus.filter(queryFilter)
-    val qslices = (0 until m).map { g =>
-      queries.select(col("id").as("qid"), lit(g.toLong).as("g"),
-        slice(col("vec"), g * subDim + 1, subDim).as("qsub"))
-    }.reduce(_ unionByName _)
+    // one row-local posexplode pass (the pqSlices shape) instead of an
+    // m-branch unionByName — the union re-scanned the query relation m
+    // times (m=8 ⇒ 24 of knn_ivfpq_recall's 216 baseline parquet scans)
+    // and added m plan branches to every downstream stage
+    val qslices = pqSlices(queries, m, subDim)
+      .select(col("id").as("qid"), col("g"), col("vec").as("qsub"))
     val cb = codebooks.withColumn("cnorm2", round(dot(col("csub"), col("csub")), 6))
     val adc = qslices.join(broadcast(cb), Seq("g"))
       .select(col("qid"), col("g"), col("code"),

@@ -1051,10 +1051,13 @@ object StreamingQueries {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("event_type").as("state"),
         round(col("value") * 100).cast("long").as("value_fp"))
-    val t1 = evAll.agg(expr("min(ts) + (max(ts) - min(ts)) div 2")
-      .cast("long")).head().getLong(0)
-    val t2 = evAll.agg(expr(s"${t1}L + (max(ts) - ${t1}L) div 2")
-      .cast("long")).head().getLong(0)
+    // one bounds pass: t2 derives from (t1, max) arithmetically, so the
+    // second full scan + head() job the old two-agg form paid is free
+    val bounds = evAll.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+      .head()
+    val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val t1 = mnUs + (mxUs - mnUs) / 2
+    val t2 = t1 + (mxUs - t1) / 2
 
     val v0 = graft.streaming.UpsertSink.mergeLatest(
         None, evAll.filter(col("ts") <= t1), "user_id", "ts", "event_id")
