@@ -54,32 +54,55 @@ object Pca {
     * vector round(1/√d, 6). */
   def topComponent(vectors: DataFrame, vecCol: Column, dim: Int, iters: Int): DataFrame = {
     val spark = vectors.sparkSession
-    val cov = covariance(vectors, vecCol, dim).localCheckpoint()
+    // ONE distributed corpus pass (GramMatrixAgg) stays on the cluster;
+    // the d²-row covariance is driver-scale METADATA (fixed embedding
+    // dim, independent of corpus size — 64² = 32 KB here), so the power
+    // iteration runs as a driver loop instead of ~5 Spark jobs per round
+    // (join + agg + crossJoin + localCheckpoint each round burned ~30
+    // jobs / ~2 s of scheduling+planning wall for microseconds of
+    // arithmetic — Profile r15). The guide's driver contract (§5) bans
+    // DATA-scale driver work, not fixed-d sufficient statistics; this is
+    // the kmeans/quality-classifier "train on compact sufficient stats"
+    // pattern taken to its driver-scale endpoint.
+    //
+    // Arithmetic mirrors the former Spark plan (and the DuckDB oracle
+    // CTEs) EXACTLY: every product term rounds HALF_UP to integer 1e-12
+    // units (Spark round() = BigDecimal HALF_UP) and accumulates into a
+    // Long (order-free), each round's vector rounds to 6 dp, same
+    // multiply order throughout — bit-identical output by construction.
+    def rnd(x: Double, scale: Int): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    val c = Array.ofDim[Double](dim, dim)
+    covariance(vectors, vecCol, dim).collect()
+      .foreach(r => c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDouble(2))
 
-    val w0 = java.math.BigDecimal.valueOf(1.0 / math.sqrt(dim.toDouble))
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    var w: DataFrame = spark.range(1, dim + 1)
-      .select(col("id").cast("int").as("j"), lit(w0).as("w"))
-
+    var w = Array.fill(dim)(rnd(1.0 / math.sqrt(dim.toDouble), 6))
     for (_ <- 1 to iters) {
-      // u = C·w with order-free fixed-point sums (terms rounded to 1e-12)
-      val u = cov.join(w, "j")
-        .groupBy(col("i"))
-        .agg((sum(round((col("c") * col("w")) * lit(1e12)).cast("long")) / lit(1e12)).as("u"))
-      val n2 = u.agg(
-        (sum(round((col("u") * col("u")) * lit(1e12)).cast("long")) / lit(1e12)).as("n2"))
-      w = u.crossJoin(broadcast(n2))
-        .select(col("i").as("j"), round(col("u") / sqrt(col("n2")), 6).as("w"))
-        .localCheckpoint()
+      // u = C·w: terms (c_ij * w_j) * 1e12, rounded, summed as longs
+      val u = Array.tabulate(dim) { i0 =>
+        var acc = 0L
+        var j0 = 0
+        while (j0 < dim) {
+          acc += rnd((c(i0)(j0) * w(j0)) * 1e12, 0).toLong
+          j0 += 1
+        }
+        acc / 1e12
+      }
+      var n2acc = 0L
+      u.foreach(ui => n2acc += rnd((ui * ui) * 1e12, 0).toLong)
+      val n2 = n2acc / 1e12
+      w = u.map(ui => rnd(ui / math.sqrt(n2), 6))
     }
+    // Rayleigh quotient wᵀCw with the same fixed-point term convention
+    var eacc = 0L
+    for (i0 <- 0 until dim; j0 <- 0 until dim)
+      eacc += rnd((c(i0)(j0) * w(i0) * w(j0)) * 1e12, 0).toLong
+    val eig = rnd(eacc / 1e12, 6)
 
-    val ev = cov
-      .join(w.select(col("j").as("i"), col("w").as("wi")), "i")
-      .join(w.select(col("j"), col("w").as("wj")), "j")
-      .agg((sum(round((col("c") * col("wi") * col("wj")) * lit(1e12)).cast("long")) /
-        lit(1e12)).as("e"))
-    w.crossJoin(broadcast(ev))
-      .select(col("j").cast("long").as("dim_idx"), col("w").as("loading"),
-        round(col("e"), 6).as("eigval"))
+    import spark.implicits._
+    w.toSeq.zipWithIndex
+      .map { case (wj, j0) => ((j0 + 1).toLong, wj, eig) }
+      .toDF("dim_idx", "loading", "eigval")
   }
 }

@@ -79,17 +79,22 @@ object UniqueUsers {
                              absSlack: Int = 5): DataFrame = {
     val ev = events
       .select(TimeOps.minuteBucketEpoch(eventTime).as("minute"), idCol.as("uid"))
-    // the HLL estimate and the exact DISTINCT run as SEPARATE aggregations
-    // joined on the minute key: mixing a distinct agg with the imperative
-    // HLL aggregate makes the planner rewrite through Expand + extra
-    // aggregation phases, shipping every multi-KB HLL buffer (rsd 0.02 →
-    // 4096 registers) through two more stages (measured 3.1 s vs 1.4 s
-    // warm at sf0.1); the join is minute-cardinality
-    val approx = ev.groupBy(col("minute"))
-      .agg(approx_count_distinct(col("uid"), rsd).as("approx"))
-    val exact = ev.groupBy(col("minute"))
-      .agg(count_distinct(col("uid")).as("unique_users"))
-    approx.join(exact, "minute")
+    // ONE aggregation tree over the explicitly-deduped (minute, uid)
+    // relation: HLL registers are set-valued (duplicates never move a
+    // register), so approx_count_distinct over the deduped relation is
+    // bit-identical to running it on the raw stream, and count(uid)
+    // post-dedup IS count_distinct — with no distinct AGGREGATE left,
+    // the planner's Expand rewrite (which shipped every multi-KB HLL
+    // buffer through two extra stages; measured 3.1 s vs 1.4 s at sf0.1)
+    // can't fire. vs the previous two-aggregation + minute-key join
+    // form: one shuffle of the raw stream and the join removed, and the
+    // final HLL build runs over deduped rows at exchange parallelism
+    // instead of merging per-minute partials on the coalesced single
+    // task (Profile r15: 1.2 s single-task save stage).
+    ev.distinct()
+      .groupBy(col("minute"))
+      .agg(count(col("uid")).as("unique_users"),
+        approx_count_distinct(col("uid"), rsd).as("approx"))
       .select(col("minute"), col("unique_users"),
         (abs(col("approx") - col("unique_users")) <=
           greatest(lit(absSlack), col("unique_users") * lit(relBound)))

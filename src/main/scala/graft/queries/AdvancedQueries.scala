@@ -552,7 +552,10 @@ object AdvancedQueries {
 
   // ── rolling-hash document fingerprint (min over char 8-gram hashes) ────
   private val charFingerprint: Q = (s, dir) =>
-    Tables.documents(s, dir).select(
+    // FanOut: the per-char md5-of-8-gram transform fused into a
+    // single-row-group scan ran on one core (Profile r15: 1 job, 1 task,
+    // 2.0 s execSum = wall)
+    graft.operators.FanOut.bySize(Tables.documents(s, dir), col("doc_id")).select(
       col("doc_id"),
       when(length(col("text")) >= 8,
         expr("array_min(transform(sequence(1, length(text) - 7), i -> md5(substr(text, i, 8))))"))

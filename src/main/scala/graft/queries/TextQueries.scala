@@ -341,7 +341,9 @@ object TextQueries {
   private val RkP = 1000000007L
 
   private val rollingHashFingerprint: Q = (s, dir) =>
-    Tables.documents(s, dir).select(col("doc_id"),
+    // FanOut: the whole-text char fold fused into a single-row-group scan
+    // ran on one core (Profile r15: 1 job, 1 task, 1.7 s execSum = wall)
+    graft.operators.FanOut.bySize(Tables.documents(s, dir), col("doc_id")).select(col("doc_id"),
       TextFunctions.rollingHash(col("text"), RkB, RkP).as("rk_hash"),
       length(col("text")).cast("long").as("n_chars"))
 
