@@ -52,7 +52,9 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String,
             kRounds: Int): (DataFrame, DataFrame) = {
     require(kRounds >= 1, s"kRounds must be >= 1, got $kRounds")
-    val words = docs
+    // FanOut: the lowercase/regex/explode word kernel fused into a
+    // single-row-group scan otherwise runs single-task (Profile r15)
+    val words = FanOut.bySize(docs, col(textCol))
       .select(explode(split(regexp_replace(lower(col(textCol)),
         "[^a-z0-9 ]", " "), " ")).as("_bpe_w"))
       .filter(col("_bpe_w") =!= "")
@@ -108,7 +110,7 @@ object BpeTrain {
     val vocab = train(docs, textCol, kRounds)._2
       .select(col("_bpe_w"),
         size(split(trim(col("sym")), " ")).as("_bpe_n"))
-    val perWord = docs
+    val perWord = FanOut.bySize(docs, col(idCol))
       .select(col(idCol), explode(split(regexp_replace(lower(col(textCol)),
         "[^a-z0-9 ]", " "), " ")).as("_bpe_w"))
       .filter(col("_bpe_w") =!= "")

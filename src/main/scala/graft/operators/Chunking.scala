@@ -72,16 +72,27 @@ object Chunking {
   def passageScrub(docs: DataFrame, idCol: Column, textCol: Column,
                    w: Int, m: Int): DataFrame = {
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"))
-    val chunks = cdcChunks(base, col("doc_id"), col("text"), w, m)
+    // FanOut: the CDC cut kernel + per-chunk md5 fused into a
+    // single-row-group scan ran single-task (Profile r15: 0.4–0.5 s
+    // serial stages); materialized ONCE (localCheckpoint) because three
+    // consumers (dup aggregate, keep join, per-doc totals) otherwise
+    // each re-run the kernel — chunk rows are ~(56 B per m=64 chars),
+    // under the input-text footprint, the set-sim posting-relation bound.
+    val chunks = cdcChunks(FanOut.bySize(base, col("doc_id")),
+        col("doc_id"), col("text"), w, m)
+      .localCheckpoint()
 
-    val dups = chunks.groupBy(col("chunk_fp"))
-      .agg(count_distinct(col("doc_id")).as("_ps_nd"), min(col("doc_id")).as("_ps_cdoc"))
+    // dup verdict AND canonical occurrence in ONE fingerprint aggregate:
+    // min(struct(doc_id, chunk_idx)) is lexicographic — lowest doc, then
+    // lowest chunk_idx within it — exactly the former dups→canon
+    // two-aggregate + join chain (one groupBy(chunk_fp) shuffle, not two).
+    val canon = chunks.groupBy(col("chunk_fp"))
+      .agg(count_distinct(col("doc_id")).as("_ps_nd"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("_ps_mn"))
       .filter(col("_ps_nd") >= 2)
-      .select(col("chunk_fp").as("_ps_fp"), col("_ps_cdoc"))
-    val canon = chunks
-      .join(dups, col("chunk_fp") === col("_ps_fp") && col("doc_id") === col("_ps_cdoc"))
-      .groupBy(col("_ps_fp"), col("_ps_cdoc"))
-      .agg(min(col("chunk_idx")).as("_ps_cidx"))
+      .select(col("chunk_fp").as("_ps_fp"),
+        col("_ps_mn.doc_id").as("_ps_cdoc"),
+        col("_ps_mn.chunk_idx").as("_ps_cidx"))
     val kept = chunks.join(canon, col("chunk_fp") === col("_ps_fp"), "left")
       .filter(col("_ps_fp").isNull ||
         (col("doc_id") === col("_ps_cdoc") && col("chunk_idx") === col("_ps_cidx")))

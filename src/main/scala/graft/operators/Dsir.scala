@@ -40,7 +40,15 @@ object Dsir {
   def hashedNgramLogWeights(docs: DataFrame, idCol: String, textCol: String,
                             isTarget: org.apache.spark.sql.Column,
                             buckets: Int, alpha: Double): DataFrame = {
-    val ws = docs.select(col(idCol), isTarget.as("_ds_t"),
+    // FanOut: the tokenize + bigram-explode + per-gram md5 kernel runs
+    // fused into the scan (single-task on a single-row-group table);
+    // materialized ONCE (localCheckpoint) because BOTH the bucket-count
+    // branch and the per-doc scoring branch consume it — each otherwise
+    // re-runs the kernel (Profile r15: two ~0.5 s serial single-task
+    // stages). Gram rows are (id, bool, bucket) ≈ 25 B/bigram — under
+    // the input-text footprint, the posting-relation bound.
+    val ws = FanOut.bySize(docs, col(idCol))
+      .select(col(idCol), isTarget.as("_ds_t"),
         TextFunctions.tokens(col(textCol)).as("_ds_ws"))
       .withColumn("_ds_n", size(col("_ds_ws")))
     val grams = ws.filter(col("_ds_n") >= 2)
@@ -51,6 +59,7 @@ object Dsir {
         (conv(substring(md5(concat_ws(" ",
           col("_ds_p.w1"), col("_ds_p.w2"))), 1, 10), 16, 10)
           .cast("long") % buckets).as("_ds_b"))
+      .localCheckpoint()
     // one pass: raw count = count(*), target count = conditional sum
     val counts = grams.groupBy(col("_ds_b"))
       .agg(sum(when(col("_ds_t"), 1L).otherwise(0L)).as("_ds_ct"),

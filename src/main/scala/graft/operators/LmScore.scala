@@ -28,7 +28,11 @@ object LmScore {
     *         6 dp so the double-sum is replayable across engines. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     alpha: Double): DataFrame = {
-    val ws = docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_lm_ws"))
+    // FanOut: tokenize + bigram explode otherwise run single-task fused
+    // into a single-row-group scan, and this kernel is evaluated by three
+    // subtrees (bigram counts, vocab, per-doc scoring)
+    val ws = FanOut.bySize(docs, col(idCol))
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_lm_ws"))
       .withColumn("_lm_n", size(col("_lm_ws")))
     val pairs = ws.filter(col("_lm_n") >= 2)
       .select(col(idCol), explode(arrays_zip(

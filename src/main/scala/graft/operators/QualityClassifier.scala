@@ -55,7 +55,10 @@ object QualityClassifier {
                           rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val spark = docs.sparkSession
-    val ws = docs.select(col(idCol), label.cast("double").as("_qc_y"),
+    // FanOut: the tokenize + per-token md5 feature kernel below otherwise
+    // runs single-task fused into a single-row-group scan (Profile r15)
+    val ws = FanOut.bySize(docs, col(idCol))
+      .select(col(idCol), label.cast("double").as("_qc_y"),
         TextFunctions.tokens(col(textCol)).as("_qc_ws"))
       .withColumn("_qc_n", size(col("_qc_ws")))
       .filter(col("_qc_n") >= 1)

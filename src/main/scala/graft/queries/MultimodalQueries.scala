@@ -194,8 +194,16 @@ object MultimodalQueries {
       .select((col("media_id") + lit(2000000000000L)).as("media_id"),
         concat(lit("ff"), expr("substring(hx, 3)")).as("hx"))
     val media = base.unionByName(swaps).unionByName(tweaks)
+    // FanOut the payload kernel (hex/aHash per byte ran at the scan's
+    // 3-task parallelism); checkpoint the hash relation — it is
+    // (media_id, simhash) = 16 B/row metadata, and the banded candidate
+    // generator's per-band self-joins otherwise re-run the whole
+    // perceptual-hash kernel per band side (Profile r15: one 0.87 s
+    // stage dominating the 1.8 s gate)
     val ph = Multimodal.perceptualHash(
-      media, col("media_id"), unhex(col("hx")), bits = 60)
+      graft.operators.FanOut.bySize(media, col("media_id")),
+      col("media_id"), unhex(col("hx")), bits = 60)
+      .localCheckpoint()
     val pairs = DedupOps.simHashBandedPairs(ph, bands = 4, maxDist = 3, bits = 60)
     pairs.groupBy(col("d2").as("media_id"))
       .agg(min(col("d1") * 1000 + col("hamming")).as("kfp"))

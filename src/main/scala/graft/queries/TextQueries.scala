@@ -1525,8 +1525,11 @@ object TextQueries {
   private val CdcW = 8
   private val CdcM = 64
   private val cdcChunks: Q = (s, dir) =>
+    // FanOut: the CDC cut kernel fused into a single-row-group scan runs
+    // single-task otherwise (the passage_scrub Profile finding)
     graft.operators.Chunking.cdcChunks(
-      Tables.documents(s, dir), col("doc_id"), col("text"), CdcW, CdcM)
+      graft.operators.FanOut.bySize(Tables.documents(s, dir), col("doc_id")),
+      col("doc_id"), col("text"), CdcW, CdcM)
 
   private val cdcChunksSql =
     s"""WITH ch AS (SELECT doc_id, unnest(str_split(text, '')) AS c,
@@ -1554,7 +1557,8 @@ object TextQueries {
   // chunk; ≥ 2 docs filter keeps the output the interesting set.
   private val chunkDedup: Q = (s, dir) =>
     graft.operators.Chunking.cdcChunks(
-        Tables.documents(s, dir), col("doc_id"), col("text"), CdcW, CdcM)
+        graft.operators.FanOut.bySize(Tables.documents(s, dir), col("doc_id")),
+        col("doc_id"), col("text"), CdcW, CdcM)
       .groupBy(col("chunk_fp"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("doc_id")).as("n_docs"),
