@@ -1818,7 +1818,12 @@ object TextQueries {
     oldHashed.select(col("doc_id"), array_distinct(col("hs")).as("gs"))
       .write.mode("overwrite").parquet(s"$scratch/sets")
 
+    // materialized once: the batch shingle-hash kernel otherwise
+    // re-evaluates ~5× (band-keys feed the cross and self candidate
+    // joins, sets feed both verifies and the final keep relation);
+    // (doc_id, hs) is ~8 B per shingle — the posting-relation bound
     val bHashed = DedupOps.wordShingleHashes(batch, col("doc_id"), col("text"), ShingleN)
+      .localCheckpoint()
     DedupOps.incrementalDedup(
       s.read.parquet(s"$scratch/keys"), s.read.parquet(s"$scratch/sets"),
       DedupOps.bandKeysArrayLocal(bHashed, NumHashes, Bands),
