@@ -751,11 +751,18 @@ object SimilarityQueries {
   private val knnIvfPqRecall: Q = (s, dir) => {
     val c = corpus(s, dir)
     val isQ = col("id") % QueryMod === 0
+    // materialized once: the augmented corpus feeds EVERY subtree of the
+    // recall gate (brute-force q+c sides, coarse init, PQ training,
+    // IVF-PQ cells/codes/queries) — inlined, the 3-way union re-derived
+    // per reference (216 parquet scans in the baseline plan,
+    // plans/r15/knn_ivfpq_recall_before.txt). (id, vec) at 1.04× corpus
+    // — the embeddings footprint itself.
     val c2 = c
       .unionByName(c.filter(isQ)
         .select((col("id") + PqPlant1).as("id"), col("vec")))
       .unionByName(c.filter(isQ)
         .select((col("id") + PqPlant2).as("id"), col("vec")))
+      .localCheckpoint()
     val coarse = c2.filter(col("id") < NCentroids)
       .select(col("id").as("cent_id"), col("vec").as("cvec"))
     // planted ids still satisfy the % test (1e6 % 50 = 0) — queries are
