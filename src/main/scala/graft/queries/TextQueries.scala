@@ -296,8 +296,11 @@ object TextQueries {
   // top-5 terms per doc by rounded score, term tiebreak.
   private val tfidfTopTerms: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val toks = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("w"))
+    // FanOut: the tokenize + explode kernel runs single-task fused into
+    // a single-row-group scan otherwise (Profile r15)
+    val toks = graft.operators.FanOut.bySize(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     // tf is already one row per (doc, term): derive document frequency
     // from it instead of re-exploding + distinct-ing the corpus
