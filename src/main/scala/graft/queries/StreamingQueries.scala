@@ -1410,8 +1410,17 @@ object StreamingQueries {
           val (u1, s3) = SessionFunnelState.mergeBatch(df, uSt, sSt)
           val outU = tmp.resolve(s"user_v$id").toString
           val outS = tmp.resolve(s"sess_v$id").toString
-          u1.write.mode("overwrite").parquet(outU)
+          // the two state writes are independent actions on disjoint
+          // output dirs — submit them concurrently so the second's
+          // tasks back-fill the first's stragglers (optimization guide
+          // §2.6 "overlap independent jobs"); results are unchanged,
+          // only the wall overlaps
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          import scala.concurrent.duration.Duration
+          val fu = Future(u1.write.mode("overwrite").parquet(outU))
           s3.write.mode("overwrite").parquet(outS)
+          Await.result(fu, Duration.Inf)
           curUser = Some(outU); curSess = Some(outS)
           merges.incrementAndGet()
           ()
