@@ -721,25 +721,45 @@ object TextQueries {
     * SAME stages as CTEs, so the gate checks the composition end to end. */
   private val pipelineCuration: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // Stages 1 (components loop), 3 (GD training) and 4 (gram
+    // materialization) each run INTERNAL actions at construction time
+    // (loop rounds / training rounds / localCheckpoint) and are mutually
+    // independent — construct them concurrently so each stage's tail
+    // back-fills the others' idle cores (optimization guide §2.6
+    // "overlap independent jobs"); every stage is deterministic, so the
+    // composed result is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // 1. near-dup canonical keep
-    val pairs = DedupOps.lshPairsArrayLocal(
-      DedupOps.wordShingleHashes(docs, col("doc_id"), col("text"), ShingleN),
-      NumHashes, Bands, Threshold)
-    val labels = DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
-    val canon = DedupOps.canonicalPerCluster(labels, docs,
-        col("doc_id"), octet_length(col("text")).cast("long"))
-      .filter(col("is_canonical")).select("doc_id")
-    // 2. decontamination (train side only — probe docs never pass)
+    val fCanon = Future {
+      val pairs = DedupOps.lshPairsArrayLocal(
+        DedupOps.wordShingleHashes(docs, col("doc_id"), col("text"), ShingleN),
+        NumHashes, Bands, Threshold)
+      val labels = DedupOps.connectedComponents(pairs.select(col("d1"), col("d2")))
+      DedupOps.canonicalPerCluster(labels, docs,
+          col("doc_id"), octet_length(col("text")).cast("long"))
+        .filter(col("is_canonical")).select("doc_id")
+    }
+    // 3. quality keep
+    val fQuality = Future {
+      qualityFilter(s, dir).filter(col("keep")).select("doc_id")
+    }
+    // 4. corpus-level DSIR weights
+    val fDsir = Future {
+      graft.operators.Dsir.hashedNgramLogWeights(
+        docs, "doc_id", "text", col("lang") === "en", DsirBuckets, DsirAlpha)
+    }
+    // 2. decontamination (train side only — probe docs never pass);
+    // fully lazy (no construction-time actions), built inline
     val clean = DedupOps.ngramOverlap(
         docs.filter(col("doc_id") % 10 =!= 0),
         docs.filter(col("doc_id") % 10 === 0),
         col("doc_id"), col("text"), DecontamN)
       .filter(!col("contaminated")).select("doc_id")
-    // 3. quality keep
-    val quality = qualityFilter(s, dir).filter(col("keep")).select("doc_id")
-    // 4. corpus-level DSIR weights
-    val dsir = graft.operators.Dsir.hashedNgramLogWeights(
-      docs, "doc_id", "text", col("lang") === "en", DsirBuckets, DsirAlpha)
+    val canon = Await.result(fCanon, Duration.Inf)
+    val quality = Await.result(fQuality, Duration.Inf)
+    val dsir = Await.result(fDsir, Duration.Inf)
     // survivors = canon ∩ clean ∩ quality
     val kept = docs.select(col("doc_id"), col("text"))
       .join(canon, "doc_id").join(clean, "doc_id").join(quality, "doc_id")
